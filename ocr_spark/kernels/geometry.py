@@ -1,0 +1,85 @@
+"""Geometry kernels: bbox overlap and union.
+
+These are the engine's only join predicates (reference: utils.py:48-91,
+utils.py:94-117).  They are written scalar-first so the pure-Python oracle
+and the Spark pandas-UDF path share byte-identical float semantics, with
+numpy batch variants whose elementwise IEEE-754 float64 arithmetic is
+bit-identical to the scalar loop (no reassociation, no fused reductions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+Box = tuple[float, float, float, float]
+
+
+def box_overlap_pct(
+    box1: Box, box2: Box, use_first_as_denominator: bool = False
+) -> float:
+    """Intersection area over min(area1, area2) (or area1).
+
+    Mirrors reference utils.py:48-91: returns 0.0 when the intersection is
+    empty (touching edges count as empty, ``<=``).
+    """
+    x1_min, y1_min, x1_max, y1_max = box1
+    x2_min, y2_min, x2_max, y2_max = box2
+
+    area1 = (x1_max - x1_min) * (y1_max - y1_min)
+    area2 = (x2_max - x2_min) * (y2_max - y2_min)
+
+    xo_min = max(x1_min, x2_min)
+    xo_max = min(x1_max, x2_max)
+    yo_min = max(y1_min, y2_min)
+    yo_max = min(y1_max, y2_max)
+
+    if xo_max <= xo_min or yo_max <= yo_min:
+        return 0.0
+
+    inter = (xo_max - xo_min) * (yo_max - yo_min)
+    denom = area1 if use_first_as_denominator else min(area1, area2)
+    return inter / denom
+
+
+def merge_boxes(box1: Box, box2: Box) -> Box:
+    """Union bbox (elementwise min/min/max/max). Reference utils.py:94-117."""
+    return (
+        min(box1[0], box2[0]),
+        min(box1[1], box2[1]),
+        max(box1[2], box2[2]),
+        max(box1[3], box2[3]),
+    )
+
+
+def overlap_pct_one_to_many(
+    box: Box, boxes: np.ndarray, use_first_as_denominator: bool = False
+) -> np.ndarray:
+    """Vectorized ``box_overlap_pct(box, boxes[i])`` for an (N,4) array.
+
+    Elementwise float64 ops only — each lane is IEEE-identical to the scalar
+    kernel, so downstream sequential accumulation stays byte-identical to the
+    reference loops (document.py:42-54, document.py:67-77).
+    """
+    boxes = np.asarray(boxes, dtype=np.float64)
+    if boxes.size == 0:
+        return np.zeros(0, dtype=np.float64)
+    x1_min, y1_min, x1_max, y1_max = (
+        np.float64(box[0]),
+        np.float64(box[1]),
+        np.float64(box[2]),
+        np.float64(box[3]),
+    )
+    area1 = (x1_max - x1_min) * (y1_max - y1_min)
+    area2 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
+    xo_min = np.maximum(x1_min, boxes[:, 0])
+    xo_max = np.minimum(x1_max, boxes[:, 2])
+    yo_min = np.maximum(y1_min, boxes[:, 1])
+    yo_max = np.minimum(y1_max, boxes[:, 3])
+
+    inter = (xo_max - xo_min) * (yo_max - yo_min)
+    denom = area1 if use_first_as_denominator else np.minimum(area1, area2)
+    pct = inter / denom
+    empty = (xo_max <= xo_min) | (yo_max <= yo_min)
+    pct[empty] = 0.0
+    return pct

@@ -1,0 +1,140 @@
+"""Deterministic synthetic Common-Crawl-style page payload.
+
+The offline sandbox has no pymupdf/torch/surya, so the engine's extraction
+kernels run against a self-describing binary payload format that plays the
+role of the PDF byte stream (reference document.py:532-541).  The format
+encodes, per page, three ground-truth layers that let every reference
+semantic execute for real:
+
+- ``<layout .../>``   — what the layout detector would emit (reference
+  layout.py:121-160): stored in PDF points; the extractor simulates the
+  raster→detect→px-int-cast→pt-scale chain from those.
+- ``<nline .../>``    — the embedded native text layer, line spans in points
+  (reference ocr.py:74-101: PyMuPDF ``get_text("dict")`` lines/spans).
+- ``<oline .../>``    — what OCR recognition would read off the raster
+  (reference ocr.py:37-71: surya lines, bboxes in raster-PIXEL space).
+
+Text content is base64-encoded per span so arbitrary unicode round-trips
+without an escaping grammar.  Floats are ``repr``-encoded (exact round-trip).
+Everything is derivable from the payload bytes alone — no RNG, no clock.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+from typing import Any
+
+MAGIC = b"<!DOCTYPE sgdoc>"
+
+_DOC_RE = re.compile(rb'<doc dpi="(\d+)" kind="([A-Z])">')
+_PAGE_RE = re.compile(rb'<page i="(\d+)" w="([^"]+)" h="([^"]+)">(.*?)</page>', re.S)
+_LAYOUT_RE = re.compile(rb'<layout type="([a-z_]+)" bbox="([^"]+)"/>')
+_NLINE_RE = re.compile(rb'<nline bbox="([^"]+)" s="([^"]*)"/>')
+_OLINE_RE = re.compile(rb'<oline bbox="([^"]+)" s="([^"]*)"/>')
+
+
+def _fmt_bbox(bbox: list[float]) -> str:
+    return ",".join(repr(float(c)) for c in bbox)
+
+
+def _parse_bbox(raw: bytes) -> list[float]:
+    return [float(c) for c in raw.decode("ascii").split(",")]
+
+
+def _b64_spans(spans: list[str]) -> str:
+    return ",".join(
+        base64.b64encode(s.encode("utf-8")).decode("ascii") for s in spans
+    )
+
+
+def _decode_spans(raw: bytes) -> list[str]:
+    if not raw:
+        return []
+    return [
+        base64.b64decode(tok).decode("utf-8")
+        for tok in raw.decode("ascii").split(",")
+    ]
+
+
+def encode_page(page: dict[str, Any]) -> bytes:
+    """Serialize one page dict (see ``decode_page`` for the shape)."""
+    parts = [
+        f'<page i="{page["i"]}" w="{page["width"]!r}" h="{page["height"]!r}">'.encode()
+    ]
+    for blk in page["layout"]:
+        parts.append(
+            f'<layout type="{blk["type"]}" bbox="{_fmt_bbox(blk["bbox"])}"/>'.encode()
+        )
+    for line in page["native_lines"]:
+        parts.append(
+            f'<nline bbox="{_fmt_bbox(line["bbox"])}" '
+            f's="{_b64_spans(line["spans"])}"/>'.encode()
+        )
+    for line in page["ocr_lines"]:
+        parts.append(
+            f'<oline bbox="{_fmt_bbox(line["bbox"])}" '
+            f's="{_b64_spans([line["content"]])}"/>'.encode()
+        )
+    parts.append(b"</page>")
+    return b"".join(parts)
+
+
+def encode_doc(pages: list[dict[str, Any]], dpi: int = 200, kind: str = "A") -> bytes:
+    """Serialize a document payload (the ``html`` binary column value)."""
+    body = b"".join(encode_page(p) for p in pages)
+    return MAGIC + f'<doc dpi="{dpi}" kind="{kind}">'.encode() + body + b"</doc>"
+
+
+def decode_page(raw: bytes) -> dict[str, Any]:
+    """Parse one ``<page>...</page>`` slice into a page dict:
+
+    ``{"i": int, "width": float, "height": float,
+       "layout": [{"type", "bbox"}], "native_lines": [{"bbox", "spans"}],
+       "ocr_lines": [{"bbox", "content"}]}``
+    """
+    m = _PAGE_RE.search(raw)
+    if m is None:
+        raise ValueError("not a page payload")
+    i, w, h, body = m.groups()
+    return {
+        "i": int(i),
+        "width": float(w),
+        "height": float(h),
+        "layout": [
+            {"type": t.decode("ascii"), "bbox": _parse_bbox(bb)}
+            for t, bb in _LAYOUT_RE.findall(body)
+        ],
+        "native_lines": [
+            {"bbox": _parse_bbox(bb), "spans": _decode_spans(s)}
+            for bb, s in _NLINE_RE.findall(body)
+        ],
+        "ocr_lines": [
+            {"bbox": _parse_bbox(bb), "content": (_decode_spans(s) or [""])[0]}
+            for bb, s in _OLINE_RE.findall(body)
+        ],
+    }
+
+
+def decode_doc(data: bytes) -> dict[str, Any]:
+    """Parse a full document payload into
+    ``{"dpi": int, "kind": str, "pages": [page, ...]}`` (pages in i order) and
+    per-page raw byte slices under ``"page_bytes"`` for stage handoff."""
+    if not data.startswith(MAGIC):
+        raise ValueError("bad payload magic")
+    m = _DOC_RE.search(data)
+    if m is None:
+        raise ValueError("bad doc header")
+    dpi, kind = int(m.group(1)), m.group(2).decode("ascii")
+    pages, page_bytes = [], []
+    for pm in _PAGE_RE.finditer(data):
+        raw = pm.group(0)
+        pages.append(decode_page(raw))
+        page_bytes.append(raw)
+    order = sorted(range(len(pages)), key=lambda k: pages[k]["i"])
+    return {
+        "dpi": dpi,
+        "kind": kind,
+        "pages": [pages[k] for k in order],
+        "page_bytes": [page_bytes[k] for k in order],
+    }
