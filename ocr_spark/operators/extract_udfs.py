@@ -1,0 +1,176 @@
+"""Arrow-batched UDF stages of the extraction pipeline.
+
+Each stage is a ``mapInPandas`` iterator function: Arrow batches in, Arrow
+batches out; the only Python-per-item loops are over variable-size nested
+documents/pages inside a batch (the same granularity the reference batches
+at, document.py:91-133).  No row-at-a-time Spark UDFs anywhere.
+
+Stage map (reference → here):
+- parse_pages:    fitz.open + page list (document.py:532-544) + cross-doc
+                  page flattening (document.py:783)
+- analyze_pages:  rasterize→layout→native-probe (document.py:105-117)
+- finish_native:  consolidation for covered pages (document.py:116)
+- finish_ocr:     dense OCR batches + consolidation (document.py:119-133)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from ..extract import heuristic as hx
+
+
+def _bbox_list(b) -> list[float]:
+    return [float(c) for c in b]
+
+
+def _pack_blocks(blocks: list[dict]) -> list[dict]:
+    """Kernel block dicts → nested rows matching BLOCK_TYPE with indexes
+    assigned in final order (document.py:444-454 Block/Line construction)."""
+    return [
+        {
+            "i": bi,
+            "bbox": _bbox_list(b["bbox"]),
+            "type": b["type"],
+            "lines": [
+                {"i": li, "bbox": _bbox_list(ln["bbox"]), "content": ln["content"]}
+                for li, ln in enumerate(b["lines"])
+            ],
+        }
+        for bi, b in enumerate(blocks)
+    ]
+
+
+def parse_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Doc rows → page rows (url, warc_ts, lang, doc_dpi, page_i, n_pages,
+    page_bytes, error).  Payload parse failures become error rows with
+    page_i = -1 (failure-code lineage, SURVEY.md §2.9 R5)."""
+    for pdf in batches:
+        out: dict[str, list[Any]] = {
+            "url": [], "warc_ts": [], "lang": [], "doc_dpi": [],
+            "page_i": [], "n_pages": [], "page_bytes": [], "error": [],
+        }
+        for url, warc_ts, html, lang in zip(
+            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+        ):
+            try:
+                doc = hx.decode_doc(bytes(html))
+                npg = len(doc["pages"])
+                for page, raw in zip(doc["pages"], doc["page_bytes"]):
+                    out["url"].append(url)
+                    out["warc_ts"].append(warc_ts)
+                    out["lang"].append(lang)
+                    out["doc_dpi"].append(doc["dpi"])
+                    out["page_i"].append(page["i"])
+                    out["n_pages"].append(npg)
+                    out["page_bytes"].append(raw)
+                    out["error"].append(None)
+            except Exception as e:  # noqa: BLE001 - failure-code lineage
+                out["url"].append(url)
+                out["warc_ts"].append(warc_ts)
+                out["lang"].append(lang)
+                out["doc_dpi"].append(0)
+                out["page_i"].append(-1)
+                out["n_pages"].append(0)
+                out["page_bytes"].append(None)
+                out["error"].append(f"PARSE_ERROR: {type(e).__name__}: {e}")
+        yield pd.DataFrame(out)
+
+
+def analyze_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Page rows → + layout, native_lines, needs_ocr (the probe).
+
+    Heavy stage: runs AFTER the salted page-level repartition so giant-doc
+    skew is already broken (SURVEY.md §3.3)."""
+    for pdf in batches:
+        layouts, natives, flags = [], [], []
+        for page_bytes, doc_dpi, error in zip(
+            pdf["page_bytes"], pdf["doc_dpi"], pdf["error"]
+        ):
+            if error is not None or page_bytes is None:
+                layouts.append([])
+                natives.append([])
+                flags.append(False)
+                continue
+            page = hx.decode_page(bytes(page_bytes))
+            info = hx.analyze_page(page, int(doc_dpi))
+            layouts.append(
+                [
+                    {"type": b["type"], "bbox": _bbox_list(b["bbox"])}
+                    for b in info["layout"]
+                ]
+            )
+            natives.append(
+                [
+                    {"bbox": _bbox_list(ln["bbox"]), "content": ln["content"]}
+                    for ln in info["native_lines"]
+                ]
+            )
+            flags.append(bool(info["needs_ocr"]))
+        out = pdf.copy()
+        out["layout"] = layouts
+        out["native_lines"] = natives
+        out["needs_ocr"] = flags
+        yield out
+
+
+def _finish_common(pdf: pd.DataFrame, lines_per_row: list[list[dict]],
+                   ocr_flag: bool) -> pd.DataFrame:
+    blocks_col = []
+    for lines, layout in zip(lines_per_row, pdf["layout"]):
+        layout_dicts = [
+            {"type": b["type"], "bbox": _bbox_list(b["bbox"])} for b in layout
+        ]
+        blocks = hx.finish_page(lines, layout_dicts)
+        blocks_col.append(_pack_blocks(blocks))
+    return pd.DataFrame(
+        {
+            "url": pdf["url"],
+            "warc_ts": pdf["warc_ts"],
+            "lang": pdf["lang"],
+            "page_i": pdf["page_i"],
+            "n_pages": pdf["n_pages"],
+            "ocr": ocr_flag,
+            "blocks": blocks_col,
+            "error": pdf["error"],
+        }
+    )
+
+
+def finish_native(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Covered pages: consolidate the native text layer (document.py:116)."""
+    for pdf in batches:
+        lines_per_row = [
+            [
+                {"bbox": _bbox_list(ln["bbox"]), "content": ln["content"]}
+                for ln in natives
+            ]
+            for natives in pdf["native_lines"]
+        ]
+        yield _finish_common(pdf, lines_per_row, ocr_flag=False)
+
+
+def finish_ocr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """OCR-routed pages: recognition + consolidation.
+
+    Because the branch is a FILTER on needs_ocr, Arrow batches here are
+    already dense with OCR work — the distributed analogue of the
+    reference's OCR re-batching queue (document.py:119-133)."""
+    for pdf in batches:
+        lines_per_row = []
+        for page_bytes, doc_dpi, lang, error in zip(
+            pdf["page_bytes"], pdf["doc_dpi"], pdf["lang"], pdf["error"]
+        ):
+            if error is not None or page_bytes is None:
+                lines_per_row.append([])
+                continue
+            page = hx.decode_page(bytes(page_bytes))
+            lines_per_row.append(
+                hx.extract_ocr_text(page, int(doc_dpi), lang or "en")
+            )
+        yield _finish_common(pdf, lines_per_row, ocr_flag=True)
+
+

@@ -1,0 +1,124 @@
+"""Golden E2E: the Spark pipeline must be byte-identical to the pure-Python
+oracle per url — the analogue of the reference's golden-fixture compare
+(tests/conftest.py:25-34: strict zip, equality on line text + block type)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.oracle import extract_document, flat_lines
+from ocr_spark.pipeline import (
+    PipelineConfig,
+    extract,
+    flatten_lines,
+    read_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, pages_parquet):
+    return extract(read_pages(spark, pages_parquet)).cache()
+
+
+@pytest.fixture(scope="module")
+def goldens(spark, pages_parquet):
+    src = spark.read.parquet(pages_parquet).select("url", "html", "lang").toPandas()
+    return {
+        r.url: extract_document(bytes(r.html), r.lang) for r in src.itertuples()
+    }
+
+
+class TestGoldenE2E:
+    def test_all_urls_present(self, extracted, goldens):
+        urls = {r.url for r in extracted.select("url").collect()}
+        assert urls == set(goldens)
+
+    def test_text_byte_identical(self, extracted, goldens):
+        for r in extracted.select("url", "text").collect():
+            assert r.text == goldens[r.url]["text"], r.url
+
+    def test_metrics_match(self, extracted, goldens):
+        rows = extracted.select(
+            "url", "n_pages", "n_blocks", "ocr_pages", "status"
+        ).collect()
+        for r in rows:
+            g = goldens[r.url]
+            assert (r.n_pages, r.n_blocks, r.ocr_pages) == (
+                g["n_pages"],
+                g["n_blocks"],
+                g["ocr_pages"],
+            ), r.url
+            assert r.status == "COMPLETED"
+
+    def test_full_tree_strict_join(self, extracted, goldens):
+        """Strict compare on (url, page_i, block_i, line_i): content + type,
+        exactly the reference equality oracle (conftest.py:29-33)."""
+        got = {
+            (r.url, r.page_i, r.block_i, r.line_i): (r.block_type, r.content)
+            for r in flatten_lines(extracted).collect()
+        }
+        want = {}
+        for url, g in goldens.items():
+            for u, p, b, t, li, c in flat_lines(g, url):
+                want[(u, p, b, li)] = (t, c)
+        assert got == want
+
+    def test_bboxes_roundtrip_float64(self, extracted, goldens):
+        rows = extracted.select("url", "pages").collect()
+        for r in rows:
+            g = goldens[r.url]
+            for p_got, p_want in zip(r.pages, g["pages"], strict=True):
+                assert p_got.i == p_want["i"]
+                for b_got, b_want in zip(p_got.blocks, p_want["blocks"], strict=True):
+                    assert list(b_got.bbox) == b_want["bbox"]
+                    for l_got, l_want in zip(b_got.lines, b_want["lines"], strict=True):
+                        assert list(l_got.bbox) == l_want["bbox"]
+
+
+class TestPipelineVariants:
+    def test_no_persist_same_result(self, spark, pages_parquet, extracted):
+        alt = extract(
+            read_pages(spark, pages_parquet),
+            PipelineConfig(persist_intermediate=False, page_partitions=4),
+        )
+        a = {r.url: r.text for r in alt.select("url", "text").collect()}
+        b = {r.url: r.text for r in extracted.select("url", "text").collect()}
+        assert a == b
+
+    def test_stage_table_same_result(self, spark, pages_parquet, extracted, tmp_path):
+        alt = extract(
+            read_pages(spark, pages_parquet),
+            PipelineConfig(stage_path=str(tmp_path / "stage")),
+        )
+        a = {r.url: r.text for r in alt.select("url", "text").collect()}
+        b = {r.url: r.text for r in extracted.select("url", "text").collect()}
+        assert a == b
+
+    def test_postprocess_off_keeps_raw_types(self, spark, pages_parquet):
+        raw = extract(read_pages(spark, pages_parquet), PipelineConfig(postprocess=False))
+        types = {
+            r.t
+            for r in flatten_lines(raw)
+            .select(F.col("block_type").alias("t"))
+            .distinct()
+            .collect()
+        }
+        assert "ignore" not in types
+
+    def test_corrupt_payload_yields_failed_row(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "url": ["https://bad.example/1"],
+                "warc_ts": [pd.Timestamp("2025-01-01", tz="UTC")],
+                "html": [b"garbage not a payload"],
+                "text": [""],
+                "lang": ["en"],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = extract(df).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.status == "FAILED"
+        assert r.error.startswith("PARSE_ERROR")
+        assert r.text == "" and r.pages == []
