@@ -1,0 +1,112 @@
+"""Storage layout, checkpointed (resumable) runs, and lineage metrics.
+
+Offline this uses plain parquet laid out with the same partitioning the
+Iceberg DDL below declares, so every prune/resume semantic is testable
+without the Iceberg runtime jars; on a real cluster pass
+``ocr_spark.session.iceberg_conf`` to spark-submit and swap paths for
+``cc.extracted`` table names (SURVEY.md §7.0 consequence 2).
+
+Iceberg DDL for the real deployment::
+
+    CREATE TABLE cc.pages (
+      url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+    USING iceberg
+    PARTITIONED BY (days(warc_ts), bucket(512, url));
+
+    CREATE TABLE cc.extracted (...)
+    USING iceberg
+    PARTITIONED BY (days(warc_ts), bucket(512, url));
+
+Resume = left-anti join of pages against already-COMPLETED urls (the Spark
+re-expression of the reference's load-from-JSON skip path,
+document.py:664-684 / S6 in SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .pipeline import PipelineConfig, extract
+
+# Status vocabulary preserved from the reference job store (service.py:205,248).
+STATUSES = ("PENDING", "IN_PROGRESS", "COMPLETED", "FAILED", "CANCELLED")
+
+
+def write_extracted(extracted: DataFrame, path: str, mode: str = "append") -> None:
+    """Write the extracted table partitioned by crawl day — the offline
+    analogue of Iceberg ``days(warc_ts)`` partition pruning."""
+    (
+        extracted.withColumn("warc_day", F.to_date("warc_ts"))
+        .repartition("warc_day")  # one writer wave per day partition
+        .write.mode(mode)
+        .partitionBy("warc_day")
+        .parquet(path)
+    )
+
+
+def read_extracted(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def processed_urls(spark: SparkSession, path: str) -> DataFrame | None:
+    """urls already extracted successfully; None when no checkpoint exists."""
+    try:
+        return (
+            read_extracted(spark, path)
+            .filter(F.col("status") == "COMPLETED")
+            .select("url")
+        )
+    except Exception:  # path does not exist yet → fresh run
+        return None
+
+
+def pending_pages(pages: DataFrame, out_path: str) -> DataFrame:
+    """Resume filter: pages not yet in the checkpoint (left-anti on url).
+
+    Catalyst plans this as a shuffled or broadcast anti-join depending on the
+    checkpoint's size stats; urls are high-cardinality so no skew concern.
+    """
+    done = processed_urls(pages.sparkSession, out_path)
+    if done is None:
+        return pages
+    return pages.join(done, on="url", how="left_anti")
+
+
+def run_metrics(extracted_path: str, spark: SparkSession) -> DataFrame:
+    """Operational rollup over the checkpoint table (A4 — status counts,
+    service.py:262-276 — plus ocr-vs-native ratio and failure codes)."""
+    df = read_extracted(spark, extracted_path)
+    return df.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_pages").alias("pages"),
+        F.sum("ocr_pages").alias("ocr_pages"),
+        (F.sum("ocr_pages") / F.sum("n_pages")).alias("ocr_ratio"),
+        F.sum(F.when(F.col("status") == "COMPLETED", 1).otherwise(0)).alias(
+            "completed"
+        ),
+        F.sum(F.when(F.col("status") == "FAILED", 1).otherwise(0)).alias("failed"),
+        F.count_distinct(
+            F.when(F.col("error").isNotNull(), F.split("error", ":")[0])
+        ).alias("failure_codes"),
+    )
+
+
+def run_resumable(
+    pages: DataFrame,
+    out_path: str,
+    cfg: PipelineConfig | None = None,
+) -> int:
+    """One checkpointed pass: extract every not-yet-done url, append.
+
+    Returns the number of docs appended.  Idempotent under reruns: a crashed
+    run re-extracts only missing urls; committed parquet files (like Iceberg
+    snapshots) are never rewritten.
+    """
+    todo = pending_pages(pages, out_path)
+    extracted = extract(todo, cfg)
+    write_extracted(extracted, out_path, mode="append")
+    spark = pages.sparkSession
+    # count from the committed table, not the plan (cheap: metadata + url col)
+    return (
+        read_extracted(spark, out_path).select("url").distinct().count()
+    )

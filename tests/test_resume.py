@@ -1,0 +1,71 @@
+"""Resume-from-checkpoint: kill after partial write → rerun → same final
+table, no double-processing (SURVEY.md §5.3)."""
+
+from pyspark.sql import functions as F
+
+from ocr_spark.io import (
+    pending_pages,
+    read_extracted,
+    run_metrics,
+    run_resumable,
+    write_extracted,
+)
+from ocr_spark.pipeline import extract, read_pages
+
+
+class TestResume:
+    def test_partial_then_resume(self, spark, pages_parquet, tmp_path):
+        out = str(tmp_path / "extracted")
+        pages = read_pages(spark, pages_parquet)
+        total = pages.count()
+
+        # "crashed" first run: only a third of the corpus got written
+        partial = pages.filter(F.crc32("url") % 3 == 0)
+        write_extracted(extract(partial), out)
+        n_first = read_extracted(spark, out).count()
+        assert 0 < n_first < total
+
+        # resume must schedule exactly the complement
+        todo = pending_pages(pages, out)
+        assert todo.count() == total - n_first
+
+        # full resumable pass completes the table with no duplicates
+        n_done = run_resumable(pages, out)
+        assert n_done == total
+        final = read_extracted(spark, out)
+        assert final.count() == total
+        assert final.select("url").distinct().count() == total
+
+        # second resume is a no-op (nothing pending)
+        assert pending_pages(pages, out).count() == 0
+
+    def test_resume_skips_failed_urls_only_when_completed(
+        self, spark, pages_parquet, tmp_path
+    ):
+        # FAILED rows do NOT count as processed → retried on resume
+        out = str(tmp_path / "extracted")
+        pages = read_pages(spark, pages_parquet).limit(5)
+        failed = extract(pages).withColumn("status", F.lit("FAILED"))
+        write_extracted(failed, out)
+        assert pending_pages(pages, out).count() == 5
+
+    def test_partition_layout_and_metrics(self, spark, pages_parquet, tmp_path):
+        out = str(tmp_path / "extracted")
+        pages = read_pages(spark, pages_parquet)
+        run_resumable(pages, out)
+
+        # day-partitioned layout on disk (Iceberg days(warc_ts) analogue)
+        import os
+
+        parts = [d for d in os.listdir(out) if d.startswith("warc_day=")]
+        assert len(parts) > 1
+
+        # partition pruning: a day-filtered scan reads a subset
+        one_day = sorted(parts)[0].split("=")[1]
+        pruned = read_extracted(spark, out).filter(F.col("warc_day") == one_day)
+        assert 0 < pruned.count() < pages.count()
+
+        m = run_metrics(out, spark).collect()[0]
+        assert m.docs == pages.count()
+        assert m.completed == m.docs and m.failed == 0
+        assert 0 < m.ocr_ratio < 1
