@@ -1,0 +1,258 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame plans (no Python in the hot path):
+
+- exact_dedup:        md5 hash-groupBy — one shuffle on the digest.
+- shingles:           word n-grams via higher-order functions (no explode
+                      until the op that needs rows).
+- minhash_signatures: K-permutation MinHash; one explode + one groupBy.
+- lsh_candidate_pairs: banded LSH — equi-join on (band, band-hash) buckets,
+                      the scale path for near-dup at 10^12 docs (bucket join
+                      replaces the O(n²) similarity cross-join).
+- ngram_jaccard_pairs: exact verification (or small-corpus direct pairing).
+- simhash:            64/16-bit SimHash entirely via aggregate() higher-order
+                      functions — zero shuffles until the final self-join.
+- embedding_near_dup: cosine near-duplicate pairs over an embedding column.
+
+``hash_mode='portable'`` switches xxhash64 → the md5-prefix hash that DuckDB
+can reproduce bit-identically (driver oracle parity); the default is the
+faster JVM xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashing import (
+    MERSENNE,
+    MINHASH_A,
+    MINHASH_B,
+    portable_hash_col,
+    xxhash_col,
+)
+
+
+def _hash_col(col: Column, mode: str) -> Column:
+    return portable_hash_col(col) if mode == "portable" else xxhash_col(col)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups: digest → (representative id, count).
+
+    Shuffles on the 128-bit digest, not the text — at 100 TB the shuffle
+    payload is 16 bytes + id per row."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("string")).alias("digest"), id_col)
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-gram shingles as an array column (no explode yet)."""
+    words = f"split({text_col}, ' ')"
+    expr = (
+        f"array_distinct(transform(sequence(0, greatest(size({words}) - {n}, 0) - 1),"
+        f" i -> array_join(slice({words}, i + 1, {n}), ' ')))"
+    )
+    return df.withColumn(out, F.expr(expr))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """K-permutation MinHash signature per document.
+
+    shingle → H → h_j = (a_j·H + b_j) mod p → min per permutation.
+    One explode + one groupBy(id); partial aggregation (map-side min)
+    keeps the shuffle at num_perm longs per doc."""
+    sh = with_shingles(df, text_col, n).select(
+        id_col, F.explode("shingles").alias("shingle")
+    )
+    h = sh.withColumn("h", _hash_col(F.col("shingle"), hash_mode))
+    if hash_mode == "xxhash64":
+        # xxhash64 is signed; fold into nonneg so the LCG stays in int64
+        h = h.withColumn("h", F.pmod(F.col("h"), F.lit(MERSENNE)))
+    aggs = [
+        F.min(
+            F.pmod(F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j]),
+                   F.lit(MERSENNE))
+        ).alias(f"mh{j}")
+        for j in range(num_perm)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+
+    The band bucket join is an equi-join Catalyst can hash-partition; at
+    10^12 docs this is the only near-dup strategy that avoids O(n²)."""
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("_", *cols).alias("key")).alias(f"b{b}")
+        )
+    exploded = signatures.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = exploded.alias("a")
+    right = exploded.alias("b")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Shuffle on shingle (inverted index) → pair counts → join doc sizes.
+    Used to verify LSH candidates; direct use only on bounded corpora."""
+    sh = with_shingles(df, text_col, n).select(
+        id_col, F.explode("shingles").alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-row SimHash computed entirely with higher-order functions —
+    no explode, no shuffle (the classic SimHash bit-majority vote)."""
+    if hash_mode == "portable":
+        th = "CAST(conv(substr(md5(t), 1, 12), 16, 10) AS BIGINT)"
+    else:
+        th = "xxhash64(t)"
+    bit_sum = (
+        f"transform(sequence(0, {bits - 1}), j -> "
+        f"aggregate(split({text_col}, ' '), 0L, (acc, t) -> "
+        f"acc + (CASE WHEN (shiftright({th}, j) & 1) = 1 THEN 1 ELSE -1 END)))"
+    )
+    sig = (
+        f"aggregate(zip_with({bit_sum}, sequence(0, {bits - 1}), "
+        f"(s, j) -> CASE WHEN s > 0 THEN shiftleft(1L, j) ELSE 0L END), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+    return df.select(id_col, F.expr(sig).alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed by half-signature
+    (a pair within distance ≤ bits/2-locality lands in a shared half)."""
+    sig = simhash(df, text_col, id_col, bits)
+    half = bits // 2
+    buck = sig.select(
+        id_col,
+        "simhash",
+        F.expr(f"simhash & {(1 << half) - 1}").alias("lo"),
+        F.expr(f"shiftright(simhash, {half})").alias("hi"),
+    )
+    pairs = None
+    for side in ("lo", "hi"):
+        a, b = buck.alias("a"), buck.alias("b")
+        p = a.join(
+            b,
+            on=[
+                F.col(f"a.{side}") == F.col(f"b.{side}"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        ).select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.expr("a.simhash ^ b.simhash").alias("xor"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.withColumn("hamming", F.bit_count("xor"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the similarity module's
+    bucketed join; see similarity.cosine_pairs for the plan shape."""
+    from .similarity import cosine_pairs
+
+    return cosine_pairs(df, vec_col, id_col, threshold)

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+- norm / dot products as higher-order-function expressions (JVM-side,
+  whole-stage-codegen; no Python in the hot path).
+- cosine_topk_bruteforce: broadcast the (small) query set, score all, take
+  top-k per query with a window — the exact baseline.
+- signatures + lsh_topk: random-hyperplane LSH where the "random" plane
+  weights are a deterministic function of (plane, dim-index) hashes, so the
+  plan is reproducible with no RNG state; candidates come from Hamming
+  buckets, reranked exactly.  This is the 100 TB path: bucket equi-join
+  instead of a full cross product.
+- cosine_pairs: all-pairs ≥ threshold via the same signature buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> str:
+    return f"sqrt({_dot(a, a)})"
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.expr(_norm(vec_col)))
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k: broadcast queries × corpus, cosine, window rank.
+
+    The corpus side never shuffles; cost is one pass of dim-length fused
+    arithmetic per (query, row)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    scored = (
+        df.select(id_col, vec_col)
+        .join(q, F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.expr(
+                f"{_dot(vec_col, 'qvec')} / ({_norm(vec_col)} * {_norm('qvec')})"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cos")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 16,
+    out: str = "sig",
+) -> DataFrame:
+    """Deterministic random-hyperplane signature: plane j's weight on dim i
+    is ±1 from xxhash64(j * 100003 + i) parity; sign of the projection sets
+    bit j.  Pure codegen arithmetic (planes × dim fused ops per row)."""
+    proj = (
+        f"transform(sequence(0, {planes - 1}), j -> "
+        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+        f"(x, i) -> CAST(x AS DOUBLE) * "
+        f"(CASE WHEN pmod(xxhash64(j * 100003 + i), 2) = 0 THEN 1.0 ELSE -1.0 END)), "
+        f"0D, (acc, v) -> acc + v))"
+    )
+    sig = (
+        f"aggregate(zip_with({proj}, sequence(0, {planes - 1}), "
+        f"(p, j) -> CASE WHEN p > 0 THEN shiftleft(1L, j) ELSE 0L END), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+    return df.withColumn(out, F.expr(sig))
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 16,
+) -> DataFrame:
+    """Approximate top-k: candidates share a half-signature band with the
+    query (multi-probe over 2 bands), exact cosine rerank inside buckets.
+
+    Recall is tunable via planes/bands; the join is a bucket equi-join that
+    scales linearly with corpus size instead of |Q|×|corpus|."""
+    half = planes // 2
+    mask = (1 << half) - 1
+
+    def banded(x: DataFrame, idc: str, vecc: str, pref: str) -> DataFrame:
+        s = hyperplane_signature(x.select(idc, vecc), vecc, planes)
+        return s.select(
+            F.col(idc).alias(f"{pref}_id"),
+            F.col(vecc).alias(f"{pref}_vec"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band"),
+                             F.expr(f"sig & {mask}").alias("key")),
+                    F.struct(F.lit(1).alias("band"),
+                             F.expr(f"shiftright(sig, {half})").alias("key")),
+                )
+            ).alias("bk"),
+        ).select(f"{pref}_id", f"{pref}_vec", "bk.band", "bk.key")
+
+    corpus = banded(df, id_col, vec_col, "c")
+    qs = F.broadcast(banded(queries, id_col, vec_col, "q"))
+    cand = (
+        corpus.join(qs, on=["band", "key"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", "c_vec", "q_vec")
+        .distinct()
+        .withColumn(
+            "cos",
+            F.expr(f"{_dot('c_vec', 'q_vec')} / ({_norm('c_vec')} * {_norm('q_vec')})"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("c_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "rank",
+            "cos",
+        )
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: int = 16,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via half-signature buckets + exact rerank.
+    High thresholds → high bucket recall (near-identical vectors agree on
+    most hyperplane signs)."""
+    half = planes // 2
+    mask = (1 << half) - 1
+    s = hyperplane_signature(df.select(id_col, vec_col), vec_col, planes)
+    banded = s.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.expr(f"sig & {mask}").alias("key")),
+                F.struct(F.lit(1).alias("band"),
+                         F.expr(f"shiftright(sig, {half})").alias("key")),
+            )
+        ).alias("bk"),
+    ).select(id_col, vec_col, "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .distinct()
+        .withColumn(
+            "cos", F.expr(f"{_dot('va', 'vb')} / ({_norm('va')} * {_norm('vb')})")
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b", "cos")
+    )

@@ -1,0 +1,126 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.  All pure Spark SQL expressions (codegen'd); no
+UDFs, no shuffles except the aggregations a caller asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny deterministic stopword profiles for the n-gram/stopword language vote.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pour"),
+    "es": ("el", "la", "los", "y", "es", "que", "una", "por"),
+}
+
+EN_STOPWORDS = LANG_PROFILES["en"] + ("a", "an", "it", "on", "with", "as")
+
+# BPE-ish token regex: word pieces OR single non-space symbols.
+TOKEN_PATTERN = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _votes(lang: str, text_col: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return (
+        f"size(filter(split(lower({text_col}), ' '), "
+        f"w -> array_contains(array({words}), w)))"
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID with deterministic tie-break (profile order).
+
+    A real deployment swaps the profiles for charset n-gram tables; the
+    operator shape (pure expression, no shuffle) is the point."""
+    vote_cols = [F.expr(_votes(lang, text_col)).alias(f"v_{lang}")
+                 for lang in LANG_PROFILES]
+    scored = df.select("*", *vote_cols)
+    # greatest-vote argmax, ties resolved by profile declaration order
+    langs = list(LANG_PROFILES)
+    case = "CASE"
+    for lang in langs:
+        others = " AND ".join(
+            f"v_{lang} >= v_{o}" for o in langs if o != lang
+        )
+        case += f" WHEN {others} THEN '{lang}'"
+    case += " ELSE 'und' END"
+    return scored.withColumn("lang_pred", F.expr(case)).withColumn(
+        "lang_votes", F.greatest(*[F.col(f"v_{lang}") for lang in langs])
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: lengths, ratios, and a composite score —
+    the boilerplate/garbage filter stage of a webtext training pipeline."""
+    words = f"split({text_col}, ' ')"
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return df.select(
+        "*",
+        F.length(text_col).alias("n_chars_m"),
+        F.expr(f"size({words})").alias("n_words"),
+        F.expr(f"size(array_distinct({words}))").alias("n_distinct_words"),
+        F.expr(
+            f"size(filter({words}, w -> array_contains(array({stop}), w)))"
+        ).alias("n_stopwords"),
+        F.expr(f"regexp_count({text_col}, '[0-9]')").alias("n_digits"),
+        F.expr(f"regexp_count({text_col}, '[.,;:!?]')").alias("n_punct"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST(n_distinct_words AS DOUBLE) / n_words"
+        ).alias("lexical_diversity"),
+        F.expr("CAST(n_stopwords AS DOUBLE) / n_words").alias("stopword_ratio"),
+        F.expr("CAST(n_chars_m AS DOUBLE) / n_words").alias("avg_word_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1]-ish score; higher = more natural-language-like."""
+    feats = quality_features(df, text_col)
+    return feats.withColumn(
+        "quality",
+        F.expr(
+            "least(1.0, greatest(0.0, "
+            "0.4 * least(n_words / 100.0, 1.0) + "
+            "0.3 * lexical_diversity + "
+            "0.3 * least(stopword_ratio * 5.0, 1.0)))"
+        ),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    return df.select(
+        "*",
+        F.expr(f"size(split({text_col}, ' '))").alias("ws_tokens"),
+        F.expr(f"regexp_count({text_col}, '{TOKEN_PATTERN}')").alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Winnowing-style fingerprint: min/max rolling n-gram hash + shingle
+    count per doc — a compact signature for corpus diffing."""
+    from .dedup import with_shingles
+
+    sh = with_shingles(df, text_col, n)
+    return sh.select(
+        id_col,
+        F.expr(
+            "aggregate(shingles, CAST(9223372036854775807 AS BIGINT), "
+            "(acc, s) -> least(acc, xxhash64(s)))"
+        ).alias("fp_min"),
+        F.expr(
+            "aggregate(shingles, CAST(-9223372036854775808 AS BIGINT), "
+            "(acc, s) -> greatest(acc, xxhash64(s)))"
+        ).alias("fp_max"),
+        F.expr("size(shingles)").alias("fp_size"),
+    )
