@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Headline benchmark: flagship extraction + training-data operators.
+
+Default mode (driver contract): run every headline query once at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "extract_e2e_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1,
+     "docs_per_sec": ..., "pages_per_sec": ...}
+
+``--scaling`` mode: run the identical extraction job at two parallelism
+levels (local[N] and local[4N], same input) and report both throughputs +
+efficiency = (R_4N / R_N) / 4 — the sandbox evidence for the BASELINE.json
+two-cluster-size criterion (no real cluster here; see BENCH.md).
+
+The synthetic pages corpus (BASELINE.json input_hint shape) is generated
+once into ``.bench_cache/`` by a Spark-parallel job and reused; generation
+time is never counted in query time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "240000"))
+CACHE = REPO / ".bench_cache"
+
+
+def _sf_of(path: str) -> float:
+    name = Path(path).name  # e.g. sf0.1
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def ensure_pages(n_docs: int) -> str:
+    """Generate (once) and return the cached pages-parquet path."""
+    out = CACHE / f"pages_{n_docs}"
+    if (out / "_SUCCESS").exists():
+        return str(out)
+    from ocr_spark.genpages import write_pages
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("gen-pages", cores=CPUS)
+    t0 = time.time()
+    write_pages(spark, n_docs, str(out))
+    print(
+        f"# generated {n_docs}-doc pages corpus in {time.time() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    spark.stop()
+    return str(out)
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_extraction(spark, pages_path: str) -> tuple[float, int, int]:
+    """Returns (seconds, docs, pages) for the full extraction pipeline."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.pipeline import PipelineConfig, extract
+
+    pages = spark.read.parquet(pages_path)
+    t0 = time.time()
+    extracted = extract(pages, PipelineConfig())
+    _noop_write(extracted)
+    dt = time.time() - t0
+    # corpus stats from parquet metadata / cheap count (not timed)
+    n_docs = pages.count()
+    n_pages = extracted.agg(F.sum("n_pages")).first()[0] or 0
+    return dt, n_docs, int(n_pages)
+
+
+def operator_benches(spark, sf_dir: str) -> dict[str, float]:
+    """Scale-path (xxhash64) training-data operators over the testdata."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import dedup, similarity, text_analysis
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out: dict[str, float] = {}
+
+    def timed(name, df):
+        t0 = time.time()
+        _noop_write(df)
+        out[name] = round(time.time() - t0, 3)
+
+    timed("dedup_exact", dedup.exact_dedup(docs))
+    sigs = dedup.minhash_signatures(docs, num_perm=8)
+    timed("dedup_minhash_lsh", dedup.lsh_candidate_pairs(sigs, num_perm=8))
+    timed("dedup_simhash", dedup.simhash(docs))
+    timed(
+        "sim_cosine_topk",
+        similarity.cosine_topk_bruteforce(
+            emb, emb.filter(F.col("vec_id") < 8), k=10
+        ),
+    )
+    timed(
+        "sim_lsh_topk",
+        similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=10),
+    )
+    timed("text_quality", text_analysis.quality_score(docs))
+    timed("text_tokens", text_analysis.token_count(docs))
+    timed("text_langid", text_analysis.language_id(docs))
+    return out
+
+
+def main_bench() -> None:
+    from ocr_spark.session import get_spark
+
+    pages_path = ensure_pages(BENCH_DOCS)
+    spark = get_spark("bench", cores=CPUS)
+    ext_sec, n_docs, n_pages = run_extraction(spark, pages_path)
+    queries = {"extract_e2e": round(ext_sec, 3)}
+    queries.update(operator_benches(spark, SF_DIR))
+    print(
+        json.dumps(
+            {
+                "metric": "extract_e2e_sec",
+                "value": round(ext_sec, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_of(SF_DIR),
+                "bench_docs": n_docs,
+                "bench_pages": n_pages,
+                "docs_per_sec": round(n_docs / ext_sec, 1),
+                "pages_per_sec": round(n_pages / ext_sec, 1),
+                "cores": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_scaling() -> None:
+    """Same job, two parallelism levels: local[N] vs local[4N]."""
+    from ocr_spark.session import get_spark
+
+    n_lo = max(CPUS // 4, 1)
+    pages_path = ensure_pages(SCALING_DOCS)
+    results = {}
+    for cores in (n_lo, CPUS):
+        spark = get_spark(f"scaling-{cores}", cores=cores)
+        # warm-up: JVM + python workers (not counted)
+        spark.range(1000).count()
+        sec, n_docs, n_pages = run_extraction(spark, pages_path)
+        results[cores] = {
+            "sec": round(sec, 2),
+            "docs_per_sec": round(n_docs / sec, 1),
+            "pages_per_sec": round(n_pages / sec, 1),
+        }
+        spark.stop()
+    r_lo = results[n_lo]["docs_per_sec"]
+    r_hi = results[CPUS]["docs_per_sec"]
+    eff = (r_hi / r_lo) / (CPUS / n_lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "docs": SCALING_DOCS,
+                "levels": {str(k): v for k, v in results.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench()

@@ -1,0 +1,770 @@
+"""Driver-contract query pairs: SURVEY.md §2 operators over the driver's
+testdata tables, each as (Spark plan, DuckDB oracle SQL).
+
+Two families:
+
+1. **Extraction-semantic analogues** (``ext_*``) — the reference's geometry
+   / predicate / assembly operators (J1-J5, A1-A4, O1-O2, P1-P5, F3/F7 in
+   SURVEY.md §2) re-expressed over the driver's TPC-H-ish tables, with box
+   coordinates derived arithmetically from integer keys so both engines see
+   identical inputs.  The *real* pipeline applies the same kernels to the
+   pages table via ``ocr_spark.pipeline``; these SQL twins are the
+   driver-checkable projection of those semantics (SURVEY.md §7.1 step 7).
+2. **Training-data operators** (``dedup_*``, ``sim_*``, ``text_*``,
+   ``mm_*``) — the library operators from ``ocr_spark.operators`` run in
+   their *portable-hash* mode so DuckDB reproduces them bit-identically.
+
+Column names and types are aligned pairwise: every computed column is
+aliased the same in Spark and SQL; DuckDB BIGINT-by-default aggregates are
+cast to match Spark's output types.
+
+Non-SQL-expressible entries (payload parse → extraction) are exposed in
+``queries()`` without an oracle — the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import dedup, multimodal, similarity, text_analysis
+from .operators.hashing import (
+    MERSENNE,
+    MINHASH_A,
+    MINHASH_B,
+    portable_hash_sql_duckdb,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _hex_decode_duck(h: str, start: int, length: int) -> str:
+    """DuckDB: big-endian integer from a hex-digest slice (1-based start).
+    Mirrors Python's ``int(sha[start-1:start-1+length], 16)``."""
+    terms = [
+        f"(instr('0123456789abcdef', substr({h}, {start + i}, 1)) - 1) * "
+        f"{16 ** (length - 1 - i)}"
+        for i in range(length)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# Derived geometry (shared arithmetic, valid in both dialects): layout
+# "blocks" from part keys, text "lines" from supplier keys.  The overlap
+# kernel below is the SQL projection of utils.py:48-91 (J1) with the
+# min-area denominator used by consolidation (document.py:72).
+_BLOCK_BOX = """
+  SELECT p_partkey AS block_id,
+         CAST(p_partkey % 13 AS DOUBLE) * 30.0 AS bx1,
+         CAST(p_partkey % 17 AS DOUBLE) * 40.0 AS by1,
+         CAST(p_partkey % 13 AS DOUBLE) * 30.0 + 100.0 AS bx2,
+         CAST(p_partkey % 17 AS DOUBLE) * 40.0 + 60.0 AS by2
+  FROM part
+"""
+_LINE_BOX = """
+  SELECT s_suppkey AS line_id,
+         CAST(s_suppkey % 11 AS DOUBLE) * 35.0 AS lx1,
+         CAST(s_suppkey % 19 AS DOUBLE) * 35.0 AS ly1,
+         CAST(s_suppkey % 11 AS DOUBLE) * 35.0 + 90.0 AS lx2,
+         CAST(s_suppkey % 19 AS DOUBLE) * 35.0 + 14.0 AS ly2
+  FROM supplier
+"""
+_INTER = (
+    "greatest(0.0, least(bx2, lx2) - greatest(bx1, lx1)) * "
+    "greatest(0.0, least(by2, ly2) - greatest(by1, ly1))"
+)
+
+_OVERLAP_SQL = f"""
+WITH blocks AS ({_BLOCK_BOX}), lines AS ({_LINE_BOX})
+SELECT block_id, line_id,
+       round({_INTER} /
+             least((bx2 - bx1) * (by2 - by1), (lx2 - lx1) * (ly2 - ly1)),
+             6) AS overlap_pct
+FROM blocks CROSS JOIN lines
+WHERE {_INTER} > 0.0
+"""
+
+_COVERAGE_SQL = f"""
+WITH blocks AS ({_BLOCK_BOX}), lines AS ({_LINE_BOX}),
+ov AS (
+  SELECT block_id,
+         {_INTER} / ((bx2 - bx1) * (by2 - by1)) AS pct
+  FROM blocks CROSS JOIN lines
+  WHERE {_INTER} > 0.0
+)
+SELECT b.block_id,
+       round(least(coalesce(sum(ov.pct), 0.0), 1.0), 6) AS covered,
+       least(coalesce(sum(ov.pct), 0.0), 1.0) < 0.5 AS needs_ocr
+FROM blocks b LEFT JOIN ov ON b.block_id = ov.block_id
+GROUP BY b.block_id
+"""
+
+_BBOX_UNION_SQL = """
+SELECT l_orderkey,
+       min(CAST(l_partkey % 50 AS DOUBLE) * 10.0) AS ux1,
+       min(CAST(l_suppkey % 40 AS DOUBLE) * 12.0) AS uy1,
+       max(CAST(l_partkey % 50 AS DOUBLE) * 10.0 + 80.0) AS ux2,
+       max(CAST(l_suppkey % 40 AS DOUBLE) * 12.0 + 16.0) AS uy2
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+_BLOCK_SORT_SQL = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY value, event_id) AS INTEGER) AS block_i
+FROM events
+"""
+
+_SCALAR_SQL = """
+SELECT event_id,
+       concat_ws('-', user_id, event_id) AS line_id,
+       CAST(floor(value) AS BIGINT) * (72e0 / 200e0) AS pt_scaled
+FROM events
+"""
+
+# P3 court-heading pattern (document.py:630-634); `\\d`/`\\w`/`\\s` mean the
+# same in Java regex (Spark RLIKE) and RE2 (DuckDB regexp_matches).
+_HEADING_RE = r"(?i)^.{0,50}ase \d+[-:]\d+[-\w]+.{1,200}\s+Page \d+ of \d+"
+
+
+def _run_shared_sql(tables: list[str], sql: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in tables:
+            _t(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# ext_* — Spark sides that are not shared-dialect
+
+
+def _q_ignore_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4/P5 postprocess predicates (document.py:625-642) over text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("text").rlike(_HEADING_RE).alias("is_heading"),
+        F.trim("text").rlike("^[0-9]+$").alias("digits_only"),
+        (~F.expr("exists(split(text, ' '), w -> length(w) > 4)")).alias(
+            "all_short"
+        ),
+    ).withColumn(
+        "final_type",
+        F.when(
+            F.col("is_heading") | F.col("digits_only") | F.col("all_short"),
+            F.lit("ignore"),
+        ).otherwise(F.lit("text")),
+    )
+
+
+_IGNORE_SQL = f"""
+SELECT doc_id,
+       regexp_matches(text, '{_HEADING_RE}') AS is_heading,
+       regexp_matches(trim(text), '^[0-9]+$') AS digits_only,
+       len(list_filter(string_split(text, ' '), w -> length(w) > 4)) = 0
+         AS all_short,
+       CASE WHEN regexp_matches(text, '{_HEADING_RE}')
+              OR regexp_matches(trim(text), '^[0-9]+$')
+              OR len(list_filter(string_split(text, ' '),
+                                 w -> length(w) > 4)) = 0
+            THEN 'ignore' ELSE 'text' END AS final_type
+FROM documents
+"""
+
+
+def _q_text_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 hierarchical text assembly: index-ordered concat with '\\n\\n'
+    (document.py:389) — order restored by key, never by arrival."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(doc_id, text))), s -> s.text), '\\n\\n')"
+        ).alias("assembled"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_ASSEMBLY_SQL = """
+SELECT source,
+       string_agg(text, e'\\n\\n' ORDER BY doc_id) AS assembled,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source
+"""
+
+
+def _q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume-from-checkpoint anti-join (io.py pending_pages / S6):
+    customers ≅ pages, 'F'-status orders ≅ the COMPLETED checkpoint set;
+    the anti-join yields the still-pending work."""
+    cust = _t(spark, sf_dir, "customer")
+    done = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
+    return cust.join(
+        done, cust.c_custkey == done.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+_RESUME_SQL = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+"""
+
+
+def _q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 count-by-status health rollup (service.py:262-276)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_STATUS_SQL = """
+SELECT o_orderstatus AS status, count(*) AS n FROM orders GROUP BY 1
+"""
+
+
+def _q_empty_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 whitespace-only line filter (ocr.py:94)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .select("doc_id")
+    )
+
+
+_EMPTY_SQL = "SELECT doc_id FROM documents WHERE trim(text) <> ''"
+
+
+# ---------------------------------------------------------------------------
+# dedup_* / text_* — DuckDB twins of the portable-hash library operators
+
+_WORDS_CTE = "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
+
+
+def _shingle_cte(n: int) -> str:
+    return f"""
+SELECT doc_id,
+       unnest(list_distinct(list_transform(
+         generate_series(0, greatest(len(w) - {n}, 0) - 1),
+         i -> array_to_string(list_slice(w, i + 1, i + {n}), ' ')))) AS shingle
+FROM words
+"""
+
+
+_PH = portable_hash_sql_duckdb("shingle")
+
+_MINHASH_COLS = ",\n  ".join(
+    f"min(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MERSENNE}) AS mh{j}"
+    for j in range(8)
+)
+
+_MINHASH_CTE = f"""
+words AS ({_WORDS_CTE}),
+sh AS ({_shingle_cte(3)}),
+h AS (SELECT doc_id, {_PH} AS h FROM sh),
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM h GROUP BY doc_id)
+"""
+
+_MINHASH_SQL = f"WITH {_MINHASH_CTE} SELECT * FROM sig"
+
+_LSH_SQL = f"""
+WITH {_MINHASH_CTE},
+bands AS (
+  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS key FROM sig
+  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+_JACCARD_SQL = f"""
+WITH words AS ({_WORDS_CTE}),
+sh AS ({_shingle_cte(2)}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, common,
+       common / (sa.sz + sb.sz - common) AS jaccard
+FROM co
+JOIN sizes sa ON co.doc_a = sa.doc_id
+JOIN sizes sb ON co.doc_b = sb.doc_id
+WHERE common / (sa.sz + sb.sz - common) >= 0.15
+"""
+
+_PH_T = portable_hash_sql_duckdb("t")
+
+_SIMHASH_EXPR = f"""
+CAST(list_aggregate(list_transform(generate_series(0, 15), j ->
+  CASE WHEN list_aggregate(list_transform(string_split(text, ' '), t ->
+    CASE WHEN (({_PH_T} >> j) & 1) = 1 THEN 1 ELSE -1 END), 'sum') > 0
+  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT)
+"""
+
+_SIMHASH_SQL = f"SELECT doc_id, {_SIMHASH_EXPR} AS simhash FROM documents"
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH sig AS (SELECT doc_id, {_SIMHASH_EXPR} AS simhash FROM documents),
+buck AS (SELECT doc_id, simhash, simhash & 255 AS lo,
+                simhash >> 8 AS hi FROM sig),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         xor(a.simhash, b.simhash) AS x
+  FROM buck a JOIN buck b ON a.lo = b.lo AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, xor(a.simhash, b.simhash)
+  FROM buck a JOIN buck b ON a.hi = b.hi AND a.doc_id < b.doc_id)
+SELECT DISTINCT doc_a, doc_b, CAST(bit_count(x) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(x) <= 3
+"""
+
+_FINGERPRINT_SQL = f"""
+WITH words AS ({_WORDS_CTE}),
+sh AS ({_shingle_cte(3)})
+SELECT doc_id, min({_PH}) AS fp_min, max({_PH}) AS fp_max,
+       CAST(count(*) AS INTEGER) AS fp_size
+FROM sh GROUP BY doc_id
+"""
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a normalized key (first 16 chars) so the testdata
+    actually produces duplicate groups; digest shuffle, never the text."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.expr("substr(text, 1, 16)").alias("norm"), "doc_id"
+    )
+    return dedup.exact_dedup(docs, text_col="norm")
+
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(substr(text, 1, 16)) AS digest,
+       min(doc_id) AS representative, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, num_perm=8,
+        hash_mode="portable",
+    )
+
+
+def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, num_perm=8,
+        hash_mode="portable",
+    )
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", num_perm=8, bands=4)
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=2, threshold=0.15
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", bits=16,
+        hash_mode="portable",
+    )
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", bits=16,
+        max_hamming=3, hash_mode="portable",
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.fingerprint(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3,
+        hash_mode="portable",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_* — cosine / LSH similarity with DuckDB twins
+
+_DOT = (
+    "list_aggregate(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')"
+)
+
+
+def _cos_duck(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+_COS_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_cos_duck('e.embedding', 'q.qvec')} AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cos, 6) AS cos_r
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= 10
+"""
+
+_PLANES, _DIM = 16, 64
+_SIGNS = similarity.plane_signs(_PLANES, _DIM)
+_W_LIT = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(f"{s}" for s in row) + "]" for row in _SIGNS
+    )
+    + "]"
+)
+
+# The sign matrix lives in a one-row CTE (``wm``) so DuckDB materializes the
+# 16×64 literal once instead of re-constructing it per lambda invocation.
+_SIG_EXPR = f"""
+CAST(list_aggregate(list_transform(generate_series(1, {_PLANES}), j ->
+  CASE WHEN list_aggregate(list_transform(generate_series(1, {_DIM}),
+    i -> embedding[i]::DOUBLE * W[j][i]), 'sum') > 0
+  THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE CAST(0 AS BIGINT) END),
+  'sum') AS BIGINT)
+"""
+
+_W_CTE = f"wm AS (SELECT {_W_LIT} AS W)"
+
+_LSH_TOPK_SQL = f"""
+WITH {_W_CTE},
+sig AS (SELECT vec_id, embedding, {_SIG_EXPR} AS sig
+        FROM embeddings CROSS JOIN wm),
+banded AS (
+  SELECT vec_id, embedding, 0 AS band, sig & 255 AS key FROM sig
+  UNION ALL SELECT vec_id, embedding, 1, sig >> 8 FROM sig),
+qb AS (SELECT vec_id AS q_id, embedding AS qvec, band, key
+       FROM banded WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.q_id, b.vec_id AS c_id, b.embedding AS cvec, q.qvec
+  FROM banded b JOIN qb q ON b.band = q.band AND b.key = q.key
+  WHERE b.vec_id <> q.q_id),
+scored AS (SELECT q_id, c_id, {_cos_duck('cvec', 'qvec')} AS cos FROM cand)
+SELECT q_id AS query_id, c_id AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cos, 6) AS cos_r
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos DESC, c_id ASC) AS rank FROM scored)
+WHERE rank <= 10
+"""
+
+_NEAR_DUP_SQL = f"""
+WITH {_W_CTE},
+sig AS (SELECT vec_id, embedding, {_SIG_EXPR} AS sig
+        FROM embeddings CROSS JOIN wm),
+banded AS (
+  SELECT vec_id, embedding, 0 AS band, sig & 255 AS key FROM sig
+  UNION ALL SELECT vec_id, embedding, 1, sig >> 8 FROM sig),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+SELECT doc_a, doc_b, round(cos, 6) AS cos_r
+FROM (SELECT doc_a, doc_b, {_cos_duck('va', 'vb')} AS cos FROM pairs)
+WHERE cos >= 0.2
+"""
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    res = similarity.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    )
+    return res.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
+    )
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    res = similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, planes=_PLANES,
+        signs=_SIGNS,
+    )
+    return res.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
+    )
+
+
+def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # threshold calibrated to the testdata's cosine distribution (max ≈ .51)
+    res = similarity.cosine_pairs(
+        emb, threshold=0.2, planes=_PLANES, signs=_SIGNS
+    )
+    return res.select("doc_a", "doc_b", F.round("cos", 6).alias("cos_r"))
+
+
+# ---------------------------------------------------------------------------
+# text_* — language ID / quality / tokens
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = text_analysis.language_id(_t(spark, sf_dir, "documents"))
+    return res.select("doc_id", "lang_pred", "lang_votes")
+
+
+def _votes_duck(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text_analysis.LANG_PROFILES[lang])
+    return (
+        f"CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"w -> list_contains([{words}], w))) AS INTEGER)"
+    )
+
+
+def _lang_sql() -> str:
+    langs = list(text_analysis.LANG_PROFILES)
+    votes = ", ".join(f"{_votes_duck(lg)} AS v_{lg}" for lg in langs)
+    case = "CASE"
+    for lg in langs:
+        others = " AND ".join(f"v_{lg} >= v_{o}" for o in langs if o != lg)
+        case += f" WHEN {others} THEN '{lg}'"
+    case += " ELSE 'und' END"
+    great = ", ".join(f"v_{lg}" for lg in langs)
+    return f"""
+WITH v AS (SELECT doc_id, {votes} FROM documents)
+SELECT doc_id, {case} AS lang_pred, greatest({great}) AS lang_votes FROM v
+"""
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = text_analysis.quality_score(_t(spark, sf_dir, "documents"))
+    return res.select(
+        "doc_id",
+        "n_words",
+        F.round("lexical_diversity", 6).alias("lex_div_r"),
+        F.round("stopword_ratio", 6).alias("stop_ratio_r"),
+        F.round("quality", 6).alias("quality_r"),
+    )
+
+
+def _quality_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in text_analysis.EN_STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+    CAST(len(list_filter(string_split(text, ' '),
+         w -> list_contains([{stop}], w))) AS INTEGER) AS n_stop
+  FROM documents)
+SELECT doc_id, n_words,
+  round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS lex_div_r,
+  round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio_r,
+  round(least(1.0, greatest(0.0,
+    0.4 * least(n_words / 100.0, 1.0) +
+    0.3 * (CAST(n_distinct AS DOUBLE) / n_words) +
+    0.3 * least((CAST(n_stop AS DOUBLE) / n_words) * 5.0, 1.0))), 6)
+    AS quality_r
+FROM f
+"""
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = text_analysis.token_count(_t(spark, sf_dir, "documents"))
+    return res.select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+_TOKEN_SQL = f"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{text_analysis.TOKEN_PATTERN}'))
+       AS INTEGER) AS bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# mm_* — multimodal plumbing: Python UDF vs pure-SQL twin of the
+# deterministic fake decode (multimodal.fake_decode_dims)
+
+
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return multimodal.media_metadata(docs)
+
+
+_MEDIA_SQL = f"""
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS sha,
+                  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+           FROM documents)
+SELECT media_id, n_bytes, sha, 'application/octet-stream' AS kind,
+  CAST({_hex_decode_duck('sha', 1, 8)} % 1920 + 1 AS INTEGER) AS width,
+  CAST({_hex_decode_duck('sha', 9, 8)} % 1080 + 1 AS INTEGER) AS height,
+  CAST({_hex_decode_duck('sha', 17, 4)} % 240 + 1 AS INTEGER) AS n_frames
+FROM m
+"""
+
+
+def _q_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return multimodal.sample_frames(docs, every=30).select(
+        "media_id", "frame_i"
+    )
+
+
+_FRAMES_SQL = f"""
+WITH m AS (SELECT doc_id AS media_id,
+                  {_hex_decode_duck('sha256(text)', 17, 4)} % 240 + 1
+                    AS n_frames
+           FROM documents)
+SELECT media_id,
+       CAST(unnest(generate_series(0, n_frames - 1, 30)) AS INTEGER)
+         AS frame_i
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# extraction flagship (rows-only: the payload parse is a UDF, not SQL)
+
+_FLAGSHIP_DOCS = 48
+
+
+def _pages_df(spark: SparkSession, n_docs: int) -> DataFrame:
+    """Deterministic synthetic pages table (BASELINE.json input_hint shape:
+    url, warc_ts, html:binary, text, lang) — built in-memory; no external
+    data, byte-stable across runs/partitionings (fixtures.py)."""
+    from pyspark.sql import types as T
+
+    from . import fixtures
+
+    rows = fixtures.generate_pages_rows(n_docs)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+    data = [
+        (r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+        for r in rows
+    ]
+    return spark.createDataFrame(data, schema)
+
+
+def _q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship extraction pipeline, flattened to the byte-identity key
+    space (url, page_i, block_i, line_i) — golden-checked in pytest against
+    the pure-Python oracle; rows-only here (payload parse is non-SQL)."""
+    from . import pipeline
+
+    extracted = pipeline.extract(_pages_df(spark, _FLAGSHIP_DOCS))
+    return pipeline.flatten_lines(extracted)
+
+
+def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-run lineage metrics rollup (A5/R5): docs, pages, ocr ratio."""
+    from . import pipeline
+
+    extracted = pipeline.extract(_pages_df(spark, _FLAGSHIP_DOCS))
+    return extracted.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_pages").alias("pages"),
+        F.sum("ocr_pages").alias("ocr_pages"),
+        F.sum(F.when(F.col("status") == "COMPLETED", 1).otherwise(0)).alias(
+            "completed"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+_CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # extraction-semantic analogues (SURVEY.md §2: J1-J3, A1-A4, O1, P1-P5,
+    # F3/F7, S6)
+    "ext_overlap_join": (
+        _run_shared_sql(["part", "supplier"], _OVERLAP_SQL), _OVERLAP_SQL),
+    "ext_coverage_agg": (
+        _run_shared_sql(["part", "supplier"], _COVERAGE_SQL), _COVERAGE_SQL),
+    "ext_bbox_union": (
+        _run_shared_sql(["lineitem"], _BBOX_UNION_SQL), _BBOX_UNION_SQL),
+    "ext_block_sort": (
+        _run_shared_sql(["events"], _BLOCK_SORT_SQL), _BLOCK_SORT_SQL),
+    "ext_scalar_funcs": (
+        _run_shared_sql(["events"], _SCALAR_SQL), _SCALAR_SQL),
+    "ext_ignore_predicates": (_q_ignore_predicates, _IGNORE_SQL),
+    "ext_text_assembly": (_q_text_assembly, _ASSEMBLY_SQL),
+    "ext_resume_anti_join": (_q_resume_anti_join, _RESUME_SQL),
+    "ext_status_counts": (_q_status_counts, _STATUS_SQL),
+    "ext_empty_line_filter": (_q_empty_line_filter, _EMPTY_SQL),
+    # training-data dedup
+    "dedup_exact": (_q_exact_dedup, _EXACT_DEDUP_SQL),
+    "dedup_minhash": (_q_minhash, _MINHASH_SQL),
+    "dedup_lsh_pairs": (_q_lsh_pairs, _LSH_SQL),
+    "dedup_jaccard": (_q_jaccard, _JACCARD_SQL),
+    "dedup_simhash": (_q_simhash, _SIMHASH_SQL),
+    "dedup_simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_SQL),
+    # similarity search
+    "sim_cosine_topk": (_q_cosine_topk, _COS_TOPK_SQL),
+    "sim_lsh_topk": (_q_lsh_topk, _LSH_TOPK_SQL),
+    "sim_near_dup": (_q_near_dup, _NEAR_DUP_SQL),
+    # text analysis
+    "text_language_id": (_q_language_id, _lang_sql()),
+    "text_quality": (_q_quality, _quality_sql()),
+    "text_token_count": (_q_token_count, _TOKEN_SQL),
+    "text_fingerprint": (_q_fingerprint, _FINGERPRINT_SQL),
+    # multimodal plumbing (Python UDF vs SQL twin)
+    "mm_media_meta": (_q_media_meta, _MEDIA_SQL),
+    "mm_sample_frames": (_q_sample_frames, _FRAMES_SQL),
+    # extraction pipeline (non-SQL-expressible: rows-only checks)
+    "extract_flagship": (_q_extract_flagship, None),
+    "extract_metrics": (_q_extract_metrics, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _CASES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _CASES.items() if sql is not None}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query: synthetic pages table (input_hint shape) → extracted
+    documents table with nested page/block/line structs + lineage columns."""
+    from . import pipeline
+
+    return pipeline.extract(_pages_df(spark, 24))

@@ -1,0 +1,72 @@
+"""Spark-parallel synthetic pages-table generation.
+
+``fixtures.make_doc`` is a pure function of the doc index ``k`` (md5-seeded
+per url — no global RNG), so generation distributes trivially: a range of
+ks, mapInPandas, write parquet.  The same corpus is byte-identical however
+many partitions generate it — the property the resumable pipeline and the
+golden tests rely on.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+from . import fixtures
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def pages_df(
+    spark: SparkSession,
+    n_docs: int,
+    crawl_text: bool = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"]:
+                r = fixtures.make_doc(int(k))
+                r["text"] = (
+                    fixtures.crawl_text_for(int(k), r["html"], r["lang"])
+                    if crawl_text
+                    else ""
+                )
+                rows.append(r)
+            yield pd.DataFrame(
+                {
+                    "url": [r["url"] for r in rows],
+                    "warc_ts": [r["warc_ts"] for r in rows],
+                    "html": [r["html"] for r in rows],
+                    "text": [r["text"] for r in rows],
+                    "lang": [r["lang"] for r in rows],
+                }
+            )
+
+    return (
+        spark.range(0, n_docs)
+        .repartition(parts)
+        .mapInPandas(fn, PAGES_SCHEMA)
+    )
+
+
+def write_pages(
+    spark: SparkSession,
+    n_docs: int,
+    out: str,
+    crawl_text: bool = False,
+) -> None:
+    pages_df(spark, n_docs, crawl_text).write.mode("overwrite").parquet(out)

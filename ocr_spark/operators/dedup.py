@@ -211,10 +211,11 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     bits: int = 16,
     max_hamming: int = 2,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, bucketed by half-signature
     (a pair within distance ≤ bits/2-locality lands in a shared half)."""
-    sig = simhash(df, text_col, id_col, bits)
+    sig = simhash(df, text_col, id_col, bits, hash_mode)
     half = bits // 2
     buck = sig.select(
         id_col,

@@ -14,7 +14,23 @@
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window, functions as F
+
+
+def plane_signs(planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane weights: sign = parity of the first md5
+    byte of ``"j:i"``.  No RNG state; the exact same matrix is inlined as
+    literals into the DuckDB oracle SQL, so the LSH bucket assignment is
+    bit-identical across engines (driver parity)."""
+    return [
+        [
+            1 if hashlib.md5(f"{j}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for j in range(planes)
+    ]
 
 
 def _dot(a: str, b: str) -> str:
@@ -73,17 +89,32 @@ def hyperplane_signature(
     vec_col: str = "embedding",
     planes: int = 16,
     out: str = "sig",
+    signs: list[list[int]] | None = None,
 ) -> DataFrame:
     """Deterministic random-hyperplane signature: plane j's weight on dim i
     is ±1 from xxhash64(j * 100003 + i) parity; sign of the projection sets
-    bit j.  Pure codegen arithmetic (planes × dim fused ops per row)."""
-    proj = (
-        f"transform(sequence(0, {planes - 1}), j -> "
-        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-        f"(x, i) -> CAST(x AS DOUBLE) * "
-        f"(CASE WHEN pmod(xxhash64(j * 100003 + i), 2) = 0 THEN 1.0 ELSE -1.0 END)), "
-        f"0D, (acc, v) -> acc + v))"
-    )
+    bit j.  Pure codegen arithmetic (planes × dim fused ops per row).
+
+    With ``signs`` (from :func:`plane_signs`), the weights are inlined as
+    array literals instead — the portable mode the DuckDB driver oracle can
+    reproduce exactly."""
+    if signs is not None:
+        projs = []
+        for j in range(planes):
+            w = ", ".join(f"{s}D" for s in signs[j])
+            projs.append(
+                f"aggregate(zip_with({vec_col}, array({w}), "
+                f"(x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v)"
+            )
+        proj = "array(" + ", ".join(projs) + ")"
+    else:
+        proj = (
+            f"transform(sequence(0, {planes - 1}), j -> "
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+            f"(x, i) -> CAST(x AS DOUBLE) * "
+            f"(CASE WHEN pmod(xxhash64(j * 100003 + i), 2) = 0 THEN 1.0 ELSE -1.0 END)), "
+            f"0D, (acc, v) -> acc + v))"
+        )
     sig = (
         f"aggregate(zip_with({proj}, sequence(0, {planes - 1}), "
         f"(p, j) -> CASE WHEN p > 0 THEN shiftleft(1L, j) ELSE 0L END), "
@@ -99,6 +130,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     planes: int = 16,
+    signs: list[list[int]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share a half-signature band with the
     query (multi-probe over 2 bands), exact cosine rerank inside buckets.
@@ -109,7 +141,7 @@ def lsh_topk(
     mask = (1 << half) - 1
 
     def banded(x: DataFrame, idc: str, vecc: str, pref: str) -> DataFrame:
-        s = hyperplane_signature(x.select(idc, vecc), vecc, planes)
+        s = hyperplane_signature(x.select(idc, vecc), vecc, planes, signs=signs)
         return s.select(
             F.col(idc).alias(f"{pref}_id"),
             F.col(vecc).alias(f"{pref}_vec"),
@@ -154,13 +186,16 @@ def cosine_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     planes: int = 16,
+    signs: list[list[int]] | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via half-signature buckets + exact rerank.
     High thresholds → high bucket recall (near-identical vectors agree on
     most hyperplane signs)."""
     half = planes // 2
     mask = (1 << half) - 1
-    s = hyperplane_signature(df.select(id_col, vec_col), vec_col, planes)
+    s = hyperplane_signature(
+        df.select(id_col, vec_col), vec_col, planes, signs=signs
+    )
     banded = s.select(
         id_col,
         vec_col,

@@ -91,11 +91,14 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count + BPE-ish regex token count."""
+    """Whitespace token count + BPE-ish regex token count.
+
+    The pattern rides as a Column literal (not a SQL string literal) so
+    backslash classes like ``\\s`` survive un-mangled."""
     return df.select(
         "*",
         F.expr(f"size(split({text_col}, ' '))").alias("ws_tokens"),
-        F.expr(f"regexp_count({text_col}, '{TOKEN_PATTERN}')").alias(
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_PATTERN)).alias(
             "bpe_tokens"
         ),
     )
@@ -106,21 +109,31 @@ def fingerprint(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing-style fingerprint: min/max rolling n-gram hash + shingle
-    count per doc — a compact signature for corpus diffing."""
-    from .dedup import with_shingles
+    count per doc — a compact signature for corpus diffing.
 
+    ``hash_mode='portable'`` swaps xxhash64 for the 48-bit md5-prefix hash
+    the DuckDB driver oracle reproduces bit-identically."""
+    from .dedup import with_shingles
+    from .hashing import portable_hash_sql_spark
+
+    h = (
+        portable_hash_sql_spark("s")
+        if hash_mode == "portable"
+        else "xxhash64(s)"
+    )
     sh = with_shingles(df, text_col, n)
     return sh.select(
         id_col,
         F.expr(
             "aggregate(shingles, CAST(9223372036854775807 AS BIGINT), "
-            "(acc, s) -> least(acc, xxhash64(s)))"
+            f"(acc, s) -> least(acc, {h}))"
         ).alias("fp_min"),
         F.expr(
             "aggregate(shingles, CAST(-9223372036854775808 AS BIGINT), "
-            "(acc, s) -> greatest(acc, xxhash64(s)))"
+            f"(acc, s) -> greatest(acc, {h}))"
         ).alias("fp_max"),
         F.expr("size(shingles)").alias("fp_size"),
     )
