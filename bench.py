@@ -124,7 +124,10 @@ def main_bench() -> None:
     from ocr_spark.session import get_spark
 
     pages_path = ensure_pages(BENCH_DOCS)
+    warm_path = ensure_pages(2000)
     spark = get_spark("bench", cores=CPUS)
+    # warm-up (JIT + python worker pool), not counted
+    run_extraction(spark, warm_path)
     ext_sec, n_docs, n_pages = run_extraction(spark, pages_path)
     queries = {"extract_e2e": round(ext_sec, 3)}
     queries.update(operator_benches(spark, SF_DIR))
@@ -154,10 +157,11 @@ def main_scaling() -> None:
     n_lo = max(CPUS // 4, 1)
     pages_path = ensure_pages(SCALING_DOCS)
     results = {}
+    warm_path = ensure_pages(2000)
     for cores in (n_lo, CPUS):
         spark = get_spark(f"scaling-{cores}", cores=cores)
-        # warm-up: JVM + python workers (not counted)
-        spark.range(1000).count()
+        # warm-up: JIT + python worker pool (not counted)
+        run_extraction(spark, warm_path)
         sec, n_docs, n_pages = run_extraction(spark, pages_path)
         results[cores] = {
             "sec": round(sec, 2),

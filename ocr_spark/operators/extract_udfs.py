@@ -153,6 +153,71 @@ def finish_native(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield _finish_common(pdf, lines_per_row, ocr_flag=False)
 
 
+def analyze_and_finish(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Fused phase 2: probe + native/OCR routing + consolidation in ONE
+    pass over each Arrow batch (the distributed mirror of the reference's
+    per-batch queue, document.py:91-133).
+
+    Avoids re-running the heavy analyze stage per branch (or persisting
+    binary page rows): the needs-OCR split happens *inside* the batch —
+    OCR-routed pages are sub-batched together so a model-backed extractor
+    still sees dense OCR batches at Arrow-batch granularity.  Use the
+    staged three-branch plan (pipeline.PipelineConfig(mode='staged')) when
+    the OCR path runs on separate GPU executors and needs its own stage."""
+    for pdf in batches:
+        n = len(pdf)
+        blocks_col: list[list[dict] | None] = [None] * n
+        ocr_col = [False] * n
+        ocr_idx: list[int] = []
+        for pos, (page_bytes, doc_dpi, error) in enumerate(
+            zip(pdf["page_bytes"], pdf["doc_dpi"], pdf["error"])
+        ):
+            if error is not None or page_bytes is None:
+                blocks_col[pos] = []
+                continue
+            page = hx.decode_page(bytes(page_bytes))
+            info = hx.analyze_page(page, int(doc_dpi))
+            layout = [
+                {"type": b["type"], "bbox": _bbox_list(b["bbox"])}
+                for b in info["layout"]
+            ]
+            if info["needs_ocr"]:
+                ocr_idx.append(pos)
+                ocr_col[pos] = True
+                blocks_col[pos] = layout  # stash layout; lines come below
+            else:
+                lines = [
+                    {"bbox": _bbox_list(ln["bbox"]), "content": ln["content"]}
+                    for ln in info["native_lines"]
+                ]
+                blocks_col[pos] = _pack_blocks(hx.finish_page(lines, layout))
+        # dense OCR sub-batch (reference document.py:119-133)
+        for pos in ocr_idx:
+            page = hx.decode_page(bytes(pdf["page_bytes"].iloc[pos]))
+            lines = hx.extract_ocr_text(
+                page,
+                int(pdf["doc_dpi"].iloc[pos]),
+                pdf["lang"].iloc[pos] or "en",
+            )
+            blocks_col[pos] = _pack_blocks(
+                hx.finish_page(lines, blocks_col[pos])
+            )
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "lang": pdf["lang"],
+                "page_i": pdf["page_i"],
+                "n_pages": pdf["n_pages"],
+                "ocr": ocr_col,
+                "blocks": blocks_col,
+                "error": pdf["error"],
+            }
+        )
+
+
 def finish_ocr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """OCR-routed pages: recognition + consolidation.
 

@@ -72,14 +72,23 @@ DOC_TEXT_EXPR = f"array_join(transform(pages, p -> {PAGE_TEXT_EXPR}), '')"
 class PipelineConfig:
     """Knobs that matter at 100 TB.
 
+    - mode: 'fused' (default) runs probe + native/OCR routing +
+      consolidation in ONE mapInPandas pass — one linear chain, no
+      branch recompute, no persist of binary page rows; OCR density is
+      preserved at Arrow-batch granularity.  'staged' is the three-branch
+      plan (probe stage → filter split → dense OCR stage → union) for
+      deployments where the OCR path runs on different (GPU) executors
+      and must be its own stage — pair it with stage_path there.
     - page_partitions: width of the salted page-level exchange before the
       heavy analyze stage (None → spark.sql.shuffle.partitions).
     - persist_intermediate: cache the analyzed stage so the native/OCR/error
-      branches don't recompute layout detection; at real scale point
-      stage_path at a durable location instead (Iceberg staging table).
+      branches don't recompute layout detection (staged mode only); at real
+      scale point stage_path at a durable location instead (Iceberg staging
+      table).
     - postprocess: apply the P3-P5 ignore rewrite (document.py:625-642).
     """
 
+    mode: str = "fused"
     page_partitions: int | None = None
     persist_intermediate: bool = True
     stage_path: str | None = None
@@ -94,13 +103,27 @@ def parse_stage(pages: DataFrame) -> DataFrame:
     )
 
 
-def analyze_stage(page_rows: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Salted page-level exchange + the heavy probe stage."""
+def _spread(page_rows: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Salted page-level exchange (R3): giant-doc skew broken before the
+    heavy stage — pages of one url scatter across partitions."""
     n = cfg.page_partitions or int(
         page_rows.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    spread = page_rows.repartition(n, F.xxhash64("url", "page_i"))
-    return spread.mapInPandas(udfs.analyze_pages, ANALYZED_SCHEMA)
+    return page_rows.repartition(n, F.xxhash64("url", "page_i"))
+
+
+def analyze_stage(page_rows: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Salted page-level exchange + the heavy probe stage."""
+    return _spread(page_rows, cfg).mapInPandas(
+        udfs.analyze_pages, ANALYZED_SCHEMA
+    )
+
+
+def fused_finish_stage(page_rows: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Single-pass phase 2: probe + route + consolidate inside one UDF."""
+    return _spread(page_rows, cfg).mapInPandas(
+        udfs.analyze_and_finish, PAGE_BLOCKS_SCHEMA
+    )
 
 
 def branch_and_finish(analyzed: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -179,8 +202,11 @@ def extract(
     """pages table → extracted table (the flagship job)."""
     cfg = cfg or PipelineConfig()
     page_rows = parse_stage(pages)
-    analyzed = analyze_stage(page_rows, cfg)
-    finished = branch_and_finish(analyzed, cfg)
+    if cfg.mode == "fused":
+        finished = fused_finish_stage(page_rows, cfg)
+    else:
+        analyzed = analyze_stage(page_rows, cfg)
+        finished = branch_and_finish(analyzed, cfg)
     if cfg.postprocess:
         finished = postprocess_stage(finished)
     return assemble_stage(finished)

@@ -36,7 +36,7 @@ def get_spark(
         # Arrow batches are the unit of model/kernel batching inside
         # mapInPandas (reference batch_size analogue, document.py:102-109).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # Python workers are reused so per-worker model singletons load once
         # (reference lazy globals, ocr.py:10-34 / layout.py:103-118).
         .config("spark.python.worker.reuse", "true")

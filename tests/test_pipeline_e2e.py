@@ -85,6 +85,18 @@ class TestPipelineVariants:
         b = {r.url: r.text for r in extracted.select("url", "text").collect()}
         assert a == b
 
+    def test_staged_mode_identical_tree(self, spark, pages_parquet, extracted):
+        """The staged three-branch plan (GPU deployment shape) must produce
+        the exact same nested tree as the default fused plan."""
+        staged = extract(
+            read_pages(spark, pages_parquet),
+            PipelineConfig(mode="staged", page_partitions=4),
+        )
+        key = ["url", "page_i", "block_i", "block_type", "line_i", "content"]
+        a = sorted(map(tuple, flatten_lines(staged).select(key).collect()))
+        b = sorted(map(tuple, flatten_lines(extracted).select(key).collect()))
+        assert a == b
+
     def test_stage_table_same_result(self, spark, pages_parquet, extracted, tmp_path):
         alt = extract(
             read_pages(spark, pages_parquet),
