@@ -27,6 +27,7 @@ from .operators import extract_udfs as udfs
 from .schemas import (
     ANALYZED_SCHEMA,
     BLOCK_TYPE,
+    PAGE_BLOCKS_JSON_SCHEMA,
     PAGE_BLOCKS_SCHEMA,
     PAGE_ROW_SCHEMA,
 )
@@ -72,10 +73,13 @@ DOC_TEXT_EXPR = f"array_join(transform(pages, p -> {PAGE_TEXT_EXPR}), '')"
 class PipelineConfig:
     """Knobs that matter at 100 TB.
 
-    - mode: 'fused' (default) runs probe + native/OCR routing +
-      consolidation in ONE mapInPandas pass — one linear chain, no
-      branch recompute, no persist of binary page rows; OCR density is
-      preserved at Arrow-batch granularity.  'staged' is the three-branch
+    - mode: 'fused' (default) extracts whole documents in ONE mapInPandas
+      pass straight off the scan — the binary payload crosses the
+      JVM↔Python boundary exactly once and never rides a shuffle or a UDF
+      return (binary columns are the expensive thing to move through
+      Arrow).  'paged' explodes to page rows first and salts them across
+      partitions (R3) — choose it when single documents are big enough to
+      dominate a task (giant-PDF corpora).  'staged' is the three-branch
       plan (probe stage → filter split → dense OCR stage → union) for
       deployments where the OCR path runs on different (GPU) executors
       and must be its own stage — pair it with stage_path there.
@@ -124,6 +128,25 @@ def fused_finish_stage(page_rows: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return _spread(page_rows, cfg).mapInPandas(
         udfs.analyze_and_finish, PAGE_BLOCKS_SCHEMA
     )
+
+
+def _parse_blocks_json(raw: DataFrame) -> DataFrame:
+    """blocks_json string → nested blocks column via codegen'd from_json
+    (the cheap direction of the Arrow boundary — see extract_docs)."""
+    blocks_type = "array<" + BLOCK_TYPE.simpleString() + ">"
+    return raw.withColumn(
+        "blocks", F.from_json("blocks_json", blocks_type)
+    ).drop("blocks_json")
+
+
+def doc_fused_stage(pages: DataFrame) -> DataFrame:
+    """Doc-level fully-fused extraction: scan → one UDF → block rows.
+    No binary shuffle, no binary UDF output; parallelism comes from input
+    splits (spark.sql.files.maxPartitionBytes) + AQE."""
+    raw = pages.select("url", "warc_ts", "html", "lang").mapInPandas(
+        udfs.extract_docs, PAGE_BLOCKS_JSON_SCHEMA
+    )
+    return _parse_blocks_json(raw)
 
 
 def branch_and_finish(analyzed: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -196,16 +219,51 @@ def assemble_stage(page_blocks: DataFrame) -> DataFrame:
     )
 
 
+def extract_from_path(
+    spark: SparkSession, path: str, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Manifest-mode flagship: distribute (file, row_group) splits and let
+    Python workers read the payload column directly with pyarrow — the
+    binary never crosses the JVM↔Python boundary (see
+    extract_udfs.extract_manifest).  Downstream postprocess/assembly is
+    identical to :func:`extract`.  On a real cluster the split list comes
+    from the Iceberg ``.files`` metadata table instead of a local glob."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    cfg = cfg or PipelineConfig()
+    files = sorted(_glob.glob(f"{path}/*.parquet")) or [path]
+    manifest = [
+        (f, rg)
+        for f in files
+        for rg in range(_pq.ParquetFile(f).num_row_groups)
+    ]
+    n = cfg.page_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    mdf = spark.createDataFrame(
+        manifest, "file string, row_group int"
+    ).repartition(min(n, max(len(manifest), 1)))
+    finished = _parse_blocks_json(
+        mdf.mapInPandas(udfs.extract_manifest, PAGE_BLOCKS_JSON_SCHEMA)
+    )
+    if cfg.postprocess:
+        finished = postprocess_stage(finished)
+    return assemble_stage(finished)
+
+
 def extract(
     pages: DataFrame, cfg: PipelineConfig | None = None
 ) -> DataFrame:
     """pages table → extracted table (the flagship job)."""
     cfg = cfg or PipelineConfig()
-    page_rows = parse_stage(pages)
     if cfg.mode == "fused":
-        finished = fused_finish_stage(page_rows, cfg)
+        finished = doc_fused_stage(pages)
+    elif cfg.mode == "paged":
+        finished = fused_finish_stage(parse_stage(pages), cfg)
     else:
-        analyzed = analyze_stage(page_rows, cfg)
+        analyzed = analyze_stage(parse_stage(pages), cfg)
         finished = branch_and_finish(analyzed, cfg)
     if cfg.postprocess:
         finished = postprocess_stage(finished)

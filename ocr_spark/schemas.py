@@ -97,6 +97,22 @@ PAGE_BLOCKS_SCHEMA = T.StructType(
     ]
 )
 
+# Doc-fused UDF wire format: blocks serialized as one JSON string per page
+# (cheap to hand through Arrow; parsed JVM-side by from_json — see
+# extract_udfs.extract_docs docstring for the measured rationale).
+PAGE_BLOCKS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("page_i", T.IntegerType(), False),
+        T.StructField("n_pages", T.IntegerType(), False),
+        T.StructField("ocr", T.BooleanType(), False),
+        T.StructField("blocks_json", T.StringType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
 # Final extracted table (≅ PDFDocument.data, document.py:644-654, + metrics).
 EXTRACTED_SCHEMA = T.StructType(
     [

@@ -85,6 +85,21 @@ class TestPipelineVariants:
         b = {r.url: r.text for r in extracted.select("url", "text").collect()}
         assert a == b
 
+    def test_manifest_mode_identical_tree(self, spark, pages_parquet, extracted):
+        """Manifest mode (workers read parquet row-groups directly; payload
+        never crosses the JVM boundary) must produce the same tree."""
+        import pathlib
+
+        from ocr_spark.pipeline import extract_from_path
+
+        mdir = str(pathlib.Path(pages_parquet).parent)
+        manifest = extract_from_path(spark, pages_parquet)
+        del mdir
+        key = ["url", "page_i", "block_i", "block_type", "line_i", "content"]
+        a = sorted(map(tuple, flatten_lines(manifest).select(key).collect()))
+        b = sorted(map(tuple, flatten_lines(extracted).select(key).collect()))
+        assert a == b
+
     def test_staged_mode_identical_tree(self, spark, pages_parquet, extracted):
         """The staged three-branch plan (GPU deployment shape) must produce
         the exact same nested tree as the default fused plan."""
