@@ -33,7 +33,7 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "240000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "120000"))
 CACHE = REPO / ".bench_cache"
 
 
@@ -159,14 +159,19 @@ def main_bench() -> None:
 
 
 def main_scaling() -> None:
-    """Same job, two parallelism levels: local[N] vs local[4N]."""
+    """Same job, two parallelism levels N vs 4N (default 4 vs 16).
+
+    4/16 rather than 8/32 because the sandbox is a shared 32-core VM: a
+    level that needs every core free measures the neighbors, not the
+    engine.  Override with SPARK_GRAFT_SCALING_CORES="8,32"."""
     from ocr_spark.session import get_spark
 
-    n_lo = max(CPUS // 4, 1)
+    levels = os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16")
+    n_lo, n_hi = (int(x) for x in levels.split(","))
     pages_path = ensure_pages(SCALING_DOCS)
     results = {}
     warm_path = ensure_pages(2000)
-    for cores in (n_lo, CPUS):
+    for cores in (n_lo, n_hi):
         spark = get_spark(f"scaling-{cores}", cores=cores)
         # warm-up: JIT + python worker pool (not counted)
         run_extraction(spark, warm_path, reps=1)
@@ -178,8 +183,8 @@ def main_scaling() -> None:
         }
         spark.stop()
     r_lo = results[n_lo]["docs_per_sec"]
-    r_hi = results[CPUS]["docs_per_sec"]
-    eff = (r_hi / r_lo) / (CPUS / n_lo)
+    r_hi = results[n_hi]["docs_per_sec"]
+    eff = (r_hi / r_lo) / (n_hi / n_lo)
     print(
         json.dumps(
             {
