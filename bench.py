@@ -104,9 +104,12 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
 
     def timed(name, df):
-        t0 = time.time()
-        _noop_write(df)
-        out[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: noisy-host methodology (BENCH.md)
+            t0 = time.time()
+            _noop_write(df)
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
 
     timed("dedup_exact", dedup.exact_dedup(docs))
     sigs = dedup.minhash_signatures(docs, num_perm=8)

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the extraction pipeline.
+
+Cluster (the BASELINE.json deployment shape)::
+
+    zip -r ocr_spark.zip ocr_spark          # or tools/make_pyfiles.py
+    spark-submit \
+      --master yarn --deploy-mode cluster \
+      --py-files ocr_spark.zip \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.8.0 \
+      --conf spark.sql.catalog.cc=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.cc.type=hadoop \
+      --conf spark.sql.catalog.cc.warehouse=s3a://bucket/warehouse \
+      jobs/extract_job.py --input cc.pages --output s3a://bucket/extracted \
+      --since 2025-01-01 --until 2025-02-01
+
+Local smoke (same file, same flags)::
+
+    spark-submit --master 'local[8]' --py-files ocr_spark.zip \
+      jobs/extract_job.py --input /path/pages_parquet --output /tmp/out
+
+The job is resumable: re-running with the same --output appends only
+urls not yet COMPLETED (left-anti checkpoint, io.pending_pages).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="pages parquet path or Iceberg table (cc.pages)")
+    ap.add_argument("--output", required=True,
+                    help="extracted table path (parquet dir or Iceberg)")
+    ap.add_argument("--mode", default="fused",
+                    choices=["fused", "paged", "staged", "manifest"])
+    ap.add_argument("--since", default=None,
+                    help="warc_ts lower bound (partition prune)")
+    ap.add_argument("--until", default=None,
+                    help="warc_ts upper bound (partition prune)")
+    ap.add_argument("--page-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from ocr_spark.io import run_resumable
+    from ocr_spark.pipeline import PipelineConfig, extract_from_path
+
+    # conf comes from spark-submit; only the app name is set here
+    spark = SparkSession.builder.appName("ocr-spark-extract").getOrCreate()
+    cfg = PipelineConfig(
+        mode=args.mode if args.mode != "manifest" else "fused",
+        page_partitions=args.page_partitions,
+    )
+
+    t0 = time.time()
+    if args.mode == "manifest":
+        extracted = extract_from_path(spark, args.input, cfg)
+        extracted.write.mode("append").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        pages = (
+            spark.read.table(args.input)
+            if "." in args.input and "/" not in args.input
+            else spark.read.parquet(args.input)
+        )
+        # partition pruning on the crawl-time axis (Iceberg days(warc_ts))
+        if args.since:
+            pages = pages.filter(F.col("warc_ts") >= F.lit(args.since))
+        if args.until:
+            pages = pages.filter(F.col("warc_ts") < F.lit(args.until))
+        n = run_resumable(pages, args.output, cfg)
+    print(json.dumps({
+        "docs_in_output": n,
+        "seconds": round(time.time() - t0, 1),
+        "mode": args.mode,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
