@@ -48,8 +48,11 @@ def page_needs_ocr(
             block["bbox"], line_boxes, use_first_as_denominator=True
         )
         block_coverage = 0.0
-        for p in pcts:  # sequential += exactly as document.py:46-51
-            block_coverage += float(p)
+        # tolist() → Python floats; the += fold stays strictly sequential
+        # (same rounding as document.py:46-51 — numpy's pairwise sum would
+        # round differently, so no np.sum here)
+        for p in pcts.tolist():
+            block_coverage += p
         block_coverage = min(block_coverage, 1.0)
         total_area += block_area
         covered_area += block_area * block_coverage
@@ -86,7 +89,8 @@ def consolidate_blocks(lines: list[dict], layout: list[dict]) -> list[dict]:
                 drop.append(li)
                 new_bbox = merge_boxes(new_bbox, line["bbox"])
             bbox = new_bbox
-        pool = [line for li, line in enumerate(pool) if li not in drop]
+        dropped = set(drop)
+        pool = [line for li, line in enumerate(pool) if li not in dropped]
         if absorbed:
             blocks.append({"bbox": new_bbox, "type": block["type"], "lines": absorbed})
     for line in pool:

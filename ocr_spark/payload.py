@@ -39,7 +39,8 @@ def _fmt_bbox(bbox: list[float]) -> str:
 
 
 def _parse_bbox(raw: bytes) -> list[float]:
-    return [float(c) for c in raw.decode("ascii").split(",")]
+    # float() accepts ASCII bytes directly; map() keeps the loop in C.
+    return list(map(float, raw.split(b",")))
 
 
 def _b64_spans(spans: list[str]) -> str:
@@ -52,8 +53,7 @@ def _decode_spans(raw: bytes) -> list[str]:
     if not raw:
         return []
     return [
-        base64.b64decode(tok).decode("utf-8")
-        for tok in raw.decode("ascii").split(",")
+        base64.b64decode(tok).decode("utf-8") for tok in raw.split(b",")
     ]
 
 
@@ -96,7 +96,10 @@ def decode_page(raw: bytes) -> dict[str, Any]:
     m = _PAGE_RE.search(raw)
     if m is None:
         raise ValueError("not a page payload")
-    i, w, h, body = m.groups()
+    return _page_from_groups(*m.groups())
+
+
+def _page_from_groups(i: bytes, w: bytes, h: bytes, body: bytes) -> dict[str, Any]:
     return {
         "i": int(i),
         "width": float(w),
@@ -128,9 +131,9 @@ def decode_doc(data: bytes) -> dict[str, Any]:
     dpi, kind = int(m.group(1)), m.group(2).decode("ascii")
     pages, page_bytes = [], []
     for pm in _PAGE_RE.finditer(data):
-        raw = pm.group(0)
-        pages.append(decode_page(raw))
-        page_bytes.append(raw)
+        # groups are already captured — no second regex pass per page
+        pages.append(_page_from_groups(*pm.groups()))
+        page_bytes.append(pm.group(0))
     order = sorted(range(len(pages)), key=lambda k: pages[k]["i"])
     return {
         "dpi": dpi,
