@@ -1,0 +1,58 @@
+"""Physical-plan assertions: the scale behaviors SURVEY.md §4 promises —
+column pruning at the scan, partition pruning on the crawl-day axis,
+filter pushdown, and the single payload-free exchange of the fused plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def extracted_path(spark, pages_parquet, tmp_path_factory):
+    from ocr_spark.io import write_extracted
+    from ocr_spark.pipeline import extract, read_pages
+
+    out = str(tmp_path_factory.mktemp("plans") / "extracted")
+    write_extracted(extract(read_pages(spark, pages_parquet)), out)
+    return out
+
+
+class TestPlans:
+    def test_scan_prunes_crawl_text_column(self, spark, pages_parquet):
+        """The flagship plan must never read the crawl `text` column."""
+        from ocr_spark.pipeline import extract, read_pages
+
+        plan = extract(read_pages(spark, pages_parquet))._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema" in plan
+        read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+        assert "html" in read_schema
+        assert "text" not in read_schema
+
+    def test_day_partition_pruning(self, spark, extracted_path):
+        """Filtering on warc_day must prune partitions, not scan-and-filter."""
+        df = spark.read.parquet(extracted_path).filter(
+            F.col("warc_day") == "2025-01-03"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "warc_day" in plan.split("PartitionFilters", 1)[1][:200]
+
+    def test_url_filter_pushed_to_scan(self, spark, extracted_path):
+        df = spark.read.parquet(extracted_path).filter(
+            F.col("url") == "https://example.org/doc/00000003"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pushed = plan.split("PushedFilters", 1)
+        assert len(pushed) == 2 and "url" in pushed[1][:200]
+
+    def test_fused_plan_has_single_exchange_and_udf(self, spark, pages_parquet):
+        """Doc-fused default: ONE mapInPandas, ONE exchange, and the
+        exchange's rows carry no binary payload column."""
+        from ocr_spark.pipeline import extract, read_pages
+
+        plan = extract(read_pages(spark, pages_parquet))._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+        # AQE wraps the plan; count shuffle exchanges in the final string
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, plan
+        exchange_section = plan.split("Exchange hashpartitioning", 1)[1]
+        assert "html" not in exchange_section[:400]

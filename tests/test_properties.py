@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the geometry/consolidation kernels
+— SURVEY.md §5 item 4: invariants that must hold for ANY box configuration,
+not just the golden corpus."""
+
+from hypothesis import given, settings, strategies as st
+
+from ocr_spark.kernels.consolidate import consolidate_blocks, sort_blocks
+from ocr_spark.kernels.geometry import box_overlap_pct, merge_boxes
+from ocr_spark.kernels.layout import merge_overlapping_blocks
+
+coord = st.floats(
+    min_value=0.0, max_value=1000.0, allow_nan=False, allow_infinity=False
+)
+
+
+@st.composite
+def boxes(draw):
+    x1, y1 = draw(coord), draw(coord)
+    w = draw(st.floats(min_value=0.1, max_value=400.0))
+    h = draw(st.floats(min_value=0.1, max_value=400.0))
+    return [x1, y1, x1 + w, y1 + h]
+
+
+@st.composite
+def lines(draw):
+    return {"bbox": draw(boxes()), "content": draw(st.text(max_size=12))}
+
+
+@st.composite
+def layouts(draw):
+    return {
+        "type": draw(st.sampled_from(["text", "title", "table", "figure"])),
+        "bbox": draw(boxes()),
+    }
+
+
+class TestGeometryProperties:
+    @given(a=boxes(), b=boxes())
+    @settings(max_examples=200, deadline=None)
+    def test_overlap_pct_bounded_and_symmetric_zero(self, a, b):
+        p = box_overlap_pct(a, b)
+        assert 0.0 <= p <= 1.0
+        # zero iff no positive-area intersection, symmetric in that regard
+        q = box_overlap_pct(b, a)
+        assert (p == 0.0) == (q == 0.0)
+
+    @given(a=boxes(), b=boxes())
+    @settings(max_examples=200, deadline=None)
+    def test_merge_contains_both(self, a, b):
+        m = merge_boxes(a, b)
+        for box in (a, b):
+            assert m[0] <= box[0] and m[1] <= box[1]
+            assert m[2] >= box[2] and m[3] >= box[3]
+
+
+class TestConsolidationProperties:
+    @given(ls=st.lists(lines(), max_size=12), lay=st.lists(layouts(), max_size=6))
+    @settings(max_examples=150, deadline=None)
+    def test_every_line_in_exactly_one_block(self, ls, lay):
+        out = consolidate_blocks(ls, lay)
+        emitted = [id(line) for b in out for line in b["lines"]]
+        assert sorted(emitted) == sorted(id(line) for line in ls)
+        assert len(set(emitted)) == len(emitted)
+
+    @given(ls=st.lists(lines(), max_size=12), lay=st.lists(layouts(), max_size=6))
+    @settings(max_examples=150, deadline=None)
+    def test_block_bbox_contains_member_lines(self, ls, lay):
+        for b in consolidate_blocks(ls, lay):
+            x1, y1, x2, y2 = b["bbox"]
+            for line in b["lines"]:
+                lx1, ly1, lx2, ly2 = line["bbox"]
+                assert x1 <= lx1 and y1 <= ly1 and x2 >= lx2 and y2 >= ly2
+
+    @given(ls=st.lists(lines(), max_size=10), lay=st.lists(layouts(), max_size=5))
+    @settings(max_examples=100, deadline=None)
+    def test_sorted_output_nondecreasing_y(self, ls, lay):
+        out = sort_blocks(consolidate_blocks(ls, lay))
+        ys = [b["bbox"][1] for b in out]
+        assert ys == sorted(ys)
+
+
+class TestLayoutMergeProperties:
+    @given(lay=st.lists(layouts(), max_size=8))
+    @settings(max_examples=150, deadline=None)
+    def test_every_input_contained_in_some_output(self, lay):
+        """Each input box ends up inside some result bbox (union growth).
+
+        NB: "no result pair overlaps > 0.5" is deliberately NOT asserted —
+        the reference's greedy loop (layout.py:57-86) only rescans the
+        *unprocessed* pool, so an earlier seed's union growth can overlap a
+        later result; the kernel replicates that observable behavior."""
+        out = merge_overlapping_blocks(lay)
+        assert len(out) <= len(lay)
+        for blk in lay:
+            x1, y1, x2, y2 = blk["bbox"]
+            assert any(
+                m["bbox"][0] <= x1 and m["bbox"][1] <= y1
+                and m["bbox"][2] >= x2 and m["bbox"][3] >= y2
+                for m in out
+            )
+
+    @given(lay=st.lists(layouts(), max_size=8))
+    @settings(max_examples=100, deadline=None)
+    def test_merge_is_deterministic(self, lay):
+        import copy
+
+        a = merge_overlapping_blocks(copy.deepcopy(lay))
+        b = merge_overlapping_blocks(copy.deepcopy(lay))
+        assert a == b
