@@ -125,6 +125,10 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
         "sim_lsh_topk",
         similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=10),
     )
+    timed(
+        "sim_ivf_topk",
+        similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=10),
+    )
     timed("text_quality", text_analysis.quality_score(docs))
     timed("text_tokens", text_analysis.token_count(docs))
     timed("text_langid", text_analysis.language_id(docs))

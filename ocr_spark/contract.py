@@ -496,6 +496,46 @@ WHERE cos >= 0.2
 """
 
 
+_IVF_SQL = f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+               FROM embeddings WHERE vec_id < 8),
+corpus_cells AS (
+  SELECT vec_id AS c_id, embedding AS c_vec, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_cos_duck('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1),
+query_cells AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_cos_duck('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS crank
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5)
+  WHERE crank <= 2),
+cand AS (
+  SELECT DISTINCT q.q_id, cc.c_id, cc.c_vec, q.q_vec
+  FROM corpus_cells cc JOIN query_cells q ON cc.cell = q.cell
+  WHERE cc.c_id <> q.q_id),
+scored AS (SELECT q_id, c_id, {_cos_duck('c_vec', 'q_vec')} AS cos FROM cand)
+SELECT q_id AS query_id, c_id AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cos, 6) AS cos_r
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos DESC, c_id ASC) AS rank FROM scored)
+WHERE rank <= 10
+"""
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    res = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, n_probe=2
+    )
+    return res.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
+    )
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     res = similarity.cosine_topk_bruteforce(
@@ -739,6 +779,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # similarity search
     "sim_cosine_topk": (_q_cosine_topk, _COS_TOPK_SQL),
     "sim_lsh_topk": (_q_lsh_topk, _LSH_TOPK_SQL),
+    "sim_ivf_topk": (_q_ivf_topk, _IVF_SQL),
     "sim_near_dup": (_q_near_dup, _NEAR_DUP_SQL),
     # text analysis
     "text_language_id": (_q_language_id, _lang_sql()),

@@ -180,6 +180,74 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into centroid cells, probe only
+    the query's ``n_probe`` nearest cells, exact cosine rerank inside them.
+
+    Centroids here are seed-picked deterministically (the ``n_centroids``
+    lowest ids) so the plan is RNG-free and oracle-reproducible; a
+    production deployment would train them with k-means (pyspark.ml) and
+    broadcast the centroid table exactly the same way.  The probe join is
+    a cell equi-join — at 10^12 vectors the corpus side shuffles once on
+    ``cell`` (or is bucketed by it at write time) and each query touches
+    ``n_probe / n_centroids`` of the data instead of all of it."""
+    cents = F.broadcast(
+        df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
+    )
+
+    def assign(x: DataFrame, idc: str, vecc: str, pref: str, probe: int) -> DataFrame:
+        scored = x.crossJoin(cents).withColumn(
+            "ccos",
+            F.expr(f"{_dot(vecc, 'cvec')} / ({_norm(vecc)} * {_norm('cvec')})"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("ccos"), F.asc("cid"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= probe)
+            .select(
+                F.col(idc).alias(f"{pref}_id"),
+                F.col(vecc).alias(f"{pref}_vec"),
+                F.col("cid").alias("cell"),
+            )
+        )
+
+    corpus_cells = assign(df.select(id_col, vec_col), id_col, vec_col, "c", 1)
+    query_cells = F.broadcast(
+        assign(queries.select(id_col, vec_col), id_col, vec_col, "q", n_probe)
+    )
+    cand = (
+        corpus_cells.join(query_cells, "cell")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", "c_vec", "q_vec")
+        .distinct()
+        .withColumn(
+            "cos",
+            F.expr(f"{_dot('c_vec', 'q_vec')} / ({_norm('c_vec')} * {_norm('q_vec')})"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("c_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "rank",
+            "cos",
+        )
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -128,6 +128,38 @@ class TestSimilarity:
         )
         assert hits >= 2
 
+    def test_ivf_topk_probes_recall_and_planted_dup(self, embs):
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators.similarity import (
+            cosine_topk_bruteforce,
+            ivf_topk,
+        )
+
+        queries = embs.filter("vec_id < 5")
+        exact = cosine_topk_bruteforce(embs, queries, k=3).collect()
+        approx = ivf_topk(embs, queries, k=3, n_centroids=4, n_probe=2).collect()
+        exact_sets, approx_sets = {}, {}
+        for r in exact:
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for r in approx:
+            approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(
+            len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets
+        )
+        assert hits >= 2  # probing half the cells recovers true neighbors
+
+        # an exact duplicate lands in the same cell → always found at rank 1
+        dup = embs.filter("vec_id < 2").withColumn(
+            "vec_id", F.col("vec_id") + 10_000
+        )
+        corpus = embs.unionByName(dup)
+        got = ivf_topk(
+            corpus, embs.filter("vec_id < 2"), k=1, n_centroids=4, n_probe=1
+        ).collect()
+        found = {r.query_id: r.neighbor_id for r in got}
+        assert found == {0: 10_000, 1: 10_001}
+
     def test_lsh_topk_always_finds_planted_duplicate(self, embs):
         from ocr_spark.operators.similarity import lsh_topk
 
