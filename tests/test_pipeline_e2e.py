@@ -100,6 +100,17 @@ class TestPipelineVariants:
         b = sorted(map(tuple, flatten_lines(extracted).select(key).collect()))
         assert a == b
 
+    def test_paged_mode_identical_tree(self, spark, pages_parquet, extracted):
+        """Page-level salted mode (giant-doc corpora) must match."""
+        paged = extract(
+            read_pages(spark, pages_parquet),
+            PipelineConfig(mode="paged", page_partitions=4),
+        )
+        key = ["url", "page_i", "block_i", "block_type", "line_i", "content"]
+        a = sorted(map(tuple, flatten_lines(paged).select(key).collect()))
+        b = sorted(map(tuple, flatten_lines(extracted).select(key).collect()))
+        assert a == b
+
     def test_staged_mode_identical_tree(self, spark, pages_parquet, extracted):
         """The staged three-branch plan (GPU deployment shape) must produce
         the exact same nested tree as the default fused plan."""

@@ -50,8 +50,10 @@ class TestPlans:
         from ocr_spark.pipeline import extract, read_pages
 
         plan = extract(read_pages(spark, pages_parquet))._jdf.queryExecution().executedPlan().toString()
+        # AQE may append an "== Initial Plan ==" copy once anything in the
+        # session has executed — assert on the final-plan section only
+        plan = plan.split("== Initial Plan ==", 1)[0]
         assert plan.count("MapInPandas") == 1
-        # AQE wraps the plan; count shuffle exchanges in the final string
         n_exchanges = plan.count("Exchange hashpartitioning")
         assert n_exchanges == 1, plan
         exchange_section = plan.split("Exchange hashpartitioning", 1)[1]
