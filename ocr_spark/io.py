@@ -50,13 +50,18 @@ def read_extracted(spark: SparkSession, path: str) -> DataFrame:
 
 def processed_urls(spark: SparkSession, path: str) -> DataFrame | None:
     """urls already extracted successfully; None when no checkpoint exists."""
+    if "://" not in path:
+        import os
+
+        if not os.path.exists(path):  # avoid a noisy JVM-side probe failure
+            return None
     try:
         return (
             read_extracted(spark, path)
             .filter(F.col("status") == "COMPLETED")
             .select("url")
         )
-    except Exception:  # path does not exist yet → fresh run
+    except Exception:  # remote path does not exist yet → fresh run
         return None
 
 
@@ -95,16 +100,37 @@ def run_resumable(
     pages: DataFrame,
     out_path: str,
     cfg: PipelineConfig | None = None,
+    observe: dict | None = None,
 ) -> int:
     """One checkpointed pass: extract every not-yet-done url, append.
 
     Returns the number of docs appended.  Idempotent under reruns: a crashed
     run re-extracts only missing urls; committed parquet files (like Iceberg
     snapshots) are never rewritten.
+
+    Pass ``observe={}`` to collect in-flight run metrics (A5 — the Spark
+    ``Observation`` analogue of the reference's per-page progress stream,
+    service.py:125-132) without a second pass over the output: the dict is
+    filled with docs/pages/ocr_pages/failed after the write completes.
     """
     todo = pending_pages(pages, out_path)
     extracted = extract(todo, cfg)
+    if observe is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation("extract_run")
+        extracted = extracted.observe(
+            obs,
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_pages").alias("pages"),
+            F.sum("ocr_pages").alias("ocr_pages"),
+            F.sum(
+                F.when(F.col("status") == "FAILED", 1).otherwise(0)
+            ).alias("failed"),
+        )
     write_extracted(extracted, out_path, mode="append")
+    if observe is not None:
+        observe.update(obs.get)
     spark = pages.sparkSession
     # count from the committed table, not the plan (cheap: metadata + url col)
     return (
