@@ -129,6 +129,17 @@ SELECT event_id,
 FROM events
 """
 
+# S7 — the 4500-px raster safety cap (document.py:407-416): pages whose
+# width/height at the document dpi exceed the cap re-render at 72 dpi.
+# Analogue: page dims derived from lineitem prices.
+_RASTER_CAP_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN (l_extendedprice / 40.0) * 200.0 / 72.0 > 4500.0
+              OR (l_quantity * 30.0) * 200.0 / 72.0 > 4500.0
+            THEN 72 ELSE 200 END AS eff_dpi
+FROM lineitem
+"""
+
 # P3 court-heading pattern (document.py:630-634); `\\d`/`\\w`/`\\s` mean the
 # same in Java regex (Spark RLIKE) and RE2 (DuckDB regexp_matches).
 _HEADING_RE = r"(?i)^.{0,50}ase \d+[-:]\d+[-\w]+.{1,200}\s+Page \d+ of \d+"
@@ -344,6 +355,54 @@ sh AS ({_shingle_cte(3)})
 SELECT doc_id, min({_PH}) AS fp_min, max({_PH}) AS fp_max,
        CAST(count(*) AS INTEGER) AS fp_size
 FROM sh GROUP BY doc_id
+"""
+
+
+def _q_dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized dedup: keep only each group's representative row —
+    the operation a training-data pipeline actually runs (group shuffle on
+    the 16-byte digest, then a semi-join back to the corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    reps = dedup.exact_dedup(
+        docs.select(F.expr("substr(text, 1, 16)").alias("norm"), "doc_id"),
+        text_col="norm",
+    ).select(F.col("representative").alias("doc_id"))
+    return docs.join(reps, "doc_id", "left_semi").select("doc_id", "n_chars")
+
+
+_DEDUP_FILTER_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents GROUP BY md5(substr(text, 1, 16)))
+"""
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality gate: language + composite quality + length band —
+    the canonical webtext training-data filter, end to end.  Both engines
+    filter on the 6-dp-rounded score so the threshold compare is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_analysis.quality_score(
+        text_analysis.language_id(docs)
+    ).withColumn("quality_r", F.round("quality", 6))
+    return (
+        scored.filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality_r") >= 0.5)
+            & (F.col("n_words").between(20, 95))
+        )
+        .select("doc_id", "lang_pred", "quality_r")
+    )
+
+
+def _quality_filter_sql() -> str:
+    return f"""
+WITH lang AS ({_lang_sql().strip()}),
+q AS ({_quality_sql().strip()})
+SELECT q.doc_id, lang.lang_pred, q.quality_r
+FROM q JOIN lang ON q.doc_id = lang.doc_id
+WHERE lang.lang_pred = 'en' AND q.quality_r >= 0.5
+  AND q.n_words BETWEEN 20 AND 95
 """
 
 
@@ -764,6 +823,8 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
         _run_shared_sql(["events"], _BLOCK_SORT_SQL), _BLOCK_SORT_SQL),
     "ext_scalar_funcs": (
         _run_shared_sql(["events"], _SCALAR_SQL), _SCALAR_SQL),
+    "ext_raster_cap": (
+        _run_shared_sql(["lineitem"], _RASTER_CAP_SQL), _RASTER_CAP_SQL),
     "ext_ignore_predicates": (_q_ignore_predicates, _IGNORE_SQL),
     "ext_text_assembly": (_q_text_assembly, _ASSEMBLY_SQL),
     "ext_resume_anti_join": (_q_resume_anti_join, _RESUME_SQL),
@@ -771,6 +832,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "ext_empty_line_filter": (_q_empty_line_filter, _EMPTY_SQL),
     # training-data dedup
     "dedup_exact": (_q_exact_dedup, _EXACT_DEDUP_SQL),
+    "dedup_filtered_corpus": (_q_dedup_filtered_corpus, _DEDUP_FILTER_SQL),
     "dedup_minhash": (_q_minhash, _MINHASH_SQL),
     "dedup_lsh_pairs": (_q_lsh_pairs, _LSH_SQL),
     "dedup_jaccard": (_q_jaccard, _JACCARD_SQL),
@@ -786,6 +848,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "text_quality": (_q_quality, _quality_sql()),
     "text_token_count": (_q_token_count, _TOKEN_SQL),
     "text_fingerprint": (_q_fingerprint, _FINGERPRINT_SQL),
+    "text_quality_filter": (_q_quality_filter, _quality_filter_sql()),
     # multimodal plumbing (Python UDF vs SQL twin)
     "mm_media_meta": (_q_media_meta, _MEDIA_SQL),
     "mm_sample_frames": (_q_sample_frames, _FRAMES_SQL),
