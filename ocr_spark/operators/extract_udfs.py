@@ -59,6 +59,17 @@ def parse_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             try:
                 doc = hx.decode_doc(bytes(html))
                 npg = len(doc["pages"])
+                if npg == 0:
+                    # zero-page doc: placeholder row so the url survives
+                    # to assembly (page_i=-1 collects no page there)
+                    out["url"].append(url)
+                    out["warc_ts"].append(warc_ts)
+                    out["lang"].append(lang)
+                    out["doc_dpi"].append(doc["dpi"])
+                    out["page_i"].append(-1)
+                    out["n_pages"].append(0)
+                    out["page_bytes"].append(None)
+                    out["error"].append(None)
                 for page, raw in zip(doc["pages"], doc["page_bytes"]):
                     out["url"].append(url)
                     out["warc_ts"].append(warc_ts)
@@ -200,6 +211,12 @@ def extract_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                      f"PARSE_ERROR: {type(e).__name__}: {e}")
                 continue
             npg = len(doc["pages"])
+            if npg == 0:
+                # zero-page documents still exist in the output (the
+                # reference yields an empty tree, not an error); page_i=-1
+                # marks "no page" and assembly skips it
+                emit(url, warc_ts, lang, -1, 0, False, "[]", None)
+                continue
             for page in doc["pages"]:
                 info = hx.analyze_page(page, doc["dpi"])
                 layout = [

@@ -192,14 +192,15 @@ def assemble_stage(page_blocks: DataFrame) -> DataFrame:
     document.py:98, :584-597); text joins are byte-exact A2 semantics."""
     assembled = page_blocks.groupBy("url").agg(
         F.first("warc_ts").alias("warc_ts"),
-        # collect_list skips NULLs, so error rows contribute no page entry
+        # collect_list skips NULLs, so error rows and zero-page placeholders
+        # (page_i = -1) contribute no page entry
         F.expr(
-            "sort_array(collect_list(CASE WHEN error IS NULL THEN "
-            "struct(page_i AS i, blocks) END))"
+            "sort_array(collect_list(CASE WHEN error IS NULL AND page_i >= 0 "
+            "THEN struct(page_i AS i, blocks) END))"
         ).alias("pages"),
-        F.sum(F.expr("CASE WHEN error IS NULL THEN 1 ELSE 0 END")).alias(
-            "n_pages_seen"
-        ),
+        F.sum(
+            F.expr("CASE WHEN error IS NULL AND page_i >= 0 THEN 1 ELSE 0 END")
+        ).alias("n_pages_seen"),
         F.sum(F.expr("size(blocks)")).alias("n_blocks"),
         F.sum(F.when(F.col("ocr"), 1).otherwise(0)).alias("ocr_pages"),
         F.max("error").alias("error"),

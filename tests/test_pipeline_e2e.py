@@ -143,6 +143,33 @@ class TestPipelineVariants:
         }
         assert "ignore" not in types
 
+    def test_zero_page_doc_survives_as_empty_tree(self, spark):
+        """A zero-page document must appear in the output as an empty
+        COMPLETED tree (the reference yields pages=[]), in every mode."""
+        import datetime as dt
+
+        from ocr_spark.payload import encode_doc
+
+        row = (
+            "u://empty",
+            dt.datetime(2025, 1, 1),
+            bytearray(encode_doc([], dpi=200, kind="A")),
+            "",
+            "en",
+        )
+        schema = (
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string"
+        )
+        df = spark.createDataFrame([row], schema)
+        for mode in ("fused", "paged", "staged"):
+            out = extract(df, PipelineConfig(mode=mode, page_partitions=2)).collect()
+            assert len(out) == 1, mode
+            r = out[0]
+            assert (r.status, r.n_pages, r.text, list(r.pages)) == (
+                "COMPLETED", 0, "", [],
+            ), mode
+
     def test_corrupt_payload_yields_failed_row(self, spark):
         pdf = pd.DataFrame(
             {
