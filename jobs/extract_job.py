@@ -74,7 +74,22 @@ def main() -> int:
             pages = pages.filter(F.col("warc_ts") >= F.lit(args.since))
         if args.until:
             pages = pages.filter(F.col("warc_ts") < F.lit(args.until))
-        n = run_resumable(pages, args.output, cfg)
+        attempted = run_resumable(pages, args.output, cfg)
+        from ocr_spark.io import read_extracted
+
+        n = (
+            read_extracted(spark, args.output, latest_only=True)
+            .select("url")
+            .count()
+        )
+        print(json.dumps({
+            "docs_attempted_this_pass": attempted,
+            "docs_in_output": n,
+            "seconds": round(time.time() - t0, 1),
+            "mode": args.mode,
+        }))
+        spark.stop()
+        return 0
     print(json.dumps({
         "docs_in_output": n,
         "seconds": round(time.time() - t0, 1),

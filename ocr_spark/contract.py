@@ -270,10 +270,13 @@ _WORDS_CTE = "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
 
 
 def _shingle_cte(n: int) -> str:
+    # w words → w-n+1 shingles (inclusive upper bound len-n); short docs →
+    # empty list → unnest yields no rows.  Mirrors dedup.with_shingles.
     return f"""
 SELECT doc_id,
        unnest(list_distinct(list_transform(
-         generate_series(0, greatest(len(w) - {n}, 0) - 1),
+         CASE WHEN len(w) >= {n} THEN generate_series(0, len(w) - {n})
+              ELSE [] END,
          i -> array_to_string(list_slice(w, i + 1, i + {n}), ' ')))) AS shingle
 FROM words
 """
@@ -334,17 +337,20 @@ CAST(list_aggregate(list_transform(generate_series(0, 15), j ->
 
 _SIMHASH_SQL = f"SELECT doc_id, {_SIMHASH_EXPR} AS simhash FROM documents"
 
+# 4 bands of 4 bits (max_hamming=3 → pigeonhole-exact recall; mirrors
+# dedup.simhash_near_dup_pairs banding)
 _SIMHASH_PAIRS_SQL = f"""
 WITH sig AS (SELECT doc_id, {_SIMHASH_EXPR} AS simhash FROM documents),
-buck AS (SELECT doc_id, simhash, simhash & 255 AS lo,
-                simhash >> 8 AS hi FROM sig),
+buck AS (
+  SELECT doc_id, simhash, 0 AS band, simhash & 15 AS key FROM sig
+  UNION ALL SELECT doc_id, simhash, 1, (simhash >> 4) & 15 FROM sig
+  UNION ALL SELECT doc_id, simhash, 2, (simhash >> 8) & 15 FROM sig
+  UNION ALL SELECT doc_id, simhash, 3, (simhash >> 12) & 15 FROM sig),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          xor(a.simhash, b.simhash) AS x
-  FROM buck a JOIN buck b ON a.lo = b.lo AND a.doc_id < b.doc_id
-  UNION ALL
-  SELECT a.doc_id, b.doc_id, xor(a.simhash, b.simhash)
-  FROM buck a JOIN buck b ON a.hi = b.hi AND a.doc_id < b.doc_id)
+  FROM buck a JOIN buck b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
 SELECT DISTINCT doc_a, doc_b, CAST(bit_count(x) AS INTEGER) AS hamming
 FROM pairs WHERE bit_count(x) <= 3
 """

@@ -44,25 +44,54 @@ def write_extracted(extracted: DataFrame, path: str, mode: str = "append") -> No
     )
 
 
-def read_extracted(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_extracted(
+    spark: SparkSession, path: str, latest_only: bool = False
+) -> DataFrame:
+    """Read the checkpoint table.
+
+    ``latest_only=True`` collapses retry attempts to one row per url
+    (COMPLETED beats FAILED; ties broken deterministically on the error
+    string) — use it for analytics over a table that has seen reruns of
+    failing urls (run_resumable retries non-COMPLETED work by design)."""
+    df = spark.read.parquet(path)
+    if latest_only:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy(
+            F.when(F.col("status") == "COMPLETED", 0).otherwise(1),
+            F.coalesce("error", F.lit("")),
+        )
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return df
 
 
 def processed_urls(spark: SparkSession, path: str) -> DataFrame | None:
-    """urls already extracted successfully; None when no checkpoint exists."""
+    """urls already extracted successfully; None when no checkpoint exists.
+
+    Only a missing path means "fresh run" — any other read failure (auth,
+    throttling on an object store) re-raises, because treating it as fresh
+    would silently re-extract and double-append the whole corpus."""
     if "://" not in path:
         import os
 
         if not os.path.exists(path):  # avoid a noisy JVM-side probe failure
             return None
+    from pyspark.errors import AnalysisException
+
     try:
         return (
             read_extracted(spark, path)
             .filter(F.col("status") == "COMPLETED")
             .select("url")
         )
-    except Exception:  # remote path does not exist yet → fresh run
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None  # no checkpoint yet (or an empty directory)
+        raise
 
 
 def pending_pages(pages: DataFrame, out_path: str) -> DataFrame:
@@ -79,8 +108,9 @@ def pending_pages(pages: DataFrame, out_path: str) -> DataFrame:
 
 def run_metrics(extracted_path: str, spark: SparkSession) -> DataFrame:
     """Operational rollup over the checkpoint table (A4 — status counts,
-    service.py:262-276 — plus ocr-vs-native ratio and failure codes)."""
-    df = read_extracted(spark, extracted_path)
+    service.py:262-276 — plus ocr-vs-native ratio and failure codes).
+    Retry attempts are collapsed so counts are per-url."""
+    df = read_extracted(spark, extracted_path, latest_only=True)
     return df.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_pages").alias("pages"),
@@ -102,11 +132,14 @@ def run_resumable(
     cfg: PipelineConfig | None = None,
     observe: dict | None = None,
 ) -> int:
-    """One checkpointed pass: extract every not-yet-done url, append.
+    """One checkpointed pass: extract every not-yet-COMPLETED url, append.
 
-    Returns the number of docs appended.  Idempotent under reruns: a crashed
-    run re-extracts only missing urls; committed parquet files (like Iceberg
-    snapshots) are never rewritten.
+    Returns the number of urls attempted in THIS pass (0 ⇒ nothing left to
+    do — the loop-termination signal).  COMPLETED urls are never re-done;
+    FAILED urls are retried each pass (transient-failure semantics) and
+    each retry appends a new attempt row — read the table with
+    ``read_extracted(..., latest_only=True)`` to collapse attempts.
+    Committed parquet files (like Iceberg snapshots) are never rewritten.
 
     Pass ``observe={}`` to collect in-flight run metrics (A5 — the Spark
     ``Observation`` analogue of the reference's per-page progress stream,
@@ -128,11 +161,14 @@ def run_resumable(
                 F.when(F.col("status") == "FAILED", 1).otherwise(0)
             ).alias("failed"),
         )
+    if observe is None:
+        # still observe a doc count so the return value costs no extra pass
+        from pyspark.sql import Observation
+
+        obs = Observation("extract_run_count")
+        extracted = extracted.observe(obs, F.count(F.lit(1)).alias("docs"))
     write_extracted(extracted, out_path, mode="append")
+    attempted = int(obs.get["docs"])
     if observe is not None:
         observe.update(obs.get)
-    spark = pages.sparkSession
-    # count from the committed table, not the plan (cheap: metadata + url col)
-    return (
-        read_extracted(spark, out_path).select("url").distinct().count()
-    )
+    return attempted

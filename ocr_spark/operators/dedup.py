@@ -56,11 +56,18 @@ def exact_dedup(
 def with_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
 ) -> DataFrame:
-    """Distinct word n-gram shingles as an array column (no explode yet)."""
+    """Distinct word n-gram shingles as an array column (no explode yet).
+
+    A doc with w words has w-n+1 shingles (sequence upper bound size-n is
+    inclusive); docs shorter than n words get an empty array — guarded
+    explicitly because Spark's ``sequence(0, negative)`` counts DOWN and
+    ``slice`` rejects start 0."""
     words = f"split({text_col}, ' ')"
     expr = (
-        f"array_distinct(transform(sequence(0, greatest(size({words}) - {n}, 0) - 1),"
-        f" i -> array_join(slice({words}, i + 1, {n}), ' ')))"
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({words}) - {n}),"
+        f" i -> array_join(slice({words}, i + 1, {n}), ' '))) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
     return df.withColumn(out, F.expr(expr))
 
@@ -213,31 +220,44 @@ def simhash_near_dup_pairs(
     max_hamming: int = 2,
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, bucketed by half-signature
-    (a pair within distance ≤ bits/2-locality lands in a shared half)."""
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Bucketing uses ``max_hamming + 1`` signature bands: by pigeonhole, any
+    pair within the distance budget agrees on at least one whole band, so
+    recall is EXACT (a two-half scheme only guarantees hamming ≤ 1 — pairs
+    with one flip in each half would be missed)."""
     sig = simhash(df, text_col, id_col, bits, hash_mode)
-    half = bits // 2
-    buck = sig.select(
-        id_col,
-        "simhash",
-        F.expr(f"simhash & {(1 << half) - 1}").alias("lo"),
-        F.expr(f"shiftright(simhash, {half})").alias("hi"),
-    )
-    pairs = None
-    for side in ("lo", "hi"):
-        a, b = buck.alias("a"), buck.alias("b")
-        p = a.join(
-            b,
-            on=[
-                F.col(f"a.{side}") == F.col(f"b.{side}"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        ).select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.expr("a.simhash ^ b.simhash").alias("xor"),
+    bands = max_hamming + 1
+    width = -(-bits // bands)  # ceil
+    band_cols = []
+    for b in range(bands):
+        start = b * width
+        w = min(width, bits - start)
+        if w <= 0:
+            break
+        mask = (1 << w) - 1
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright(simhash, {start}) & {mask}").alias("key"),
+            )
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    buck = sig.select(
+        id_col, "simhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    a, b = buck.alias("a"), buck.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.band") == F.col("b.band"),
+            F.col("a.key") == F.col("b.key"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ],
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.expr("a.simhash ^ b.simhash").alias("xor"),
+    )
     return (
         pairs.withColumn("hamming", F.bit_count("xor"))
         .filter(F.col("hamming") <= max_hamming)

@@ -20,7 +20,25 @@ from typing import Any
 
 import pandas as pd
 
-from ..extract import heuristic as hx
+from ..extract import get_backend
+
+
+class _BackendProxy:
+    """Late-binding handle so every UDF picks up the worker's configured
+    backend (OCR_SPARK_BACKEND env, resolved once per Python worker —
+    the reference's lazy model-singleton pattern, ocr.py:10-34)."""
+
+    def __getattr__(self, name):
+        return getattr(get_backend(), name)
+
+
+hx = _BackendProxy()
+
+
+def _page_i(page) -> int:
+    """Page index accessor valid for both backends (heuristic page dicts
+    carry ``"i"``; model-backend fitz pages carry ``.i``)."""
+    return page["i"] if isinstance(page, dict) else int(page.i)
 
 
 def _bbox_list(b) -> list[float]:
@@ -75,7 +93,7 @@ def parse_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     out["warc_ts"].append(warc_ts)
                     out["lang"].append(lang)
                     out["doc_dpi"].append(doc["dpi"])
-                    out["page_i"].append(page["i"])
+                    out["page_i"].append(_page_i(page))
                     out["n_pages"].append(npg)
                     out["page_bytes"].append(raw)
                     out["error"].append(None)
@@ -235,7 +253,7 @@ def extract_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         }
                         for ln in info["native_lines"]
                     ]
-                emit(url, warc_ts, lang, page["i"], npg, bool(info["needs_ocr"]),
+                emit(url, warc_ts, lang, _page_i(page), npg, bool(info["needs_ocr"]),
                      json.dumps(_pack_blocks(hx.finish_page(lines, layout))),
                      None)
         yield pd.DataFrame(out)
@@ -280,6 +298,7 @@ def analyze_and_finish(
         blocks_col: list[list[dict] | None] = [None] * n
         ocr_col = [False] * n
         ocr_idx: list[int] = []
+        ocr_pages: dict[int, dict] = {}  # decoded once, reused below
         for pos, (page_bytes, doc_dpi, error) in enumerate(
             zip(pdf["page_bytes"], pdf["doc_dpi"], pdf["error"])
         ):
@@ -295,6 +314,7 @@ def analyze_and_finish(
             if info["needs_ocr"]:
                 ocr_idx.append(pos)
                 ocr_col[pos] = True
+                ocr_pages[pos] = page
                 blocks_col[pos] = layout  # stash layout; lines come below
             else:
                 lines = [
@@ -304,9 +324,8 @@ def analyze_and_finish(
                 blocks_col[pos] = _pack_blocks(hx.finish_page(lines, layout))
         # dense OCR sub-batch (reference document.py:119-133)
         for pos in ocr_idx:
-            page = hx.decode_page(bytes(pdf["page_bytes"].iloc[pos]))
             lines = hx.extract_ocr_text(
-                page,
+                ocr_pages[pos],
                 int(pdf["doc_dpi"].iloc[pos]),
                 pdf["lang"].iloc[pos] or "en",
             )

@@ -43,6 +43,14 @@ _HEADING_SQL_LITERAL = HEADING_SQL_PATTERN.replace("\\", "\\\\")
 # Block text = lines joined by '\n' (document.py:328).
 _BLOCK_TEXT = "array_join(transform(b.lines, l -> l.content), '\\n')"
 
+# P4 — digit-only predicate (document.py:635 ``text.strip().isdigit()``).
+# ``\s``-anchored + ``\p{Nd}`` so tab/newline padding and Unicode decimal
+# digits match the Python semantics (residual gap: exotic Unicode spaces
+# and superscript digits, which str.strip()/isdigit() also accept — absent
+# from web-text line content in practice).
+_DIGITS_SQL_PATTERN = r"^\s*\p{Nd}+\s*$"
+_DIGITS_SQL_LITERAL = _DIGITS_SQL_PATTERN.replace("\\", "\\\\")
+
 # P3-P5 postprocess predicates (document.py:630-639) as one SQL rewrite of
 # the nested blocks column; `should_ignore` in kernels/postprocess.py is the
 # oracle twin.
@@ -53,7 +61,7 @@ transform(blocks, b ->
     'bbox', b.bbox,
     'type',
       CASE WHEN {_BLOCK_TEXT} RLIKE '{_HEADING_SQL_LITERAL}'
-             OR trim({_BLOCK_TEXT}) RLIKE '^[0-9]+$'
+             OR {_BLOCK_TEXT} RLIKE '{_DIGITS_SQL_LITERAL}'
              OR (b.type = 'abandon'
                  AND NOT exists(b.lines, l -> length(l.content) > 4))
            THEN 'ignore' ELSE b.type END,
@@ -263,9 +271,14 @@ def extract(
         finished = doc_fused_stage(pages)
     elif cfg.mode == "paged":
         finished = fused_finish_stage(parse_stage(pages), cfg)
-    else:
+    elif cfg.mode == "staged":
         analyzed = analyze_stage(parse_stage(pages), cfg)
         finished = branch_and_finish(analyzed, cfg)
+    else:
+        raise ValueError(
+            f"unknown PipelineConfig.mode {cfg.mode!r}; "
+            "expected 'fused', 'paged', or 'staged'"
+        )
     if cfg.postprocess:
         finished = postprocess_stage(finished)
     return assemble_stage(finished)

@@ -143,6 +143,46 @@ class TestPipelineVariants:
         }
         assert "ignore" not in types
 
+    def test_digit_rule_matches_python_semantics(self, spark):
+        """Regression (P4): tab-padded and Unicode-digit blocks must get
+        the same ignore/keep decision as the oracle's strip().isdigit()
+        (the old SQL used trim()+[0-9], which diverged)."""
+        import datetime as dt
+
+        from ocr_spark.fixtures import PAGE_H
+        from ocr_spark.payload import encode_doc
+
+        def page_with(content):
+            return {
+                "i": 0, "width": 612.0, "height": PAGE_H,
+                "layout": [{"type": "text", "bbox": [72.0, 72.0, 540.0, 92.0]}],
+                "native_lines": [
+                    {"bbox": [74.0, 74.0, 538.0, 90.0], "spans": [content]}
+                ],
+                "ocr_lines": [],
+            }
+
+        cases = ["42\t", "\u0664\u0662", "42", "not a number 42"]
+        rows = [
+            (
+                f"u://digit/{i}",
+                dt.datetime(2025, 1, 1),
+                bytearray(encode_doc([page_with(c)], dpi=200, kind="A")),
+                "",
+                "en",
+            )
+            for i, c in enumerate(cases)
+        ]
+        schema = (
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string"
+        )
+        out = extract(spark.createDataFrame(rows, schema)).collect()
+        got = {r.url: r.pages[0].blocks[0].type for r in out}
+        for i, c in enumerate(cases):
+            want = "ignore" if c.strip().isdigit() else "text"
+            assert got[f"u://digit/{i}"] == want, (c, got)
+
     def test_zero_page_doc_survives_as_empty_tree(self, spark):
         """A zero-page document must appear in the output as an empty
         COMPLETED tree (the reference yields pages=[]), in every mode."""

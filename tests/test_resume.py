@@ -29,15 +29,17 @@ class TestResume:
         todo = pending_pages(pages, out)
         assert todo.count() == total - n_first
 
-        # full resumable pass completes the table with no duplicates
+        # full resumable pass completes the table with no duplicates;
+        # the return is the count attempted THIS pass (the complement)
         n_done = run_resumable(pages, out)
-        assert n_done == total
+        assert n_done == total - n_first
         final = read_extracted(spark, out)
         assert final.count() == total
         assert final.select("url").distinct().count() == total
 
-        # second resume is a no-op (nothing pending)
+        # second resume is a no-op (nothing pending, returns 0)
         assert pending_pages(pages, out).count() == 0
+        assert run_resumable(pages, out) == 0
 
     def test_resume_skips_failed_urls_only_when_completed(
         self, spark, pages_parquet, tmp_path

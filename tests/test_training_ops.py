@@ -53,6 +53,44 @@ class TestDedup:
         for i in range(5):
             assert (i, i + 1000000) in found
 
+    def test_shingles_complete_and_short_doc_safe(self, spark):
+        """Regression: w words must yield w-n+1 shingles (the last one was
+        dropped), and docs shorter than n words must yield [] instead of
+        crashing slice() with start 0."""
+        from ocr_spark.operators.dedup import with_shingles
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "hello world"), (3, "x")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: list(r.shingles)
+            for r in with_shingles(df, n=3).collect()
+        }
+        assert got[1] == ["a b c", "b c d", "c d e"]
+        assert got[2] == []
+        assert got[3] == []
+
+    def test_simhash_pairs_recall_across_band_boundaries(self, spark):
+        """Regression: pairs whose differing bits span multiple signature
+        regions must still be found (pigeonhole banding, not two halves).
+        Construct signatures via doc text crafted so hamming ≤ 3."""
+        from ocr_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 3
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " iota"), (3, base + " iota kappa")],
+            "doc_id long, text string",
+        )
+        sigs = {r.doc_id: r.simhash for r in simhash(df, bits=16).collect()}
+        pairs = simhash_near_dup_pairs(df, bits=16, max_hamming=3).collect()
+        found = {(r.doc_a, r.doc_b) for r in pairs}
+        for a in (1, 2, 3):
+            for b in range(a + 1, 4):
+                ham = bin(sigs[a] ^ sigs[b]).count("1")
+                if ham <= 3:
+                    assert (a, b) in found, (a, b, ham)
+
     def test_ngram_jaccard_exact_dup_is_one(self, docs):
         from ocr_spark.operators.dedup import ngram_jaccard_pairs
 
