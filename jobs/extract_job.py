@@ -11,8 +11,8 @@ Cluster (the BASELINE.json deployment shape)::
       --conf spark.sql.catalog.cc=org.apache.iceberg.spark.SparkCatalog \
       --conf spark.sql.catalog.cc.type=hadoop \
       --conf spark.sql.catalog.cc.warehouse=s3a://bucket/warehouse \
-      jobs/extract_job.py --input cc.pages --output s3a://bucket/extracted \
-      --since 2025-01-01 --until 2025-02-01
+      jobs/extract_job.py --input cc.pages --iceberg-table \
+      --output s3a://bucket/extracted --since 2025-01-01 --until 2025-02-01
 
 Local smoke (same file, same flags)::
 
@@ -38,17 +38,24 @@ def main() -> int:
     ap.add_argument("--output", required=True,
                     help="extracted table path (parquet dir or Iceberg)")
     ap.add_argument("--mode", default="fused",
-                    choices=["fused", "paged", "staged", "manifest"])
+                    choices=["fused", "paged", "staged", "manifest"],
+                    help="pipeline shape; 'manifest' reads parquet "
+                         "row-groups worker-side (parquet --input only; "
+                         "NOT resumable — blind overwrite of --output; "
+                         "--since/--until unsupported)")
     ap.add_argument("--since", default=None,
                     help="warc_ts lower bound (partition prune)")
     ap.add_argument("--until", default=None,
                     help="warc_ts upper bound (partition prune)")
+    ap.add_argument("--iceberg-table", action="store_true",
+                    help="treat --input as a catalog table name instead "
+                         "of a filesystem path")
     ap.add_argument("--page-partitions", type=int, default=None)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
 
-    from ocr_spark.io import run_resumable
+    from ocr_spark.io import read_extracted, run_resumable
     from ocr_spark.pipeline import PipelineConfig, extract_from_path
 
     # conf comes from spark-submit; only the app name is set here
@@ -59,14 +66,21 @@ def main() -> int:
     )
 
     t0 = time.time()
+    result: dict = {"mode": args.mode}
     if args.mode == "manifest":
+        if args.since or args.until or args.iceberg_table:
+            ap.error(
+                "--mode manifest supports neither --since/--until nor "
+                "--iceberg-table (worker-side parquet splits only); use "
+                "the default mode for pruned/resumable runs"
+            )
         extracted = extract_from_path(spark, args.input, cfg)
-        extracted.write.mode("append").parquet(args.output)
-        n = spark.read.parquet(args.output).count()
+        extracted.write.mode("overwrite").parquet(args.output)
+        result["docs_in_output"] = spark.read.parquet(args.output).count()
     else:
         pages = (
             spark.read.table(args.input)
-            if "." in args.input and "/" not in args.input
+            if args.iceberg_table
             else spark.read.parquet(args.input)
         )
         # partition pruning on the crawl-time axis (Iceberg days(warc_ts))
@@ -74,27 +88,16 @@ def main() -> int:
             pages = pages.filter(F.col("warc_ts") >= F.lit(args.since))
         if args.until:
             pages = pages.filter(F.col("warc_ts") < F.lit(args.until))
-        attempted = run_resumable(pages, args.output, cfg)
-        from ocr_spark.io import read_extracted
-
-        n = (
+        result["docs_attempted_this_pass"] = run_resumable(
+            pages, args.output, cfg
+        )
+        result["docs_in_output"] = (
             read_extracted(spark, args.output, latest_only=True)
             .select("url")
             .count()
         )
-        print(json.dumps({
-            "docs_attempted_this_pass": attempted,
-            "docs_in_output": n,
-            "seconds": round(time.time() - t0, 1),
-            "mode": args.mode,
-        }))
-        spark.stop()
-        return 0
-    print(json.dumps({
-        "docs_in_output": n,
-        "seconds": round(time.time() - t0, 1),
-        "mode": args.mode,
-    }))
+    result["seconds"] = round(time.time() - t0, 1)
+    print(json.dumps(result))
     spark.stop()
     return 0
 

@@ -33,6 +33,7 @@ from .operators.hashing import (
     MERSENNE,
     MINHASH_A,
     MINHASH_B,
+    hex_slice_decode_duckdb as _hex_decode_duck_slice,
     portable_hash_sql_duckdb,
 )
 
@@ -45,14 +46,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _hex_decode_duck(h: str, start: int, length: int) -> str:
-    """DuckDB: big-endian integer from a hex-digest slice (1-based start).
-    Mirrors Python's ``int(sha[start-1:start-1+length], 16)``."""
-    terms = [
-        f"(instr('0123456789abcdef', substr({h}, {start + i}, 1)) - 1) * "
-        f"{16 ** (length - 1 - i)}"
-        for i in range(length)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    """Alias of hashing.hex_slice_decode_duckdb (single implementation)."""
+    return _hex_decode_duck_slice(h, start, length)
 
 
 # Derived geometry (shared arithmetic, valid in both dialects): layout
@@ -164,7 +159,9 @@ def _q_ignore_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.col("text").rlike(_HEADING_RE).alias("is_heading"),
-        F.trim("text").rlike("^[0-9]+$").alias("digits_only"),
+        # \z (end-of-input) not $: Java's $ matches before a trailing
+        # newline, RE2's does not — \z means the same in both
+        F.trim("text").rlike(r"^[0-9]+\z").alias("digits_only"),
         (~F.expr("exists(split(text, ' '), w -> length(w) > 4)")).alias(
             "all_short"
         ),
@@ -180,11 +177,11 @@ def _q_ignore_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IGNORE_SQL = f"""
 SELECT doc_id,
        regexp_matches(text, '{_HEADING_RE}') AS is_heading,
-       regexp_matches(trim(text), '^[0-9]+$') AS digits_only,
+       regexp_matches(trim(text), '^[0-9]+\\z') AS digits_only,
        len(list_filter(string_split(text, ' '), w -> length(w) > 4)) = 0
          AS all_short,
        CASE WHEN regexp_matches(text, '{_HEADING_RE}')
-              OR regexp_matches(trim(text), '^[0-9]+$')
+              OR regexp_matches(trim(text), '^[0-9]+\\z')
               OR len(list_filter(string_split(text, ' '),
                                  w -> length(w) > 4)) = 0
             THEN 'ignore' ELSE 'text' END AS final_type
@@ -723,11 +720,19 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata(docs)
 
 
+# kind: magic-byte sniff mirrored for the prefixes a UTF-8 text payload can
+# actually start with — 'RIFF' (plain ASCII) and the webm magic
+# \\x1a\\x45\\xdf\\xa3 (U+001A, 'E', U+07E3); PNG/JPEG magics are invalid
+# leading UTF-8 bytes so they cannot occur.
 _MEDIA_SQL = f"""
-WITH m AS (SELECT doc_id AS media_id, sha256(text) AS sha,
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS sha, text,
                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
            FROM documents)
-SELECT media_id, n_bytes, sha, 'application/octet-stream' AS kind,
+SELECT media_id, n_bytes, sha,
+       CASE WHEN starts_with(text, 'RIFF') THEN 'audio/wav'
+            WHEN starts_with(text, chr(26) || chr(69) || chr(2019))
+              THEN 'video/webm'
+            ELSE 'application/octet-stream' END AS kind,
   CAST({_hex_decode_duck('sha', 1, 8)} % 1920 + 1 AS INTEGER) AS width,
   CAST({_hex_decode_duck('sha', 9, 8)} % 1080 + 1 AS INTEGER) AS height,
   CAST({_hex_decode_duck('sha', 17, 4)} % 240 + 1 AS INTEGER) AS n_frames

@@ -25,15 +25,21 @@ def portable_hash_sql_spark(expr: str) -> str:
     return f"CAST(conv(substr(md5({expr}), 1, 12), 16, 10) AS BIGINT)"
 
 
-def portable_hash_sql_duckdb(expr: str) -> str:
-    """DuckDB SQL: same 48-bit value via unrolled hex-digit decode."""
-    h = f"md5({expr})"
+def hex_slice_decode_duckdb(h: str, start: int = 1, length: int = 12) -> str:
+    """DuckDB SQL: big-endian integer from a hex-digest slice (1-based
+    start) via unrolled digit decode — mirrors Python
+    ``int(h[start-1:start-1+length], 16)``."""
     terms = [
-        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * "
-        f"{16 ** (11 - i)}"
-        for i in range(12)
+        f"(instr('0123456789abcdef', substr({h}, {start + i}, 1)) - 1) * "
+        f"{16 ** (length - 1 - i)}"
+        for i in range(length)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def portable_hash_sql_duckdb(expr: str) -> str:
+    """DuckDB SQL: same 48-bit value via unrolled hex-digit decode."""
+    return hex_slice_decode_duckdb(f"md5({expr})", 1, 12)
 
 
 def portable_hash_col(col: Column) -> Column:

@@ -124,7 +124,9 @@ def fingerprint(
         if hash_mode == "portable"
         else "xxhash64(s)"
     )
-    sh = with_shingles(df, text_col, n)
+    # docs with no shingles (shorter than n words) have no fingerprint —
+    # filtered rather than emitting Long.MIN/MAX sentinels
+    sh = with_shingles(df, text_col, n).filter(F.expr("size(shingles) > 0"))
     return sh.select(
         id_col,
         F.expr(
