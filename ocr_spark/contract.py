@@ -740,6 +740,35 @@ FROM m
 """
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing check: the float32 vector is projected
+    back to exact digest bytes (round(f*255)) so the compare is integer-
+    exact across the float32 (Arrow) / float64 (DuckDB) divide."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = multimodal.extract_features(docs)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("i", "f")
+    ).select(
+        "media_id",
+        "i",
+        F.round(F.col("f") * 255).cast("int").alias("byte_val"),
+    )
+
+
+_FEATURES_SQL = f"""
+WITH m AS (SELECT doc_id AS media_id, sha256(text) AS sha FROM documents),
+i AS (SELECT unnest(generate_series(0, {multimodal.FEATURE_DIM - 1})) AS i)
+SELECT media_id, CAST(i.i AS INTEGER) AS i,
+       CAST((instr('0123456789abcdef', substr(sha, 2 * i.i + 1, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substr(sha, 2 * i.i + 2, 1)) - 1)
+            AS INTEGER) AS byte_val
+FROM m CROSS JOIN i
+"""
+
+
 def _q_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
@@ -862,6 +891,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "text_quality_filter": (_q_quality_filter, _quality_filter_sql()),
     # multimodal plumbing (Python UDF vs SQL twin)
     "mm_media_meta": (_q_media_meta, _MEDIA_SQL),
+    "mm_features": (_q_media_features, _FEATURES_SQL),
     "mm_sample_frames": (_q_sample_frames, _FRAMES_SQL),
     # extraction pipeline (non-SQL-expressible: rows-only checks)
     "extract_flagship": (_q_extract_flagship, None),

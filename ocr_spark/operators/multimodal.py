@@ -89,6 +89,65 @@ def media_metadata(
     ).mapInPandas(fn, MEDIA_META_SCHEMA)
 
 
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Binary payload → dense feature vector (``array<float>``).
+
+    The embedding model itself is stubbed deterministically (sha256 bytes
+    scaled to [0,1] — SQL twin: hex-pair decode / 255), but the Spark-side
+    plumbing is the real thing: Arrow-batched binary in, fixed-dim float
+    vector column out, ready for the similarity operators
+    (cosine_topk_bruteforce / lsh_topk / ivf_topk) downstream."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(data).digest()
+                ids.append(int(mid))
+                feats.append(
+                    [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+                )
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return df.select(
+        df[id_col].alias("media_id"), df[payload_col].alias(payload_col)
+    ).mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def resize_image(
+    payload: bytes, width: int, height: int
+):  # pragma: no cover - stub without PIL
+    """Real resize requires PIL — not installed in this container.  The
+    Spark-side shape for a resize stage is ``mapInPandas`` over binary in
+    → binary out with (width, height) metadata columns, identical to
+    media_metadata's plumbing."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "image resize requires PIL; not installed in this environment"
+        ) from e
+    img = Image.open(io.BytesIO(payload)).resize((width, height))
+    out = io.BytesIO()
+    img.save(out, format="PNG")
+    return out.getvalue()
+
+
 def decode_image(payload: bytes):  # pragma: no cover - stub without PIL
     """Real decode — requires PIL, not available in this container."""
     try:

@@ -292,6 +292,32 @@ class TestMultimodal:
         assert out[0].n_bytes == 108
         assert 1 <= out[0].width <= 1920 and 1 <= out[0].height <= 1080
 
+    def test_feature_extraction_deterministic_and_ann_ready(self, media):
+        import hashlib
+
+        from ocr_spark.operators.multimodal import FEATURE_DIM, extract_features
+        from ocr_spark.operators.similarity import cosine_topk_bruteforce
+
+        feats = extract_features(media)
+        rows = {r.media_id: list(r.features) for r in feats.collect()}
+        assert all(len(v) == FEATURE_DIM for v in rows.values())
+        # deterministic sha-derived stub, byte-exact vs python
+        want = [
+            b / 255.0
+            for b in hashlib.sha256(b"plain bytes").digest()[:FEATURE_DIM]
+        ]
+        assert rows[4] == pytest.approx(want, abs=1e-7)
+        # the vector column feeds the similarity operators directly
+        ann = cosine_topk_bruteforce(
+            feats.withColumnRenamed("media_id", "vec_id")
+            .withColumnRenamed("features", "embedding"),
+            feats.filter("media_id = 0")
+            .withColumnRenamed("media_id", "vec_id")
+            .withColumnRenamed("features", "embedding"),
+            k=2,
+        ).collect()
+        assert len(ann) == 2 and all(r.query_id == 0 for r in ann)
+
     def test_metadata_matches_python_twin(self, media):
         import hashlib
 
