@@ -106,6 +106,38 @@ def pending_pages(pages: DataFrame, out_path: str) -> DataFrame:
     return pages.join(done, on="url", how="left_anti")
 
 
+def partition_lineage(extracted_path: str, spark: SparkSession) -> DataFrame:
+    """Per-partition (crawl-day) lineage: completion state and extraction
+    metrics for every ``warc_day`` partition of the checkpoint table — the
+    unit an operator re-drives after a partial cluster failure.
+
+    At real scale this is the Iceberg partition-level view (`.partitions`
+    metadata table joined to these aggregates); offline the day-partitioned
+    parquet layout gives the same axis."""
+    df = read_extracted(spark, extracted_path, latest_only=True)
+    return (
+        df.groupBy("warc_day")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_pages").alias("pages"),
+            F.sum("ocr_pages").alias("ocr_pages"),
+            F.sum(
+                F.when(F.col("status") == "COMPLETED", 1).otherwise(0)
+            ).alias("completed"),
+            F.sum(
+                F.when(F.col("status") == "FAILED", 1).otherwise(0)
+            ).alias("failed"),
+            F.max(F.split("error", ":")[0]).alias("last_failure_code"),
+        )
+        .withColumn(
+            "partition_status",
+            F.when(F.col("failed") == 0, F.lit("COMPLETED")).otherwise(
+                F.lit("IN_PROGRESS")
+            ),
+        )
+    )
+
+
 def run_metrics(extracted_path: str, spark: SparkSession) -> DataFrame:
     """Operational rollup over the checkpoint table (A4 — status counts,
     service.py:262-276 — plus ocr-vs-native ratio and failure codes).

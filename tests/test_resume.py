@@ -71,3 +71,43 @@ class TestResume:
         assert m.docs == pages.count()
         assert m.completed == m.docs and m.failed == 0
         assert 0 < m.ocr_ratio < 1
+
+
+class TestPartitionLineage:
+    def test_per_day_rollup(self, spark, pages_parquet, tmp_path):
+        from ocr_spark.io import partition_lineage, run_resumable
+        from ocr_spark.pipeline import read_pages
+
+        out = str(tmp_path / "lineage_out")
+        run_resumable(read_pages(spark, pages_parquet), out)
+        lin = partition_lineage(out, spark).collect()
+        assert len(lin) > 1  # fixtures span many warc days
+        assert all(r.partition_status == "COMPLETED" for r in lin)
+        assert sum(r.docs for r in lin) == 60
+        assert all(r.pages >= r.docs for r in lin)
+
+    def test_failed_partition_flagged(self, spark, tmp_path):
+        import datetime as dt
+
+        from ocr_spark.io import partition_lineage, run_resumable
+
+        rows = [
+            ("u://ok", dt.datetime(2025, 2, 1), bytearray(_good_payload()), "", "en"),
+            ("u://bad", dt.datetime(2025, 2, 2), bytearray(b"garbage"), "", "en"),
+        ]
+        schema = (
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string"
+        )
+        out = str(tmp_path / "lineage_bad")
+        run_resumable(spark.createDataFrame(rows, schema), out)
+        lin = {str(r.warc_day): r for r in partition_lineage(out, spark).collect()}
+        assert lin["2025-02-01"].partition_status == "COMPLETED"
+        assert lin["2025-02-02"].partition_status == "IN_PROGRESS"
+        assert lin["2025-02-02"].last_failure_code == "PARSE_ERROR"
+
+
+def _good_payload():
+    from ocr_spark.fixtures import make_doc
+
+    return make_doc(1)["html"]
