@@ -50,3 +50,27 @@ class TestObserveMetrics:
         assert metrics["pages"] > 60  # multi-page docs exist
         assert metrics["failed"] == 0
         assert 0 < metrics["ocr_pages"] < metrics["pages"]
+
+
+class TestBackendSelection:
+    # NB: `ocr_spark.extract` the ATTRIBUTE is the pipeline function
+    # (package-root re-export); the subpackage must come via import_module.
+    def test_default_is_heuristic(self):
+        import importlib
+
+        ex = importlib.import_module("ocr_spark.extract")
+        ex._BACKEND = None  # reset the per-process cache
+        be = ex.get_backend()
+        assert be is ex.heuristic
+
+    def test_model_backend_fails_loudly_without_deps(self, monkeypatch):
+        import importlib
+
+        ex = importlib.import_module("ocr_spark.extract")
+        monkeypatch.setenv("OCR_SPARK_BACKEND", "model")
+        monkeypatch.setattr(ex, "_BACKEND", None)
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="HeuristicExtractor"):
+            ex.get_backend()
+        monkeypatch.setattr(ex, "_BACKEND", None)  # leave cache clean
