@@ -28,7 +28,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators import dedup, multimodal, similarity, text_analysis
+from .operators import dedup, multimodal, similarity, text_analysis, urls
 from .operators.hashing import (
     MERSENNE,
     MINHASH_A,
@@ -406,6 +406,36 @@ SELECT q.doc_id, lang.lang_pred, q.quality_r
 FROM q JOIN lang ON q.doc_id = lang.doc_id
 WHERE lang.lang_pred = 'en' AND q.quality_r >= 0.5
   AND q.n_words BETWEEN 20 AND 95
+"""
+
+
+# Synthetic URLs whose differences live ONLY in stripped components
+# (tracking params, fragment, mixed-case host, default port) — canonical
+# forms collapse doc_id%50 groups together.
+_URL_EXPR_SPARK = (
+    "concat('HTTPS://Example.COM:443/path/', CAST(doc_id % 50 AS STRING), "
+    "'/?utm_source=src', CAST(doc_id AS STRING), '&q=7&fbclid=x', "
+    "'#frag', CAST(doc_id AS STRING))"
+)
+_URL_EXPR_DUCK = (
+    "('HTTPS://Example.COM:443/path/' || (doc_id % 50) || "
+    "'/?utm_source=src' || doc_id || '&q=7&fbclid=x' || "
+    "'#frag' || doc_id)"
+)
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_EXPR_SPARK).alias("url")
+    )
+    return urls.url_dedup(docs, url_col="url", id_col="doc_id")
+
+
+_URL_DEDUP_SQL = f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR_DUCK} AS url FROM documents)
+SELECT {urls.canonicalize_sql_duckdb('url')} AS canonical_url,
+       min(doc_id) AS representative, count(*) AS n_copies
+FROM u GROUP BY 1
 """
 
 
@@ -873,6 +903,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # training-data dedup
     "dedup_exact": (_q_exact_dedup, _EXACT_DEDUP_SQL),
     "dedup_filtered_corpus": (_q_dedup_filtered_corpus, _DEDUP_FILTER_SQL),
+    "dedup_url_canonical": (_q_url_dedup, _URL_DEDUP_SQL),
     "dedup_minhash": (_q_minhash, _MINHASH_SQL),
     "dedup_lsh_pairs": (_q_lsh_pairs, _LSH_SQL),
     "dedup_jaccard": (_q_jaccard, _JACCARD_SQL),

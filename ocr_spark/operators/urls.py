@@ -1,0 +1,70 @@
+"""URL canonicalization for web-corpus deduplication.
+
+Training-data pipelines dedupe on (canonical_url, content-digest); the
+canonicalizer below covers the high-yield normalizations with regex-only
+steps (no lookarounds) so the exact same semantics run in Spark (Java
+regex) and the DuckDB oracle (RE2):
+
+1. strip the fragment (`#...`);
+2. drop tracking query params (utm_*, fbclid, gclid) wherever they sit,
+   then repair a dangling `?`/`&`;
+3. lowercase the scheme://host prefix (paths stay case-sensitive);
+4. strip default ports (:80 for http, :443 for https);
+5. strip a single trailing slash on non-root paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_TRACKING = r"([?&])(?:utm_[^&=#]*|fbclid|gclid)=[^&#]*"
+_HEAD = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+
+def canonicalize(col: Column) -> Column:
+    """Column expression implementing the five normalization steps."""
+    c = F.regexp_replace(col, r"#.*$", "")                     # 1
+    c = F.regexp_replace(c, _TRACKING, r"$1")                  # 2a: keep delim
+    c = F.regexp_replace(c, r"\?&+", "?")                      # 2b: repair
+    c = F.regexp_replace(c, r"&&+", "&")
+    c = F.regexp_replace(c, r"[?&]$", "")                      # 2c: dangling
+    head = F.lower(F.regexp_extract(c, _HEAD, 0))              # 3
+    tail = F.regexp_replace(c, _HEAD, "")
+    c = F.concat(head, tail)
+    c = F.regexp_replace(c, r"^(http://[^/:?#]*):80(/|$)", r"$1$2")   # 4
+    c = F.regexp_replace(c, r"^(https://[^/:?#]*):443(/|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^([a-z]+://[^/?#]+/.*[^/?#])/$", r"$1")     # 5
+    return c
+
+
+def canonicalize_sql_duckdb(expr: str) -> str:
+    """The identical chain in DuckDB SQL (RE2 backrefs use \\1)."""
+    c = f"regexp_replace({expr}, '#.*$', '')"
+    c = f"regexp_replace({c}, '{_TRACKING}', '\\1', 'g')"
+    c = f"regexp_replace({c}, '\\?&+', '?', 'g')"
+    c = f"regexp_replace({c}, '&&+', '&', 'g')"
+    c = f"regexp_replace({c}, '[?&]$', '')"
+    head = f"lower(regexp_extract({c}, '{_HEAD}'))"
+    tail = f"regexp_replace({c}, '{_HEAD}', '')"
+    c = f"({head} || {tail})"
+    c = f"regexp_replace({c}, '^(http://[^/:?#]*):80(/|$)', '\\1\\2')"
+    c = f"regexp_replace({c}, '^(https://[^/:?#]*):443(/|$)', '\\1\\2')"
+    c = f"regexp_replace({c}, '^([a-z]+://[^/?#]+/.*[^/?#])/$', '\\1')"
+    return c
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by canonical url: representative + copy count —
+    the same digest-group shape as dedup.exact_dedup."""
+    return (
+        df.select(
+            canonicalize(F.col(url_col)).alias("canonical_url"), id_col
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

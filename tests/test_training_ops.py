@@ -348,3 +348,40 @@ class TestMultimodal:
         for mid, nf in meta.items():
             want = list(range(0, nf, 30))
             assert sorted(by_id[mid]) == want
+
+
+class TestUrlCanonicalization:
+    def test_normalization_cases(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators.urls import canonicalize
+
+        cases = [
+            ("HTTPS://Example.COM:443/A/b/", "https://example.com/A/b"),
+            ("http://Host.org:80/x?utm_source=a&q=1", "http://host.org/x?q=1"),
+            ("http://h.io/p?a=1&utm_medium=m&b=2#frag", "http://h.io/p?a=1&b=2"),
+            ("https://h.io/?fbclid=abc", "https://h.io/"),
+            ("http://h.io/path", "http://h.io/path"),
+            ("http://h.io:8080/p", "http://h.io:8080/p"),  # non-default port kept
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [
+            r.c for r in df.select(canonicalize(F.col("url")).alias("c")).collect()
+        ]
+        assert got == [want for _, want in cases]
+
+    def test_url_dedup_groups(self, spark):
+        from ocr_spark.operators.urls import url_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "http://A.com/x?utm_source=1"),
+                (2, "http://a.com/x?utm_source=2"),
+                (3, "http://a.com/y"),
+            ],
+            "doc_id long, url string",
+        )
+        out = {r.canonical_url: r for r in url_dedup(df).collect()}
+        assert out["http://a.com/x"].n_copies == 2
+        assert out["http://a.com/x"].representative == 1
+        assert out["http://a.com/y"].n_copies == 1
