@@ -107,3 +107,34 @@ class TestLayoutMergeProperties:
         a = merge_overlapping_blocks(copy.deepcopy(lay))
         b = merge_overlapping_blocks(copy.deepcopy(lay))
         assert a == b
+
+
+class TestPayloadFuzz:
+    @given(data=st.binary(max_size=400))
+    @settings(max_examples=300, deadline=None)
+    def test_decode_never_hangs_or_crashes_unexpectedly(self, data):
+        """Arbitrary bytes either raise ValueError (clean PARSE_ERROR
+        lineage) or decode to a well-formed doc dict."""
+        from ocr_spark.payload import MAGIC, decode_doc
+
+        try:
+            doc = decode_doc(data)
+        except ValueError:
+            return
+        assert data.startswith(MAGIC)
+        assert isinstance(doc["pages"], list)
+        for page in doc["pages"]:
+            assert set(page) >= {"i", "width", "height", "layout",
+                                 "native_lines", "ocr_lines"}
+
+    @given(k=st.integers(min_value=0, max_value=3000))
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_any_doc_index(self, k):
+        """encode → decode is the identity on every generator output."""
+        from ocr_spark.fixtures import make_doc
+        from ocr_spark.payload import decode_doc
+
+        d = make_doc(k)
+        doc = decode_doc(d["html"])
+        assert len(doc["pages"]) >= 0
+        assert all(p["i"] == i for i, p in enumerate(doc["pages"]))
