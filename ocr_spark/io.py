@@ -36,7 +36,13 @@ def write_extracted(extracted: DataFrame, path: str, mode: str = "append") -> No
     """Write the extracted table partitioned by crawl day — the offline
     analogue of Iceberg ``days(warc_ts)`` partition pruning."""
     (
-        extracted.withColumn("warc_day", F.to_date("warc_ts"))
+        # UTC calendar day regardless of spark.sql.session.timeZone — the
+        # partition a row lands in must not depend on which cluster's
+        # session appended it
+        extracted.withColumn(
+            "warc_day",
+            F.to_date(F.expr("from_utc_timestamp(warc_ts, 'UTC')")),
+        )
         .repartition("warc_day")  # one writer wave per day partition
         .write.mode(mode)
         .partitionBy("warc_day")
@@ -127,7 +133,11 @@ def partition_lineage(extracted_path: str, spark: SparkSession) -> DataFrame:
             F.sum(
                 F.when(F.col("status") == "FAILED", 1).otherwise(0)
             ).alias("failed"),
-            F.max(F.split("error", ":")[0]).alias("last_failure_code"),
+            # distinct codes, sorted — the table has no attempt timestamp,
+            # so "last" would be a lie; the set is what an operator needs
+            F.array_sort(
+                F.collect_set(F.split("error", ":")[0])
+            ).alias("failure_codes"),
         )
         .withColumn(
             "partition_status",
@@ -178,27 +188,21 @@ def run_resumable(
     service.py:125-132) without a second pass over the output: the dict is
     filled with docs/pages/ocr_pages/failed after the write completes.
     """
+    from pyspark.sql import Observation
+
     todo = pending_pages(pages, out_path)
     extracted = extract(todo, cfg)
+    metrics = [F.count(F.lit(1)).alias("docs")]
     if observe is not None:
-        from pyspark.sql import Observation
-
-        obs = Observation("extract_run")
-        extracted = extracted.observe(
-            obs,
-            F.count(F.lit(1)).alias("docs"),
+        metrics += [
             F.sum("n_pages").alias("pages"),
             F.sum("ocr_pages").alias("ocr_pages"),
             F.sum(
                 F.when(F.col("status") == "FAILED", 1).otherwise(0)
             ).alias("failed"),
-        )
-    if observe is None:
-        # still observe a doc count so the return value costs no extra pass
-        from pyspark.sql import Observation
-
-        obs = Observation("extract_run_count")
-        extracted = extracted.observe(obs, F.count(F.lit(1)).alias("docs"))
+        ]
+    obs = Observation("extract_run")
+    extracted = extracted.observe(obs, *metrics)
     write_extracted(extracted, out_path, mode="append")
     attempted = int(obs.get["docs"])
     if observe is not None:

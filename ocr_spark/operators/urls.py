@@ -21,35 +21,43 @@ _TRACKING = r"([?&])(?:utm_[^&=#]*|fbclid|gclid)=[^&#]*"
 _HEAD = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
 
 
+# Anchoring rule: ALWAYS \z, never $ — Java's $ matches before a final
+# newline, RE2's does not (the CLAUDE.md parity trap); `#[\s\S]*` needs no
+# anchor and also swallows newlines after the fragment marker.
+_SCHEME = r"[a-z][a-z0-9+.-]*"
+
+
 def canonicalize(col: Column) -> Column:
     """Column expression implementing the five normalization steps."""
-    c = F.regexp_replace(col, r"#.*$", "")                     # 1
+    c = F.regexp_replace(col, r"#[\s\S]*", "")                 # 1
     c = F.regexp_replace(c, _TRACKING, r"$1")                  # 2a: keep delim
     c = F.regexp_replace(c, r"\?&+", "?")                      # 2b: repair
     c = F.regexp_replace(c, r"&&+", "&")
-    c = F.regexp_replace(c, r"[?&]$", "")                      # 2c: dangling
+    c = F.regexp_replace(c, r"[?&]\z", "")                     # 2c: dangling
     head = F.lower(F.regexp_extract(c, _HEAD, 0))              # 3
     tail = F.regexp_replace(c, _HEAD, "")
     c = F.concat(head, tail)
-    c = F.regexp_replace(c, r"^(http://[^/:?#]*):80(/|$)", r"$1$2")   # 4
-    c = F.regexp_replace(c, r"^(https://[^/:?#]*):443(/|$)", r"$1$2")
-    c = F.regexp_replace(c, r"^([a-z]+://[^/?#]+/.*[^/?#])/$", r"$1")     # 5
+    c = F.regexp_replace(c, r"^(http://[^/:?#]*):80([/?]|\z)", r"$1$2")   # 4
+    c = F.regexp_replace(c, r"^(https://[^/:?#]*):443([/?]|\z)", r"$1$2")
+    c = F.regexp_replace(
+        c, rf"^({_SCHEME}://[^/?#]+/.*[^/?#])/\z", r"$1"
+    )                                                          # 5
     return c
 
 
 def canonicalize_sql_duckdb(expr: str) -> str:
     """The identical chain in DuckDB SQL (RE2 backrefs use \\1)."""
-    c = f"regexp_replace({expr}, '#.*$', '')"
+    c = f"regexp_replace({expr}, '#[\\s\\S]*', '')"
     c = f"regexp_replace({c}, '{_TRACKING}', '\\1', 'g')"
     c = f"regexp_replace({c}, '\\?&+', '?', 'g')"
     c = f"regexp_replace({c}, '&&+', '&', 'g')"
-    c = f"regexp_replace({c}, '[?&]$', '')"
+    c = f"regexp_replace({c}, '[?&]\\z', '')"
     head = f"lower(regexp_extract({c}, '{_HEAD}'))"
     tail = f"regexp_replace({c}, '{_HEAD}', '')"
     c = f"({head} || {tail})"
-    c = f"regexp_replace({c}, '^(http://[^/:?#]*):80(/|$)', '\\1\\2')"
-    c = f"regexp_replace({c}, '^(https://[^/:?#]*):443(/|$)', '\\1\\2')"
-    c = f"regexp_replace({c}, '^([a-z]+://[^/?#]+/.*[^/?#])/$', '\\1')"
+    c = f"regexp_replace({c}, '^(http://[^/:?#]*):80([/?]|\\z)', '\\1\\2')"
+    c = f"regexp_replace({c}, '^(https://[^/:?#]*):443([/?]|\\z)', '\\1\\2')"
+    c = f"regexp_replace({c}, '^({_SCHEME}://[^/?#]+/.*[^/?#])/\\z', '\\1')"
     return c
 
 

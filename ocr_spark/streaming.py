@@ -51,7 +51,10 @@ def stream_extract(
     cfg = cfg or PipelineConfig()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        todo = pending_pages(batch_df, out_path)
+        # overlapping input files can land the same url twice in ONE batch;
+        # without this the assembly groupBy would double the doc's pages
+        # and commit the corruption as COMPLETED
+        todo = pending_pages(batch_df.dropDuplicates(["url"]), out_path)
         extracted = extract(todo, cfg)
         write_extracted(extracted, out_path, mode="append")
 

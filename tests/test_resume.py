@@ -104,7 +104,7 @@ class TestPartitionLineage:
         lin = {str(r.warc_day): r for r in partition_lineage(out, spark).collect()}
         assert lin["2025-02-01"].partition_status == "COMPLETED"
         assert lin["2025-02-02"].partition_status == "IN_PROGRESS"
-        assert lin["2025-02-02"].last_failure_code == "PARSE_ERROR"
+        assert list(lin["2025-02-02"].failure_codes) == ["PARSE_ERROR"]
 
 
 def _good_payload():

@@ -51,6 +51,24 @@ class TestStreaming:
             d = make_doc(k)
             assert rows[d["url"]].text == extract_document(d["html"], d["lang"])["text"]
 
+    def test_intra_batch_duplicate_urls_not_doubled(self, spark, dirs):
+        """Two overlapping files arriving in the SAME micro-batch must not
+        assemble documents with doubled pages."""
+        write_pages_parquet(dirs["in"] / "a.parquet", 8)
+        tmp = dirs["in"].parent / "b_src.parquet"
+        write_pages_parquet(tmp, 12)  # urls 0-7 overlap file a
+        shutil.copy(tmp, dirs["in"] / "b.parquet")
+        _await(stream_extract(spark, str(dirs["in"]), dirs["out"], dirs["ckpt"]))
+        out = {r.url: r for r in read_extracted(spark, dirs["out"]).collect()}
+        assert len(out) == 12
+        from ocr_spark.fixtures import make_doc
+
+        for k in (0, 5, 11):
+            d = make_doc(k)
+            golden = extract_document(d["html"], d["lang"])
+            assert out[d["url"]].n_pages == golden["n_pages"], k
+            assert out[d["url"]].text == golden["text"], k
+
     def test_restart_is_idempotent(self, spark, dirs):
         write_pages_parquet(dirs["in"] / "w1.parquet", 10)
         _await(stream_extract(spark, str(dirs["in"]), dirs["out"], dirs["ckpt"]))

@@ -363,12 +363,48 @@ class TestUrlCanonicalization:
             ("https://h.io/?fbclid=abc", "https://h.io/"),
             ("http://h.io/path", "http://h.io/path"),
             ("http://h.io:8080/p", "http://h.io:8080/p"),  # non-default port kept
+            ("http://h.io:80?a=1", "http://h.io?a=1"),     # port before query
+            ("s3://Bucket/Key/", "s3://bucket/Key"),       # digit/symbol schemes
         ]
         df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
         got = [
             r.c for r in df.select(canonicalize(F.col("url")).alias("c")).collect()
         ]
         assert got == [want for _, want in cases]
+
+    def test_trailing_newline_parity_with_duckdb(self, spark):
+        """Java's $ matches before a final newline, RE2's does not — the
+        chain must use \\z so both engines agree on newline-tailed urls."""
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators.urls import (
+            canonicalize,
+            canonicalize_sql_duckdb,
+        )
+
+        urls = [
+            "http://a.com/path/\n",
+            "http://a.com/p?x=1&\n",
+            "http://a.com/p#f\n",
+            "http://a.com:80\n/x",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got_spark = [
+            r.c for r in df.select(canonicalize(F.col("url")).alias("c")).collect()
+        ]
+        con = duckdb.connect()
+        got_duck = []
+        for u in urls:
+            lit = u.replace("'", "''")
+            got_duck.append(
+                con.execute(
+                    f"SELECT {canonicalize_sql_duckdb('u')} "
+                    f"FROM (VALUES ('{lit}')) t(u)"
+                ).fetchone()[0]
+            )
+        assert got_spark == got_duck
 
     def test_url_dedup_groups(self, spark):
         from ocr_spark.operators.urls import url_dedup

@@ -78,7 +78,10 @@ def main() -> int:
         results[mode] = round(best, 2)
         outputs[mode] = (
             flatten_lines(df)
-            .selectExpr("bit_xor(xxhash64(url, page_i, block_i, line_i, content)) h")
+            .selectExpr(
+                "bit_xor(xxhash64(url, page_i, block_i, block_type, "
+                "line_i, content)) h"
+            )
             .first()[0]
         )
     print(
