@@ -737,6 +737,71 @@ FROM documents
 """
 
 
+def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.token_frequencies(
+        _t(spark, sf_dir, "documents"), min_count=5
+    )
+
+
+_TOKEN_FREQ_SQL = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token HAVING count(*) >= 5
+"""
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.repetition_ratio(
+        _t(spark, sf_dir, "documents"), n=2
+    )
+
+
+_REPETITION_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(ws) >= 2 THEN
+          list_transform(generate_series(0, len(ws) - 2),
+            i -> array_to_string(list_slice(ws, i + 1, i + 2), ' '))
+        ELSE [] END AS grams
+      FROM w)
+SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+  CASE WHEN len(grams) > 0 THEN
+    CAST(list_aggregate(list_transform(list_distinct(grams),
+           g2 -> len(list_filter(grams, x -> x = g2))), 'max') AS DOUBLE)
+      / len(grams)
+  ELSE 0.0 END AS max_gram_ratio
+FROM g
+"""
+
+
+def _q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = text_analysis.gopher_rules(_t(spark, sf_dir, "documents"))
+    return res.select(
+        "doc_id", "g_words", "g_mean_word_len", "g_symbol_word_ratio",
+        "g_short_word_frac", "g_keep",
+    )
+
+
+_GOPHER_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+f AS (SELECT doc_id,
+  CAST(len(ws) AS INTEGER) AS g_words,
+  CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS DOUBLE)
+    / len(ws) AS g_mean_word_len,
+  CAST(len(list_filter(ws, x -> regexp_matches(x, '[^a-zA-Z0-9]')))
+       AS DOUBLE) / len(ws) AS g_symbol_word_ratio,
+  CAST(len(list_filter(ws, x -> length(x) <= 2)) AS DOUBLE) / len(ws)
+    AS g_short_word_frac
+  FROM w)
+SELECT *,
+  (g_words BETWEEN 5 AND 10000000)
+  AND (g_mean_word_len BETWEEN 2.0 AND 12.0)
+  AND (g_symbol_word_ratio < 0.3)
+  AND (g_short_word_frac < 0.6) AS g_keep
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # mm_* — multimodal plumbing: Python UDF vs pure-SQL twin of the
 # deterministic fake decode (multimodal.fake_decode_dims)
@@ -920,6 +985,9 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "text_token_count": (_q_token_count, _TOKEN_SQL),
     "text_fingerprint": (_q_fingerprint, _FINGERPRINT_SQL),
     "text_quality_filter": (_q_quality_filter, _quality_filter_sql()),
+    "text_token_freq": (_q_token_freq, _TOKEN_FREQ_SQL),
+    "text_repetition": (_q_repetition, _REPETITION_SQL),
+    "text_gopher_rules": (_q_gopher, _GOPHER_SQL),
     # multimodal plumbing (Python UDF vs SQL twin)
     "mm_media_meta": (_q_media_meta, _MEDIA_SQL),
     "mm_features": (_q_media_features, _FEATURES_SQL),

@@ -104,6 +104,81 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus token-frequency table: (token, n) — vocabulary statistics.
+
+    One explode + one groupBy; partial aggregation keeps the shuffle at
+    one row per distinct token per partition (the right shape at 100 TB:
+    vocabulary is tiny next to the corpus)."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Fraction of the document occupied by its most-repeated n-gram —
+    the Gopher-style repetition signal (machine-generated/boilerplate text
+    repeats heavily).  Pure higher-order functions: the non-distinct
+    shingle list and its per-shingle counts never leave the row."""
+    words = f"split({text_col}, ' ')"
+    grams = (
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(0, size({words}) - {n}),"
+        f" i -> array_join(slice({words}, i + 1, {n}), ' ')) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    max_rep = (
+        f"aggregate(array_distinct({grams}), 0, (acc, g) -> "
+        f"greatest(acc, size(filter({grams}, x -> x = g))))"
+    )
+    return df.select(
+        id_col,
+        F.expr(f"size({grams})").alias("n_grams"),
+        F.expr(
+            f"CASE WHEN size({grams}) > 0 THEN "
+            f"CAST({max_rep} AS DOUBLE) / size({grams}) ELSE 0.0 END"
+        ).alias("max_gram_ratio"),
+    )
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, table A1
+    shape): word-count band, mean word length band, symbol-to-word ratio,
+    and short/long-word fractions — each an auditable boolean column plus
+    an overall keep flag.  Pure expressions; thresholds are the published
+    defaults scaled to this corpus's synthetic text."""
+    words = f"split({text_col}, ' ')"
+    return df.select(
+        "*",
+        F.expr(f"size({words})").alias("g_words"),
+        F.expr(
+            f"CAST(aggregate({words}, 0, (a, w) -> a + length(w)) AS DOUBLE)"
+            f" / size({words})"
+        ).alias("g_mean_word_len"),
+        F.expr(
+            f"CAST(size(filter({words}, w -> w rlike '[^a-zA-Z0-9]')) AS DOUBLE)"
+            f" / size({words})"
+        ).alias("g_symbol_word_ratio"),
+        F.expr(
+            f"CAST(size(filter({words}, w -> length(w) <= 2)) AS DOUBLE)"
+            f" / size({words})"
+        ).alias("g_short_word_frac"),
+    ).withColumn(
+        "g_keep",
+        (F.col("g_words").between(5, 10_000_000))
+        & (F.col("g_mean_word_len").between(2.0, 12.0))
+        & (F.col("g_symbol_word_ratio") < 0.3)
+        & (F.col("g_short_word_frac") < 0.6),
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -421,3 +421,45 @@ class TestUrlCanonicalization:
         assert out["http://a.com/x"].n_copies == 2
         assert out["http://a.com/x"].representative == 1
         assert out["http://a.com/y"].n_copies == 1
+
+
+class TestCorpusQualityOps:
+    def test_token_frequencies_sum_to_corpus(self, spark):
+        from ocr_spark.operators.text_analysis import token_frequencies
+
+        df = spark.createDataFrame(
+            [(1, "a b a c"), (2, "a b")], "doc_id long, text string"
+        )
+        got = {r.token: r.n for r in token_frequencies(df).collect()}
+        assert got == {"a": 3, "b": 2, "c": 1}
+
+    def test_repetition_ratio_flags_repeats(self, spark):
+        from ocr_spark.operators.text_analysis import repetition_ratio
+
+        df = spark.createDataFrame(
+            [
+                (1, "spam ham " * 20),     # "spam ham"/"ham spam" repeat
+                (2, "one two three four five six seven"),
+                (3, "x"),                   # shorter than n
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in repetition_ratio(df, n=2).collect()}
+        assert got[1].max_gram_ratio > 0.4
+        assert got[2].max_gram_ratio == pytest.approx(1 / 6)
+        assert got[3].n_grams == 0 and got[3].max_gram_ratio == 0.0
+
+    def test_gopher_rules_keep_and_reject(self, spark):
+        from ocr_spark.operators.text_analysis import gopher_rules
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over a lazy sleeping dog"),
+                (2, "a b c d e f g h"),                  # all short words
+                (3, "@@ ## $$ %% ^^ && ** (( )) !!"),    # symbols
+                (4, "one two"),                          # too few words
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.g_keep for r in gopher_rules(df).collect()}
+        assert got == {1: True, 2: False, 3: False, 4: False}
