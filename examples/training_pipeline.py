@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""End-to-end training-data pipeline: the full engine chained.
+
+    pages (url, warc_ts, html, lang)
+      → extract()                       main-content extraction (fused)
+      → gopher_rules + quality_score    document quality gates
+      → canonical-url + exact dedup     duplicate removal
+      → extract_features → ivf_topk     embedding + ANN neighbors
+      → one JSON summary line
+
+Run: python examples/training_pipeline.py [n_docs]
+Everything is deterministic (synthetic corpus, seeded per url).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.genpages import pages_df
+    from ocr_spark.operators.dedup import exact_dedup
+    from ocr_spark.operators.multimodal import extract_features
+    from ocr_spark.operators.similarity import ivf_topk
+    from ocr_spark.operators.text_analysis import gopher_rules, quality_score
+    from ocr_spark.operators.urls import canonicalize
+    from ocr_spark.pipeline import extract
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("training-pipeline")
+
+    # 1. extraction: payload bytes → clean text
+    pages = pages_df(spark, n_docs)
+    docs = (
+        extract(pages)
+        .filter(F.col("status") == "COMPLETED")
+        .select(
+            F.col("url"), F.col("text"), F.col("n_pages"), F.col("ocr_pages")
+        )
+        .withColumn("doc_id", F.xxhash64("url"))
+    )
+
+    # plant realistic corpus dirt: re-crawled duplicates (same content,
+    # tracking-param urls) and machine-junk docs — so each stage below has
+    # real work to do
+    dups = (
+        docs.orderBy("doc_id")
+        .limit(10)
+        .withColumn("url", F.concat("url", F.lit("?utm_source=recrawl")))
+        .withColumn("doc_id", F.xxhash64("url"))
+    )
+    junk = spark.createDataFrame(
+        [(f"http://junk.example/{i}", "@@ ## %% " * 40, 1, 0) for i in range(5)],
+        "url string, text string, n_pages int, ocr_pages int",
+    ).withColumn("doc_id", F.xxhash64("url"))
+    docs = docs.unionByName(dups).unionByName(junk)
+
+    # 2. quality gates: Gopher rules + composite score
+    gated = (
+        quality_score(gopher_rules(docs))
+        .filter(F.col("g_keep") & (F.col("quality") >= 0.3))
+        .select("doc_id", "url", "text")
+        .cache()
+    )
+
+    # 3. dedup: canonical url + exact content digest
+    canon = gated.withColumn("canonical_url", canonicalize(F.col("url")))
+    reps = exact_dedup(canon, text_col="text").select(
+        F.col("representative").alias("doc_id")
+    )
+    unique = canon.join(reps, "doc_id", "left_semi").cache()
+
+    # 4. embeddings + ANN neighbors over the surviving corpus
+    payloads = unique.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    vectors = extract_features(payloads).withColumnRenamed(
+        "media_id", "vec_id"
+    ).withColumnRenamed("features", "embedding")
+    queries = vectors.limit(3)
+    neighbors = ivf_topk(vectors, queries, k=3, n_centroids=8, n_probe=2)
+
+    print(
+        json.dumps(
+            {
+                "input_docs": n_docs,
+                "extracted": docs.count(),
+                "after_quality": gated.count(),
+                "after_dedup": unique.count(),
+                "ann_rows": neighbors.count(),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
