@@ -887,12 +887,96 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# HTML extraction roundtrip (oracle-checked): both engines template HTML
+# around documents.text; Spark runs the REAL boilerplate-strip pipeline
+# (htmlpage.py) on the bytes, DuckDB computes what extraction must produce
+# by construction.  A strip failure (nav/footer/script/link-farm text
+# leaking, entity or <br>/heading mishandling) breaks the hash.
+
+_HTML_ESC = (
+    "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+)
+
+_HTML_TPL_EXPR = f"""
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN concat(
+    '<!DOCTYPE html><html><head><script>var x = 1;</script></head><body>',
+    '<header><h1>Site</h1></header>',
+    '<nav><a href="/">Home</a> <a href="/a">About</a></nav>',
+    '<main><h1>Doc &amp; Report ', CAST(doc_id AS STRING), '</h1><p>',
+    {_HTML_ESC}, '</p></main><footer>(c) example</footer></body></html>')
+  WHEN 1 THEN concat(
+    '<html><body><div><a href="/1">one link</a> <a href="/2">two link</a>',
+    '</div><p>Line one<br>Line two</p><div>', {_HTML_ESC},
+    '</div></body></html>')
+  WHEN 2 THEN concat(
+    '<html><body><h2>Q&amp;A</h2><p>alpha <b>beta</b> &amp; gamma</p>',
+    '<table><tr><td>', {_HTML_ESC},
+    '</td><td>cell</td></tr></table></body></html>')
+  ELSE concat('<html><head><style>.x {{}}</style></head><body>',
+    '<nav><a href="/">Home</a></nav><footer>foot</footer></body></html>')
+END
+"""
+
+_HTML_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '[ \t\r\n\f\v]+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN concat('Doc & Report ', CAST(doc_id AS VARCHAR),
+      CASE WHEN norm = '' THEN '' ELSE concat(chr(10), chr(10), norm) END)
+    WHEN 1 THEN concat('Line one', chr(10), 'Line two',
+      CASE WHEN norm = '' THEN '' ELSE concat(chr(10), chr(10), norm) END)
+    WHEN 2 THEN concat('Q&A', chr(10), chr(10), 'alpha beta & gamma',
+      CASE WHEN norm = '' THEN '' ELSE concat(chr(10), chr(10), norm) END,
+      chr(10), chr(10), 'cell')
+    ELSE ''
+  END AS text,
+  CAST(CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 1 + (CASE WHEN norm = '' THEN 0 ELSE 1 END)
+    WHEN 1 THEN 1 + (CASE WHEN norm = '' THEN 0 ELSE 1 END)
+    WHEN 2 THEN 3 + (CASE WHEN norm = '' THEN 0 ELSE 1 END)
+    ELSE 0
+  END AS INT) AS n_blocks
+FROM n
+"""
+
+
+def _q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template HTML around documents.text → run the real HTML extraction
+    pipeline → (doc_id, text, n_blocks).  The DuckDB twin states the
+    expected output analytically (boilerplate stripped by construction)."""
+    from . import pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.expr(_HTML_TPL_EXPR), "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    extracted = pipeline.extract(pages)
+    return extracted.select(
+        F.expr("CAST(substring(url, 5) AS BIGINT)").alias("doc_id"),
+        "text",
+        "n_blocks",
+    )
+
+
+# ---------------------------------------------------------------------------
 # extraction flagship (rows-only: the payload parse is a UDF, not SQL)
 
 _FLAGSHIP_DOCS = 48
+_FLAGSHIP_HTML = 24
 
 
-def _pages_df(spark: SparkSession, n_docs: int) -> DataFrame:
+def _pages_df(
+    spark: SparkSession, n_docs: int, n_html: int = 0
+) -> DataFrame:
     """Deterministic synthetic pages table (BASELINE.json input_hint shape:
     url, warc_ts, html:binary, text, lang) — built in-memory; no external
     data, byte-stable across runs/partitionings (fixtures.py)."""
@@ -900,7 +984,9 @@ def _pages_df(spark: SparkSession, n_docs: int) -> DataFrame:
 
     from . import fixtures
 
-    rows = fixtures.generate_pages_rows(n_docs)
+    rows = fixtures.generate_pages_rows(n_docs) + fixtures.generate_html_rows(
+        n_html
+    )
     schema = T.StructType(
         [
             T.StructField("url", T.StringType(), False),
@@ -920,10 +1006,13 @@ def _pages_df(spark: SparkSession, n_docs: int) -> DataFrame:
 def _q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction pipeline, flattened to the byte-identity key
     space (url, page_i, block_i, line_i) — golden-checked in pytest against
-    the pure-Python oracle; rows-only here (payload parse is non-SQL)."""
+    the pure-Python oracle; rows-only here (payload parse is non-SQL).
+    Mixed corpus: synthetic-PDF payloads + real HTML bytes in ONE job."""
     from . import pipeline
 
-    extracted = pipeline.extract(_pages_df(spark, _FLAGSHIP_DOCS))
+    extracted = pipeline.extract(
+        _pages_df(spark, _FLAGSHIP_DOCS, _FLAGSHIP_HTML)
+    )
     return pipeline.flatten_lines(extracted)
 
 
@@ -931,7 +1020,9 @@ def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-run lineage metrics rollup (A5/R5): docs, pages, ocr ratio."""
     from . import pipeline
 
-    extracted = pipeline.extract(_pages_df(spark, _FLAGSHIP_DOCS))
+    extracted = pipeline.extract(
+        _pages_df(spark, _FLAGSHIP_DOCS, _FLAGSHIP_HTML)
+    )
     return extracted.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_pages").alias("pages"),
@@ -992,6 +1083,8 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "mm_media_meta": (_q_media_meta, _MEDIA_SQL),
     "mm_features": (_q_media_features, _FEATURES_SQL),
     "mm_sample_frames": (_q_sample_frames, _FRAMES_SQL),
+    # HTML extraction roundtrip (oracle-checked end-to-end)
+    "extract_html": (_q_extract_html, _HTML_SQL),
     # extraction pipeline (non-SQL-expressible: rows-only checks)
     "extract_flagship": (_q_extract_flagship, None),
     "extract_metrics": (_q_extract_metrics, None),
@@ -1011,4 +1104,4 @@ def entry(spark: SparkSession) -> DataFrame:
     documents table with nested page/block/line structs + lineage columns."""
     from . import pipeline
 
-    return pipeline.extract(_pages_df(spark, 24))
+    return pipeline.extract(_pages_df(spark, 24, 12))

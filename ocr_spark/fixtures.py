@@ -250,14 +250,114 @@ def generate_pages_rows(
     return rows
 
 
-def write_pages_parquet(
-    path: str | Path, n_docs: int, with_crawl_text: bool = True
-) -> Path:
-    """Write the pages table as parquet (pyarrow; no Spark needed)."""
+HTML_PAGE_W = 612.0
+
+
+def html_url_for(k: int) -> str:
+    return f"https://example.org/page/{k:08d}.html"
+
+
+def _esc(s: str) -> str:
+    """HTML-escape the three structural chars (matched by parser unescape)."""
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def make_html_doc(k: int) -> dict:
+    """One HTML pages-table row (url, warc_ts, html, lang) — deterministic
+    Common-Crawl-style page bytes exercising the boilerplate-strip /
+    DOM-heuristics path (htmlpage.py).  Variants by k % 5:
+
+    - 0: full semantic page (head scripts, header/nav chrome, main + h1,
+      footer) — the canonical strip case;
+    - 1: div soup — no semantic containers; a link-farm div that must be
+      dropped by link density, a <br>-split address block;
+    - 2: entities, nested inline markup, a table;
+    - 3: malformed markup (unclosed <p>, stray close tag, uppercase tags);
+    - 4: boilerplate-heavy; every 17th is PURE boilerplate → zero-page doc.
+    """
+    url = html_url_for(k)
+    rng = _rng(url)
+    v = k % 5
+    paras = [
+        _esc(_words(rng, rng.randint(8, 40))) for _ in range(rng.randint(1, 4))
+    ]
+    head = (
+        "<head><title>t</title><script>var x = '<p>not text</p>';</script>"
+        "<style>.c{color:red}</style></head>"
+    )
+    chrome = (
+        '<header><h1>Site Banner</h1></header>'
+        '<nav><ul><li><a href="/">Home</a></li><li><a href="/a">About</a>'
+        "</li></ul></nav>"
+    )
+    footer = "<footer><p>© 2026 example.org</p></footer>"
+    linkfarm = (
+        "<div>"
+        + " ".join(f'<a href="/{i}">{_words(rng, 2)}</a>' for i in range(6))
+        + "</div>"
+    )
+    if v == 0:
+        body = (
+            chrome
+            + f"<main><h1>{_esc(_words(rng, 4).title())}</h1>"
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</main>"
+            + footer
+        )
+    elif v == 1:
+        body = (
+            linkfarm
+            + "".join(f"<div class=c>{p}</div>" for p in paras)
+            + f"<div>{_esc(_words(rng, 3))}<br>{_esc(_words(rng, 3))}</div>"
+        )
+    elif v == 2:
+        cells = "".join(
+            f"<tr><td>{_esc(_words(rng, 2))}</td><td>{k + i}</td></tr>"
+            for i in range(2)
+        )
+        body = (
+            f"<h2>Q&amp;A &lt;{k}&gt;</h2>"
+            + f"<p>{paras[0]} <b>bold <i>ital</i></b> &amp; tail</p>"
+            + f"<table>{cells}</table>"
+        )
+    elif v == 3:
+        body = (
+            f"<P>{paras[0]}"  # unclosed, uppercase
+            + "</div>"  # stray close
+            + f"<p>{_esc(_words(rng, 5))}<br/>{_esc(_words(rng, 5))}"
+            + "<blockquote>quoted text</blockquote>"
+        )
+    else:
+        body = chrome + linkfarm + footer
+        if k % 17 != 4:  # every 17th stays pure boilerplate
+            body += f"<article><p>{paras[0]}</p></article>"
+    html = f"<!DOCTYPE html>\n<html>{head}<body>{body}</body></html>".encode()
+    warc_ts = EPOCH + dt.timedelta(days=k % 365, seconds=(k * 7) % 86400)
+    return {"url": url, "warc_ts": warc_ts, "html": html, "lang": LANGS[k % 10]}
+
+
+def generate_html_rows(n_docs: int, with_crawl_text: bool = True) -> list[dict]:
+    """Deterministic HTML slice of the pages table (same schema as
+    generate_pages_rows; url namespace disjoint so corpora mix freely)."""
+    from .oracle import extract_document
+
+    rows = []
+    for k in range(n_docs):
+        row = make_html_doc(k)
+        row["text"] = (
+            extract_document(row["html"], row["lang"])["text"]
+            if with_crawl_text and k % 3 == 0
+            else ""
+        )
+        rows.append(row)
+    return rows
+
+
+def write_rows_parquet(path: str | Path, rows: list[dict]) -> Path:
+    """Write pages-table rows (input_hint schema) as parquet (pyarrow)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = generate_pages_rows(n_docs, with_crawl_text)
     table = pa.table(
         {
             "url": pa.array([r["url"] for r in rows], pa.string()),
@@ -273,3 +373,10 @@ def write_pages_parquet(
     path.parent.mkdir(parents=True, exist_ok=True)
     pq.write_table(table, path)
     return path
+
+
+def write_pages_parquet(
+    path: str | Path, n_docs: int, with_crawl_text: bool = True
+) -> Path:
+    """Write the synthetic-PDF pages table as parquet (no Spark needed)."""
+    return write_rows_parquet(path, generate_pages_rows(n_docs, with_crawl_text))

@@ -1,0 +1,235 @@
+"""HTML main-content extraction: boilerplate strip + DOM block heuristics.
+
+The reference engine is PDF-only — its per-format parse seam is
+``fitz.open("pdf", bytes)`` sniffing the payload (reference
+document.py:532-541).  This module is the HTML analogue of that seam for
+Common-Crawl-style page bytes (the north rule's "HTML boilerplate strip …
+DOM heuristics" requirement).
+
+Design: a stack-based DOM walk (stdlib ``html.parser`` — dependency-free,
+tolerant of malformed markup) produces content blocks; each block then gets
+deterministic reading-order geometry so the result is a page dict of the
+EXACT shape :func:`ocr_spark.payload.decode_page` emits for the synthetic
+PDF payloads.  Downstream, every kernel (coverage probe, consolidation,
+stable y-sort, postprocess, assembly) and every pipeline mode
+(fused/paged/staged/manifest) runs unchanged on the virtual page — HTML and
+PDF documents mix freely in one job and one output schema, and the
+pure-Python oracle (:mod:`ocr_spark.oracle`) covers HTML for free.
+
+Heuristics (public knowledge — the boilerpipe / jusText / trafilatura line
+of work: block segmentation at DOM block elements, link-density scoring):
+
+- ``script/style/noscript/template/svg/iframe/head/…`` subtree content is
+  dropped entirely (markup, not prose);
+- ``nav/header/footer/aside`` subtrees are dropped (site chrome — the
+  boilerplate strip);
+- block-level tags delimit blocks; ``<br>`` delimits lines inside a block;
+- ``h1``-``h6`` blocks get type ``title``; everything else ``text`` (the
+  engine's existing block-type vocabulary);
+- a block whose link density (non-whitespace chars inside ``<a>`` ÷ total
+  non-whitespace chars) exceeds 0.5 is dropped as link-farm boilerplate
+  (nav menus rendered as ``<div>`` lists);
+- whitespace is collapsed per line; entity references are decoded by the
+  parser (``convert_charrefs``); empty lines and blocks are dropped;
+- zero surviving blocks → a zero-page document (empty tree, not an error).
+
+At 100 TB the parse is embarrassingly parallel (per-document, inside the
+same Arrow-batched UDF as the PDF path; no extra shuffle).  The stdlib
+parser is the deterministic, always-available backend; a cluster deployment
+can swap a faster C tokenizer (lxml/selectolax) behind this same
+function seam without touching the plan.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+# Subtrees whose text is never prose.
+DROP_TAGS = frozenset(
+    "script style noscript template svg math iframe object embed head "
+    "title canvas audio video map".split()
+)
+# Site-chrome subtrees: the boilerplate strip.
+BOILERPLATE_TAGS = frozenset("nav header footer aside".split())
+# Tags that delimit content blocks (flush on open AND close).
+BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody tfoot tr "
+    "td th blockquote pre article section main figure figcaption address "
+    "form fieldset hr body html center".split()
+)
+HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+MAX_LINK_DENSITY = 0.5
+
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_NONWS_RE = re.compile(r"[^ \t\r\n\f\v]")
+_HTML_SNIFF_RE = re.compile(
+    rb"(?i)<!doctype\s+html|<html[\s>]|<head[\s>]|<body[\s>]"
+)
+
+# Virtual-page geometry: identical to the synthetic-corpus layout rule
+# (fixtures._text_block) so per-line coverage lands ≈0.85 ≥ 0.5 and the
+# coverage probe routes every HTML page down the native path.  All
+# coordinates are integral floats and the virtual dpi is 72, so the
+# detector chain's int-cast → ×(72/dpi) is an exact identity.
+PAGE_W = 612.0
+_X1, _X2 = 72.0, 540.0
+_LINE_H, _BLOCK_PAD, _BLOCK_GAP = 14.0, 6.0, 10.0
+VIRTUAL_DPI = 72
+
+
+def looks_like_html(data: bytes) -> bool:
+    """Payload sniff: is this an HTML document (vs a PDF/sgdoc payload)?
+
+    The analogue of fitz's magic-byte sniff at the reference's parse seam
+    (document.py:532-541): decide the per-format parser from the first KB.
+    """
+    return bool(_HTML_SNIFF_RE.search(data[:1024]))
+
+
+class _BlockCollector(HTMLParser):
+    """One streaming pass: suppression counters + block/line accumulation."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._drop: dict[str, int] = {}  # per-tag open counts (misnest-safe)
+        self._link_depth = 0
+        self._heading_depth = 0
+        self._cur: dict | None = None  # {"title","lines":[ [str,...] ],...}
+        self.blocks: list[dict] = []  # [{"type","lines":[str,...]}]
+
+    # -- suppression bookkeeping ------------------------------------------
+    def _suppressed(self) -> bool:
+        return any(v > 0 for v in self._drop.values())
+
+    def handle_starttag(self, tag, attrs):
+        if tag in DROP_TAGS or tag in BOILERPLATE_TAGS:
+            self._drop[tag] = self._drop.get(tag, 0) + 1
+            self._flush()
+            return
+        if tag == "br":
+            if self._cur is not None:
+                self._cur["lines"].append([])
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in HEADING_TAGS:
+            self._heading_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "br":
+            if self._cur is not None:
+                self._cur["lines"].append([])
+            return
+        if tag in BLOCK_TAGS or tag in DROP_TAGS or tag in BOILERPLATE_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in DROP_TAGS or tag in BOILERPLATE_TAGS:
+            if self._drop.get(tag, 0) > 0:
+                self._drop[tag] -= 1
+            self._flush()
+            return
+        if tag == "a" and self._link_depth > 0:
+            self._link_depth -= 1
+        if tag in HEADING_TAGS and self._heading_depth > 0:
+            self._heading_depth -= 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    # -- text accumulation -------------------------------------------------
+    def handle_data(self, data):
+        if self._suppressed():
+            return
+        if self._cur is None:
+            if not data.strip():
+                return  # inter-tag whitespace never opens a block
+            self._cur = {
+                "title": self._heading_depth > 0,
+                "lines": [[]],
+                "chars": 0,
+                "linked": 0,
+            }
+        self._cur["lines"][-1].append(data)
+        n = len(_NONWS_RE.findall(data))
+        self._cur["chars"] += n
+        if self._link_depth > 0:
+            self._cur["linked"] += n
+
+    # -- block finalization ------------------------------------------------
+    def _flush(self) -> None:
+        cur, self._cur = self._cur, None
+        if cur is None:
+            return
+        lines = []
+        for parts in cur["lines"]:
+            text = _WS_RE.sub(" ", "".join(parts)).strip()
+            if text:
+                lines.append(text)
+        if not lines:
+            return
+        if cur["chars"] > 0 and cur["linked"] / cur["chars"] > MAX_LINK_DENSITY:
+            return  # link-farm boilerplate
+        self.blocks.append(
+            {"type": "title" if cur["title"] else "text", "lines": lines}
+        )
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def parse_html_blocks(data: bytes) -> list[dict]:
+    """HTML bytes → content blocks ``[{"type", "lines": [str, ...]}, ...]``."""
+    parser = _BlockCollector()
+    parser.feed(data.decode("utf-8", errors="replace"))
+    parser.close()
+    return parser.blocks
+
+
+def html_page(data: bytes) -> dict | None:
+    """HTML bytes → one virtual page dict (decode_page shape), or ``None``
+    when no content blocks survive the boilerplate strip."""
+    blocks = parse_html_blocks(data)
+    if not blocks:
+        return None
+    layout: list[dict] = []
+    native: list[dict] = []
+    y = 72.0
+    for blk in blocks:
+        n = len(blk["lines"])
+        h = _LINE_H * n + _BLOCK_PAD
+        layout.append({"type": blk["type"], "bbox": [_X1, y, _X2, y + h]})
+        for j, content in enumerate(blk["lines"]):
+            ly = y + 3.0 + _LINE_H * j
+            native.append(
+                {
+                    "bbox": [_X1 + 2.0, ly, _X2 - 2.0, ly + 12.0],
+                    "spans": [content],
+                }
+            )
+        y += h + _BLOCK_GAP
+    return {
+        "i": 0,
+        "width": PAGE_W,
+        "height": max(792.0, y + 62.0),
+        "layout": layout,
+        "native_lines": native,
+        "ocr_lines": [],
+    }
+
+
+def html_doc(data: bytes) -> dict:
+    """HTML bytes → doc dict (decode_doc shape): one virtual page, or zero
+    pages when the document is pure boilerplate."""
+    page = html_page(data)
+    pages = [page] if page is not None else []
+    return {
+        "dpi": VIRTUAL_DPI,
+        "kind": "H",
+        "pages": pages,
+        "page_bytes": [data] if page is not None else [],
+    }

@@ -38,10 +38,17 @@ def write_extracted(extracted: DataFrame, path: str, mode: str = "append") -> No
     (
         # UTC calendar day regardless of spark.sql.session.timeZone — the
         # partition a row lands in must not depend on which cluster's
-        # session appended it
+        # session appended it.  Derived from the epoch instant itself
+        # (unix_timestamp is tz-independent), not from a rendered wall
+        # clock: to_date(ts) renders in the session zone and would shift
+        # day boundaries between clusters.
         extracted.withColumn(
             "warc_day",
-            F.to_date(F.expr("from_utc_timestamp(warc_ts, 'UTC')")),
+            F.date_from_unix_date(
+                F.floor(F.unix_timestamp("warc_ts") / F.lit(86400)).cast(
+                    "int"
+                )
+            ),
         )
         .repartition("warc_day")  # one writer wave per day partition
         .write.mode(mode)
@@ -100,8 +107,29 @@ def processed_urls(spark: SparkSession, path: str) -> DataFrame | None:
         raise
 
 
-def pending_pages(pages: DataFrame, out_path: str) -> DataFrame:
-    """Resume filter: pages not yet in the checkpoint (left-anti on url).
+def exhausted_urls(
+    spark: SparkSession, path: str, max_attempts: int
+) -> DataFrame | None:
+    """urls whose FAILED attempt count has reached the retry budget —
+    deterministic failures (e.g. PARSE_ERROR on a corrupt payload) must not
+    be retried forever or the resume loop never converges to 0."""
+    if processed_urls(spark, path) is None:  # reuse the existence probe
+        return None
+    return (
+        read_extracted(spark, path)
+        .filter(F.col("status") == "FAILED")
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= max_attempts)
+        .select("url")
+    )
+
+
+def pending_pages(
+    pages: DataFrame, out_path: str, max_attempts: int = 3
+) -> DataFrame:
+    """Resume filter: pages neither COMPLETED nor retry-exhausted
+    (left-anti on url).
 
     Catalyst plans this as a shuffled or broadcast anti-join depending on the
     checkpoint's size stats; urls are high-cardinality so no skew concern.
@@ -109,7 +137,14 @@ def pending_pages(pages: DataFrame, out_path: str) -> DataFrame:
     done = processed_urls(pages.sparkSession, out_path)
     if done is None:
         return pages
-    return pages.join(done, on="url", how="left_anti")
+    skip = done
+    if max_attempts is not None:
+        exhausted = exhausted_urls(
+            pages.sparkSession, out_path, max_attempts
+        )
+        if exhausted is not None:
+            skip = done.unionByName(exhausted)
+    return pages.join(skip, on="url", how="left_anti")
 
 
 def partition_lineage(extracted_path: str, spark: SparkSession) -> DataFrame:
@@ -173,13 +208,17 @@ def run_resumable(
     out_path: str,
     cfg: PipelineConfig | None = None,
     observe: dict | None = None,
+    max_attempts: int = 3,
 ) -> int:
     """One checkpointed pass: extract every not-yet-COMPLETED url, append.
 
     Returns the number of urls attempted in THIS pass (0 ⇒ nothing left to
     do — the loop-termination signal).  COMPLETED urls are never re-done;
-    FAILED urls are retried each pass (transient-failure semantics) and
-    each retry appends a new attempt row — read the table with
+    FAILED urls are retried on later passes (transient-failure semantics)
+    until they accumulate ``max_attempts`` FAILED rows, after which they are
+    skipped — so deterministic failures (corrupt payloads) cannot keep the
+    drive-to-completion loop alive forever and the checkpoint table stays
+    bounded.  Each retry appends a new attempt row — read the table with
     ``read_extracted(..., latest_only=True)`` to collapse attempts.
     Committed parquet files (like Iceberg snapshots) are never rewritten.
 
@@ -190,7 +229,7 @@ def run_resumable(
     """
     from pyspark.sql import Observation
 
-    todo = pending_pages(pages, out_path)
+    todo = pending_pages(pages, out_path, max_attempts=max_attempts)
     extracted = extract(todo, cfg)
     metrics = [F.count(F.lit(1)).alias("docs")]
     if observe is not None:

@@ -116,16 +116,24 @@ def analyze_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     skew is already broken (SURVEY.md §3.3)."""
     for pdf in batches:
         layouts, natives, flags = [], [], []
-        for page_bytes, doc_dpi, error in zip(
-            pdf["page_bytes"], pdf["doc_dpi"], pdf["error"]
+        errors = list(pdf["error"])
+        for pos, (page_bytes, doc_dpi, error) in enumerate(
+            zip(pdf["page_bytes"], pdf["doc_dpi"], pdf["error"])
         ):
             if error is not None or page_bytes is None:
                 layouts.append([])
                 natives.append([])
                 flags.append(False)
                 continue
-            page = hx.decode_page(bytes(page_bytes))
-            info = hx.analyze_page(page, int(doc_dpi))
+            try:
+                page = hx.decode_page(bytes(page_bytes))
+                info = hx.analyze_page(page, int(doc_dpi))
+            except Exception as e:  # noqa: BLE001 - failure-code lineage
+                layouts.append([])
+                natives.append([])
+                flags.append(False)
+                errors[pos] = f"EXTRACT_ERROR: {type(e).__name__}: {e}"
+                continue
             layouts.append(
                 [
                     {"type": b["type"], "bbox": _bbox_list(b["bbox"])}
@@ -140,6 +148,7 @@ def analyze_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             )
             flags.append(bool(info["needs_ocr"]))
         out = pdf.copy()
+        out["error"] = errors
         out["layout"] = layouts
         out["native_lines"] = natives
         out["needs_ocr"] = flags
@@ -149,12 +158,17 @@ def analyze_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def _finish_common(pdf: pd.DataFrame, lines_per_row: list[list[dict]],
                    ocr_flag: bool) -> pd.DataFrame:
     blocks_col = []
-    for lines, layout in zip(lines_per_row, pdf["layout"]):
-        layout_dicts = [
-            {"type": b["type"], "bbox": _bbox_list(b["bbox"])} for b in layout
-        ]
-        blocks = hx.finish_page(lines, layout_dicts)
-        blocks_col.append(_pack_blocks(blocks))
+    errors = list(pdf["error"])
+    for pos, (lines, layout) in enumerate(zip(lines_per_row, pdf["layout"])):
+        try:
+            layout_dicts = [
+                {"type": b["type"], "bbox": _bbox_list(b["bbox"])}
+                for b in layout
+            ]
+            blocks_col.append(_pack_blocks(hx.finish_page(lines, layout_dicts)))
+        except Exception as e:  # noqa: BLE001 - failure-code lineage
+            blocks_col.append([])
+            errors[pos] = f"EXTRACT_ERROR: {type(e).__name__}: {e}"
     return pd.DataFrame(
         {
             "url": pdf["url"],
@@ -164,7 +178,7 @@ def _finish_common(pdf: pd.DataFrame, lines_per_row: list[list[dict]],
             "n_pages": pdf["n_pages"],
             "ocr": ocr_flag,
             "blocks": blocks_col,
-            "error": pdf["error"],
+            "error": errors,
         }
     )
 
@@ -235,27 +249,43 @@ def extract_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 # marks "no page" and assembly skips it
                 emit(url, warc_ts, lang, -1, 0, False, "[]", None)
                 continue
-            for page in doc["pages"]:
-                info = hx.analyze_page(page, doc["dpi"])
-                layout = [
-                    {"type": b["type"], "bbox": _bbox_list(b["bbox"])}
-                    for b in info["layout"]
-                ]
-                if info["needs_ocr"]:
-                    lines = hx.extract_ocr_text(
-                        page, doc["dpi"], lang or "en"
-                    )
-                else:
-                    lines = [
-                        {
-                            "bbox": _bbox_list(ln["bbox"]),
-                            "content": ln["content"],
-                        }
-                        for ln in info["native_lines"]
+            # The page loop is guarded per DOCUMENT: one throwing page turns
+            # the whole url into a single EXTRACT_ERROR lineage row (partial
+            # pages dropped) instead of aborting the Spark task — mirroring
+            # the PARSE_ERROR path; a single bad document must never fail a
+            # 100 TB run.
+            staged: list[tuple] = []
+            try:
+                for page in doc["pages"]:
+                    info = hx.analyze_page(page, doc["dpi"])
+                    layout = [
+                        {"type": b["type"], "bbox": _bbox_list(b["bbox"])}
+                        for b in info["layout"]
                     ]
-                emit(url, warc_ts, lang, _page_i(page), npg, bool(info["needs_ocr"]),
-                     json.dumps(_pack_blocks(hx.finish_page(lines, layout))),
-                     None)
+                    if info["needs_ocr"]:
+                        lines = hx.extract_ocr_text(
+                            page, doc["dpi"], lang or "en"
+                        )
+                    else:
+                        lines = [
+                            {
+                                "bbox": _bbox_list(ln["bbox"]),
+                                "content": ln["content"],
+                            }
+                            for ln in info["native_lines"]
+                        ]
+                    staged.append(
+                        (url, warc_ts, lang, _page_i(page), npg,
+                         bool(info["needs_ocr"]),
+                         json.dumps(_pack_blocks(hx.finish_page(lines, layout))),
+                         None)
+                    )
+            except Exception as e:  # noqa: BLE001 - failure-code lineage
+                emit(url, warc_ts, lang, -1, 0, False, "[]",
+                     f"EXTRACT_ERROR: {type(e).__name__}: {e}")
+                continue
+            for row in staged:
+                emit(*row)
         yield pd.DataFrame(out)
 
 
@@ -299,39 +329,56 @@ def analyze_and_finish(
         ocr_col = [False] * n
         ocr_idx: list[int] = []
         ocr_pages: dict[int, dict] = {}  # decoded once, reused below
+        errors = list(pdf["error"])
         for pos, (page_bytes, doc_dpi, error) in enumerate(
             zip(pdf["page_bytes"], pdf["doc_dpi"], pdf["error"])
         ):
             if error is not None or page_bytes is None:
                 blocks_col[pos] = []
                 continue
-            page = hx.decode_page(bytes(page_bytes))
-            info = hx.analyze_page(page, int(doc_dpi))
-            layout = [
-                {"type": b["type"], "bbox": _bbox_list(b["bbox"])}
-                for b in info["layout"]
-            ]
-            if info["needs_ocr"]:
-                ocr_idx.append(pos)
-                ocr_col[pos] = True
-                ocr_pages[pos] = page
-                blocks_col[pos] = layout  # stash layout; lines come below
-            else:
-                lines = [
-                    {"bbox": _bbox_list(ln["bbox"]), "content": ln["content"]}
-                    for ln in info["native_lines"]
+            # per-PAGE guard (page granularity here): a throwing page
+            # becomes an EXTRACT_ERROR lineage row, not a task failure
+            try:
+                page = hx.decode_page(bytes(page_bytes))
+                info = hx.analyze_page(page, int(doc_dpi))
+                layout = [
+                    {"type": b["type"], "bbox": _bbox_list(b["bbox"])}
+                    for b in info["layout"]
                 ]
-                blocks_col[pos] = _pack_blocks(hx.finish_page(lines, layout))
+                if info["needs_ocr"]:
+                    ocr_idx.append(pos)
+                    ocr_col[pos] = True
+                    ocr_pages[pos] = page
+                    blocks_col[pos] = layout  # stash layout; lines below
+                else:
+                    lines = [
+                        {
+                            "bbox": _bbox_list(ln["bbox"]),
+                            "content": ln["content"],
+                        }
+                        for ln in info["native_lines"]
+                    ]
+                    blocks_col[pos] = _pack_blocks(
+                        hx.finish_page(lines, layout)
+                    )
+            except Exception as e:  # noqa: BLE001 - failure-code lineage
+                blocks_col[pos] = []
+                errors[pos] = f"EXTRACT_ERROR: {type(e).__name__}: {e}"
         # dense OCR sub-batch (reference document.py:119-133)
         for pos in ocr_idx:
-            lines = hx.extract_ocr_text(
-                ocr_pages[pos],
-                int(pdf["doc_dpi"].iloc[pos]),
-                pdf["lang"].iloc[pos] or "en",
-            )
-            blocks_col[pos] = _pack_blocks(
-                hx.finish_page(lines, blocks_col[pos])
-            )
+            try:
+                lines = hx.extract_ocr_text(
+                    ocr_pages[pos],
+                    int(pdf["doc_dpi"].iloc[pos]),
+                    pdf["lang"].iloc[pos] or "en",
+                )
+                blocks_col[pos] = _pack_blocks(
+                    hx.finish_page(lines, blocks_col[pos])
+                )
+            except Exception as e:  # noqa: BLE001 - failure-code lineage
+                blocks_col[pos] = []
+                ocr_col[pos] = False
+                errors[pos] = f"EXTRACT_ERROR: {type(e).__name__}: {e}"
         yield pd.DataFrame(
             {
                 "url": pdf["url"],
@@ -341,7 +388,7 @@ def analyze_and_finish(
                 "n_pages": pdf["n_pages"],
                 "ocr": ocr_col,
                 "blocks": blocks_col,
-                "error": pdf["error"],
+                "error": errors,
             }
         )
 
@@ -354,16 +401,23 @@ def finish_ocr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     reference's OCR re-batching queue (document.py:119-133)."""
     for pdf in batches:
         lines_per_row = []
-        for page_bytes, doc_dpi, lang, error in zip(
-            pdf["page_bytes"], pdf["doc_dpi"], pdf["lang"], pdf["error"]
+        errors = list(pdf["error"])
+        for pos, (page_bytes, doc_dpi, lang, error) in enumerate(
+            zip(pdf["page_bytes"], pdf["doc_dpi"], pdf["lang"], pdf["error"])
         ):
             if error is not None or page_bytes is None:
                 lines_per_row.append([])
                 continue
-            page = hx.decode_page(bytes(page_bytes))
-            lines_per_row.append(
-                hx.extract_ocr_text(page, int(doc_dpi), lang or "en")
-            )
+            try:
+                page = hx.decode_page(bytes(page_bytes))
+                lines_per_row.append(
+                    hx.extract_ocr_text(page, int(doc_dpi), lang or "en")
+                )
+            except Exception as e:  # noqa: BLE001 - failure-code lineage
+                lines_per_row.append([])
+                errors[pos] = f"EXTRACT_ERROR: {type(e).__name__}: {e}"
+        pdf = pdf.copy()
+        pdf["error"] = errors
         yield _finish_common(pdf, lines_per_row, ocr_flag=True)
 
 

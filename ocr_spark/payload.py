@@ -94,9 +94,15 @@ def decode_page(raw: bytes) -> dict[str, Any]:
        "ocr_lines": [{"bbox", "content"}]}``
     """
     m = _PAGE_RE.search(raw)
-    if m is None:
-        raise ValueError("not a page payload")
-    return _page_from_groups(*m.groups())
+    if m is not None:
+        return _page_from_groups(*m.groups())
+    from . import htmlpage
+
+    if htmlpage.looks_like_html(raw):
+        page = htmlpage.html_page(raw)
+        if page is not None:
+            return page
+    raise ValueError("not a page payload")
 
 
 def _page_from_groups(i: bytes, w: bytes, h: bytes, body: bytes) -> dict[str, Any]:
@@ -122,8 +128,17 @@ def _page_from_groups(i: bytes, w: bytes, h: bytes, body: bytes) -> dict[str, An
 def decode_doc(data: bytes) -> dict[str, Any]:
     """Parse a full document payload into
     ``{"dpi": int, "kind": str, "pages": [page, ...]}`` (pages in i order) and
-    per-page raw byte slices under ``"page_bytes"`` for stage handoff."""
+    per-page raw byte slices under ``"page_bytes"`` for stage handoff.
+
+    Format dispatch (the analogue of the reference's parse seam,
+    document.py:532-541): sgdoc magic → synthetic PDF payload; HTML sniff
+    → :func:`ocr_spark.htmlpage.html_doc` (boilerplate-strip DOM walk into
+    a virtual page); anything else is a payload error."""
     if not data.startswith(MAGIC):
+        from . import htmlpage
+
+        if htmlpage.looks_like_html(data):
+            return htmlpage.html_doc(data)
         raise ValueError("bad payload magic")
     m = _DOC_RE.search(data)
     if m is None:

@@ -1,0 +1,217 @@
+"""HTML extraction path (htmlpage.py): hand-written goldens, boilerplate
+strip semantics, and Spark↔oracle byte-identity over a mixed PDF+HTML
+corpus — the north rule's "HTML boilerplate strip … DOM heuristics"."""
+
+import pytest
+
+from ocr_spark import htmlpage
+from ocr_spark.oracle import extract_document, flat_lines
+from ocr_spark.fixtures import generate_html_rows, generate_pages_rows
+from ocr_spark.payload import decode_doc, decode_page
+
+
+class TestSniff:
+    def test_doctype(self):
+        assert htmlpage.looks_like_html(b"  <!DOCTYPE html><html></html>")
+
+    def test_bare_html_tag(self):
+        assert htmlpage.looks_like_html(b"<HTML lang=en><body>x</body>")
+
+    def test_head_body_only(self):
+        assert htmlpage.looks_like_html(b"<body class=x>hello</body>")
+
+    def test_sgdoc_not_html(self):
+        assert not htmlpage.looks_like_html(
+            b'<!DOCTYPE sgdoc><doc dpi="200" kind="A"></doc>'
+        )
+
+    def test_binary_junk_not_html(self):
+        assert not htmlpage.looks_like_html(b"\x89PNG\r\n\x1a\nxxxx")
+
+    def test_sniff_window_is_bounded(self):
+        # <html> past the first KB is not sniffed (streaming safety)
+        assert not htmlpage.looks_like_html(b"x" * 2000 + b"<html>")
+
+
+class TestHandGoldens:
+    """Expected outputs written by hand — independent of the implementation."""
+
+    def test_canonical_page(self):
+        html = (
+            b"<!DOCTYPE html><html><head><title>T</title>"
+            b"<script>var a='<p>no</p>';</script><style>p{}</style></head>"
+            b"<body><header>Banner</header><nav><a href=x>Home</a></nav>"
+            b"<main><h1>Heading One</h1><p>Alpha beta gamma.</p>"
+            b"<p>Delta  epsilon.</p></main>"
+            b"<footer>contact us</footer></body></html>"
+        )
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "title", "lines": ["Heading One"]},
+            {"type": "text", "lines": ["Alpha beta gamma."]},
+            {"type": "text", "lines": ["Delta epsilon."]},
+        ]
+
+    def test_br_splits_lines_inside_block(self):
+        html = b"<html><body><p>one<br>two<br/>three</p></body></html>"
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["one", "two", "three"]}
+        ]
+
+    def test_entities_decoded(self):
+        html = b"<html><body><p>A &amp; B &lt;c&gt; &#169;</p></body></html>"
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["A & B <c> ©"]}
+        ]
+
+    def test_inline_tags_do_not_split(self):
+        html = b"<html><body><p>a<b>b</b><i>c</i> d</p></body></html>"
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["abc d"]}
+        ]
+
+    def test_link_farm_dropped_content_link_kept(self):
+        html = (
+            b"<html><body>"
+            b"<div><a href=1>one</a> <a href=2>two</a> <a href=3>three</a></div>"
+            b"<p>Real prose with a small <a href=x>link</a> in much more text."
+            b"</p></body></html>"
+        )
+        blocks = htmlpage.parse_html_blocks(html)
+        assert blocks == [
+            {
+                "type": "text",
+                "lines": ["Real prose with a small link in much more text."],
+            }
+        ]
+
+    def test_table_rows_are_blocks(self):
+        html = (
+            b"<html><body><table><tr><td>a1</td><td>a2</td></tr>"
+            b"<tr><td>b1</td></tr></table></body></html>"
+        )
+        blocks = htmlpage.parse_html_blocks(html)
+        assert [b["lines"] for b in blocks] == [["a1"], ["a2"], ["b1"]]
+
+    def test_malformed_markup_survives(self):
+        html = (
+            b"<html><body><P>unclosed upper"  # uppercase + unclosed
+            b"</div>"  # stray close
+            b"<p>second para</body></html>"
+        )
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["unclosed upper"]},
+            {"type": "text", "lines": ["second para"]},
+        ]
+
+    def test_nested_boilerplate_counters(self):
+        html = (
+            b"<html><body><nav>outer <nav>inner</nav> still-nav</nav>"
+            b"<p>content</p></body></html>"
+        )
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["content"]}
+        ]
+
+    def test_pure_boilerplate_zero_pages(self):
+        html = b"<html><head><script>x</script></head><body><nav>H</nav></body></html>"
+        doc = decode_doc(html)
+        assert doc["kind"] == "H" and doc["pages"] == []
+        ex = extract_document(html)
+        assert (ex["text"], ex["n_pages"], ex["n_blocks"]) == ("", 0, 0)
+
+
+class TestVirtualPageGeometry:
+    def test_page_dict_shape_matches_decode_page(self):
+        html = b"<html><body><h1>T</h1><p>body text</p></body></html>"
+        page = decode_page(html)  # dispatches on the html sniff
+        assert page["i"] == 0 and page["width"] == htmlpage.PAGE_W
+        assert [b["type"] for b in page["layout"]] == ["title", "text"]
+        assert len(page["native_lines"]) == 2 and page["ocr_lines"] == []
+        # integral floats → the 72-dpi int-cast chain is an exact identity
+        for b in page["layout"]:
+            assert all(c == float(int(c)) for c in b["bbox"])
+
+    def test_html_routes_native_never_ocr(self):
+        for r in generate_html_rows(25, with_crawl_text=False):
+            assert extract_document(bytes(r["html"]))["ocr_pages"] == 0
+
+    def test_reading_order_preserved(self):
+        html = b"<html><body>" + b"".join(
+            b"<p>para %d</p>" % i for i in range(12)
+        ) + b"</body></html>"
+        ex = extract_document(html)
+        assert ex["text"] == "\n\n".join(f"para {i}" for i in range(12))
+
+
+@pytest.fixture(scope="module")
+def mixed_parquet(tmp_path_factory):
+    from ocr_spark.fixtures import write_rows_parquet
+
+    rows = generate_pages_rows(24) + generate_html_rows(36)
+    path = tmp_path_factory.mktemp("mixed") / "pages.parquet"
+    return str(write_rows_parquet(path, rows))
+
+
+class TestMixedCorpusE2E:
+    """One Spark job over PDF-payload + HTML docs: same schema, per-url
+    byte identity with the oracle, all pipeline modes."""
+
+    @pytest.fixture(scope="class")
+    def goldens(self, spark, mixed_parquet):
+        src = (
+            spark.read.parquet(mixed_parquet)
+            .select("url", "html", "lang")
+            .toPandas()
+        )
+        return {
+            r.url: extract_document(bytes(r.html), r.lang)
+            for r in src.itertuples()
+        }
+
+    @pytest.fixture(scope="class")
+    def extracted(self, spark, mixed_parquet):
+        from ocr_spark.pipeline import extract, read_pages
+
+        return extract(read_pages(spark, mixed_parquet)).cache()
+
+    def test_text_byte_identical(self, extracted, goldens):
+        got = {r.url: r.text for r in extracted.select("url", "text").collect()}
+        assert got == {u: g["text"] for u, g in goldens.items()}
+
+    def test_tree_strict(self, extracted, goldens):
+        from ocr_spark.pipeline import flatten_lines
+
+        got = {
+            (r.url, r.page_i, r.block_i, r.line_i): (r.block_type, r.content)
+            for r in flatten_lines(extracted).collect()
+        }
+        want = {
+            (u, p, b, li): (t, c)
+            for url, g in goldens.items()
+            for u, p, b, t, li, c in flat_lines(g, url)
+        }
+        assert got == want
+
+    def test_statuses_all_completed(self, extracted):
+        rows = extracted.select("status").distinct().collect()
+        assert {r.status for r in rows} == {"COMPLETED"}
+
+    def test_paged_mode_identical(self, spark, mixed_parquet, extracted):
+        from ocr_spark.pipeline import PipelineConfig, extract, read_pages
+
+        alt = extract(
+            read_pages(spark, mixed_parquet), PipelineConfig(mode="paged")
+        )
+        a = {r.url: r.text for r in alt.select("url", "text").collect()}
+        b = {r.url: r.text for r in extracted.select("url", "text").collect()}
+        assert a == b
+
+    def test_staged_mode_identical(self, spark, mixed_parquet, extracted):
+        from ocr_spark.pipeline import PipelineConfig, extract, read_pages
+
+        alt = extract(
+            read_pages(spark, mixed_parquet), PipelineConfig(mode="staged")
+        )
+        a = {r.url: r.text for r in alt.select("url", "text").collect()}
+        b = {r.url: r.text for r in extracted.select("url", "text").collect()}
+        assert a == b

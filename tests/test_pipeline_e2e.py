@@ -227,3 +227,46 @@ class TestPipelineVariants:
         assert r.status == "FAILED"
         assert r.error.startswith("PARSE_ERROR")
         assert r.text == "" and r.pages == []
+
+    def test_kernel_throwing_page_yields_failed_row_not_task_abort(
+        self, spark
+    ):
+        """A payload that decodes cleanly but blows up inside the page
+        kernels (here: a 3-coordinate bbox) must become an EXTRACT_ERROR
+        lineage row in EVERY mode — never a Spark task failure, and never
+        poison the healthy documents sharing its batch."""
+        import datetime as dt
+
+        from ocr_spark.fixtures import make_doc
+        from ocr_spark.payload import MAGIC
+
+        bad = (
+            MAGIC
+            + b'<doc dpi="200" kind="A"><page i="0" w="612.0" h="792.0">'
+            b'<layout type="text" bbox="1.0,2.0,3.0"/>'
+            b'<nline bbox="1.0,2.0,3.0,4.0" s="aGk="/></page></doc>'
+        )
+        good = make_doc(1)
+        rows = [
+            ("u://kernel-bad", dt.datetime(2025, 1, 1), bytearray(bad), "", "en"),
+            (good["url"], good["warc_ts"].replace(tzinfo=None),
+             bytearray(good["html"]), "", good["lang"]),
+        ]
+        schema = (
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string"
+        )
+        df = spark.createDataFrame(rows, schema)
+        for mode in ("fused", "paged", "staged"):
+            out = {
+                r.url: r
+                for r in extract(
+                    df, PipelineConfig(mode=mode, page_partitions=2)
+                ).collect()
+            }
+            assert len(out) == 2, mode
+            r = out["u://kernel-bad"]
+            assert r.status == "FAILED", mode
+            assert r.error.startswith("EXTRACT_ERROR"), (mode, r.error)
+            g = out[good["url"]]
+            assert g.status == "COMPLETED" and g.n_pages > 0, mode

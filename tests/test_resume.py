@@ -111,3 +111,68 @@ def _good_payload():
     from ocr_spark.fixtures import make_doc
 
     return make_doc(1)["html"]
+
+
+class TestRetryCap:
+    def test_deterministic_failures_converge_to_zero(self, spark, tmp_path):
+        """A corrupt payload fails every pass; after max_attempts FAILED
+        rows it leaves the pending set so the drive-to-completion loop's
+        0-return termination signal actually arrives."""
+        import datetime as dt
+
+        rows = [
+            ("u://ok", dt.datetime(2025, 3, 1), bytearray(_good_payload()), "", "en"),
+            ("u://bad", dt.datetime(2025, 3, 1), bytearray(b"garbage"), "", "en"),
+        ]
+        schema = (
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string"
+        )
+        pages = spark.createDataFrame(rows, schema)
+        out = str(tmp_path / "retrycap")
+        attempts = []
+        for _ in range(6):
+            n = run_resumable(pages, out, max_attempts=2)
+            attempts.append(n)
+            if n == 0:
+                break
+        # pass 1: both urls; pass 2: bad only (retry); pass 3: 0 (capped)
+        assert attempts == [2, 1, 0]
+        table = read_extracted(spark, out)
+        assert table.filter(F.col("status") == "FAILED").count() == 2
+        assert table.filter(F.col("status") == "COMPLETED").count() == 1
+
+
+class TestUtcDayPartitioning:
+    def test_partition_day_independent_of_session_timezone(
+        self, spark, tmp_path
+    ):
+        """The warc_day a row lands in is the UTC calendar day of the
+        instant — identical no matter which session time zone the writing
+        cluster runs with (appends from mixed-zone clusters must not split
+        or shift day partitions)."""
+        import datetime as dt
+        import os
+
+        # 2025-02-01T23:30Z: still Feb 1 in UTC, already Feb 2 in UTC+9,
+        # and Feb 1 15:30 in UTC-8 — a zone-sensitive derivation disagrees.
+        ts = dt.datetime(2025, 2, 1, 23, 30, tzinfo=dt.timezone.utc)
+        rows = [("u://tz", ts, bytearray(_good_payload()), "", "en")]
+        schema = (
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string"
+        )
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        days = {}
+        try:
+            for zone in ("UTC", "Asia/Tokyo", "America/Los_Angeles"):
+                spark.conf.set("spark.sql.session.timeZone", zone)
+                out = str(tmp_path / f"tz_{zone.replace('/', '_')}")
+                write_extracted(extract(spark.createDataFrame(rows, schema)), out)
+                parts = [
+                    d for d in os.listdir(out) if d.startswith("warc_day=")
+                ]
+                days[zone] = parts
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+        assert all(p == ["warc_day=2025-02-01"] for p in days.values()), days
