@@ -590,7 +590,7 @@ WHERE cos >= 0.2
 
 _IVF_SQL = f"""
 WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
-               FROM embeddings WHERE vec_id < 8),
+               FROM embeddings ORDER BY vec_id LIMIT 8),
 corpus_cells AS (
   SELECT vec_id AS c_id, embedding AS c_vec, cell FROM (
     SELECT e.vec_id, e.embedding, c.cid AS cell,

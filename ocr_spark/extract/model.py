@@ -98,7 +98,15 @@ class ModelExtractor:  # pragma: no cover - requires GPU deps
     def decode_doc(self, data: bytes) -> dict[str, Any]:
         """Protocol shape: ``pages`` holds fitz page refs (each has ``.i``
         via ``number``), matching how the fused UDF iterates
-        ``doc["pages"]`` and hands each page to ``analyze_page``."""
+        ``doc["pages"]`` and hands each page to ``analyze_page``.
+
+        HTML payloads short-circuit to the model-free DOM walk
+        (htmlpage.py) — same per-format parse seam as the heuristic
+        backend, so mixed corpora work under either backend."""
+        from ..htmlpage import html_doc, looks_like_html
+
+        if looks_like_html(data):
+            return html_doc(data)
         fitz = _load_fitz()
         doc = fitz.open("pdf", data)
         pages = []
@@ -135,6 +143,10 @@ class ModelExtractor:  # pragma: no cover - requires GPU deps
         return np.array(img)
 
     def analyze_page(self, page_ref, doc_dpi: int) -> dict[str, Any]:
+        if isinstance(page_ref, dict):  # html virtual page — model-free
+            from . import heuristic
+
+            return heuristic.analyze_page(page_ref, doc_dpi)
         model = _load_layout_model()
         img = self._raster(page_ref)
         pred = model([img], verbose=False)[0]
@@ -160,6 +172,10 @@ class ModelExtractor:  # pragma: no cover - requires GPU deps
         }
 
     def extract_ocr_text(self, page_ref, doc_dpi: int, lang: str = "en"):
+        if isinstance(page_ref, dict):  # html virtual page — model-free
+            from . import heuristic
+
+            return heuristic.extract_ocr_text(page_ref, doc_dpi, lang)
         rec, det = _load_ocr_models()
         img = self._raster(page_ref)
         pred = rec([img], [[lang]], det)[0]

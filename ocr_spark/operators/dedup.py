@@ -61,15 +61,21 @@ def with_shingles(
     A doc with w words has w-n+1 shingles (sequence upper bound size-n is
     inclusive); docs shorter than n words get an empty array — guarded
     explicitly because Spark's ``sequence(0, negative)`` counts DOWN and
-    ``slice`` rejects start 0."""
-    words = f"split({text_col}, ' ')"
+    ``slice`` rejects start 0.
+
+    The word array is bound to a real column first: inlining the split
+    into the lambda would re-split the WHOLE text once per shingle
+    (O(W²) per document — a straggler factory on long documents).
+    CollapseProject keeps the bind because the column is referenced more
+    than once and split is not cheap."""
+    ws = df.withColumn("_ws", F.split(F.col(text_col), " "))
     expr = (
-        f"CASE WHEN size({words}) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size({words}) - {n}),"
-        f" i -> array_join(slice({words}, i + 1, {n}), ' '))) "
+        f"CASE WHEN size(_ws) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(_ws) - {n}),"
+        f" i -> array_join(slice(_ws, i + 1, {n}), ' '))) "
         f"ELSE CAST(array() AS array<string>) END"
     )
-    return df.withColumn(out, F.expr(expr))
+    return ws.withColumn(out, F.expr(expr)).drop("_ws")
 
 
 def minhash_signatures(
@@ -102,16 +108,9 @@ def minhash_signatures(
     return h.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str = "doc_id",
-    num_perm: int = 8,
-    bands: int = 4,
+def _banded_keys(
+    signatures: DataFrame, id_col: str, num_perm: int, bands: int
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become a candidate pair.
-
-    The band bucket join is an equi-join Catalyst can hash-partition; at
-    10^12 docs this is the only near-dup strategy that avoids O(n²)."""
     rows_per_band = num_perm // bands
     band_cols = []
     for b in range(bands):
@@ -120,9 +119,60 @@ def lsh_candidate_pairs(
             F.struct(F.lit(b).alias("band"),
                      F.concat_ws("_", *cols).alias("key")).alias(f"b{b}")
         )
-    exploded = signatures.select(
+    return signatures.select(
         id_col, F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_hot_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Audit view of the buckets the guard in :func:`lsh_candidate_pairs`
+    will exclude: (band, key, n_docs) with n_docs > max_bucket.  Run/log
+    this alongside a dedup job — the cap must never be silent."""
+    return (
+        _banded_keys(signatures, id_col, num_perm, bands)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+
+    The band bucket join is an equi-join Catalyst can hash-partition; at
+    10^12 docs this is the only near-dup strategy that avoids O(n²).
+
+    Hot-bucket guard: real corpora have degenerate band keys (empty and
+    near-empty texts all share a signature), and ONE such bucket makes the
+    self-join quadratic.  Buckets larger than ``max_bucket`` are excluded
+    (count per key + anti-join — the count aggregate is map-side combined
+    and AQE broadcasts the tiny hot-key list).  Members of a degenerate
+    bucket are mega-cluster near-identical content whose duplicates are
+    the province of :func:`exact_dedup_groups` (16-byte digest shuffle),
+    not pairwise LSH.  Use :func:`lsh_hot_buckets` to audit what a given
+    corpus would drop — never cap silently; ``max_bucket=None`` disables
+    the guard."""
+    exploded = _banded_keys(signatures, id_col, num_perm, bands)
+    if max_bucket is not None:
+        hot = (
+            exploded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > max_bucket)
+            .select("band", "key")
+        )
+        exploded = exploded.join(hot, ["band", "key"], "left_anti")
     left = exploded.alias("a")
     right = exploded.alias("b")
     return (

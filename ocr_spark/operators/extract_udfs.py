@@ -289,6 +289,26 @@ def extract_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def enumerate_row_groups(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """File rows → (file, row_group) split rows; the parquet FOOTER read
+    happens on executors, not the driver (at millions of files a
+    driver-side per-file loop is the scheduling bottleneck; on a real
+    cluster the Iceberg ``.files`` metadata table supplies splits and this
+    stage disappears)."""
+    import pyarrow.parquet as pq
+
+    for pdf in batches:
+        files: list[str] = []
+        rgs: list[int] = []
+        for f in pdf["file"]:
+            n = pq.ParquetFile(f).metadata.num_row_groups
+            files.extend([f] * n)
+            rgs.extend(range(n))
+        yield pd.DataFrame({"file": files, "row_group": rgs})
+
+
 def extract_manifest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Manifest stage: rows are (file, row_group) splits; the worker reads
     the parquet row-group itself with pyarrow and extracts every document

@@ -180,6 +180,47 @@ def lsh_topk(
     )
 
 
+def _vec_literal(values: list[float]) -> str:
+    """Inline a centroid vector as a double array literal (repr round-trips
+    doubles exactly, so the inlined value is bit-identical to the column)."""
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in values) + ")"
+
+
+def nearest_cell_expr(
+    vec_col: str, cents: list[tuple[int, list[float]]]
+) -> str:
+    """Per-row nearest-centroid argmax as ONE projection expression.
+
+    ``array_max`` over ``struct(ccos, -cid)`` picks highest cosine with
+    lowest-cid tie-break (struct ordering), so the corpus-side cell
+    assignment needs NO crossJoin row blowup and NO shuffle/Window — the
+    100 TB shape for assigning 10^12 vectors to cells.  Norms stay in SQL
+    (same fold as everywhere else) so scores are bit-identical to the
+    windowed query-side assignment."""
+    structs = []
+    for cid, cvec in cents:
+        lit = _vec_literal(cvec)
+        ccos = f"({_dot(vec_col, lit)}) / ({_norm(vec_col)} * {_norm(lit)})"
+        structs.append(
+            f"named_struct('ccos', {ccos}, 'ncid', {-int(cid)}L)"
+        )
+    return f"-(array_max(array({', '.join(structs)})).ncid)"
+
+
+def assign_cells(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus → (id, vec, cell) via the shuffle-free argmax projection."""
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(nearest_cell_expr(vec_col, cents)).alias("cell"),
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -192,38 +233,56 @@ def ivf_topk(
     """IVF-style ANN: partition the corpus into centroid cells, probe only
     the query's ``n_probe`` nearest cells, exact cosine rerank inside them.
 
-    Centroids here are seed-picked deterministically (the ``n_centroids``
-    lowest ids) so the plan is RNG-free and oracle-reproducible; a
-    production deployment would train them with k-means (pyspark.ml) and
-    broadcast the centroid table exactly the same way.  The probe join is
-    a cell equi-join — at 10^12 vectors the corpus side shuffles once on
-    ``cell`` (or is bucketed by it at write time) and each query touches
-    ``n_probe / n_centroids`` of the data instead of all of it."""
+    Centroids are seed-picked deterministically — the ``n_centroids``
+    LOWEST ids via orderBy+limit, valid for any id domain (xxhash64 doc
+    ids included), not just dense 0-based ids — so the plan is RNG-free
+    and oracle-reproducible; a production deployment would train them with
+    k-means (pyspark.ml) and inline/broadcast the centroid table exactly
+    the same way.  The corpus side assigns cells in a single projection
+    (:func:`nearest_cell_expr` — no crossJoin, no Window, no shuffle);
+    queries keep the windowed top-``n_probe`` assignment (tiny side).
+    The probe join is a cell equi-join — at 10^12 vectors the corpus side
+    shuffles once on ``cell`` (or is bucketed by it at write time) and
+    each query touches ``n_probe / n_centroids`` of the data instead of
+    all of it."""
+    cents_local = [
+        (int(r[0]), [float(v) for v in r[1]])
+        for r in df.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    ]
     cents = F.broadcast(
-        df.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-        )
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     )
 
-    def assign(x: DataFrame, idc: str, vecc: str, pref: str, probe: int) -> DataFrame:
+    def assign_queries(x: DataFrame, probe: int) -> DataFrame:
         scored = x.crossJoin(cents).withColumn(
             "ccos",
-            F.expr(f"{_dot(vecc, 'cvec')} / ({_norm(vecc)} * {_norm('cvec')})"),
+            F.expr(
+                f"{_dot(vec_col, 'cvec')} / ({_norm(vec_col)} * {_norm('cvec')})"
+            ),
         )
-        w = Window.partitionBy(idc).orderBy(F.desc("ccos"), F.asc("cid"))
+        w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cid"))
         return (
             scored.withColumn("crank", F.row_number().over(w))
             .filter(F.col("crank") <= probe)
             .select(
-                F.col(idc).alias(f"{pref}_id"),
-                F.col(vecc).alias(f"{pref}_vec"),
+                F.col(id_col).alias("q_id"),
+                F.col(vec_col).alias("q_vec"),
                 F.col("cid").alias("cell"),
             )
         )
 
-    corpus_cells = assign(df.select(id_col, vec_col), id_col, vec_col, "c", 1)
+    corpus_cells = assign_cells(
+        df.select(id_col, vec_col), cents_local, vec_col, id_col
+    ).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "cell"
+    )
     query_cells = F.broadcast(
-        assign(queries.select(id_col, vec_col), id_col, vec_col, "q", n_probe)
+        assign_queries(queries.select(id_col, vec_col), n_probe)
     )
     cand = (
         corpus_cells.join(query_cells, "cell")
@@ -255,10 +314,18 @@ def cosine_pairs(
     threshold: float = 0.95,
     planes: int = 16,
     signs: list[list[int]] | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via half-signature buckets + exact rerank.
     High thresholds → high bucket recall (near-identical vectors agree on
-    most hyperplane signs)."""
+    most hyperplane signs).
+
+    Hot-bucket guard (same rationale as dedup.lsh_candidate_pairs): a
+    degenerate signature shared by a huge vector cluster (zero/constant
+    embeddings) makes one bucket quadratic — buckets over ``max_bucket``
+    are excluded via count + anti-join; audit with
+    ``banded.groupBy('band','key').count()`` before a production run;
+    ``max_bucket=None`` disables."""
     half = planes // 2
     mask = (1 << half) - 1
     s = hyperplane_signature(
@@ -275,6 +342,14 @@ def cosine_pairs(
             )
         ).alias("bk"),
     ).select(id_col, vec_col, "bk.band", "bk.key")
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "key")
+        )
+        banded = banded.join(hot, ["band", "key"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -126,24 +126,42 @@ def repetition_ratio(
     """Fraction of the document occupied by its most-repeated n-gram —
     the Gopher-style repetition signal (machine-generated/boilerplate text
     repeats heavily).  Pure higher-order functions: the non-distinct
-    shingle list and its per-shingle counts never leave the row."""
-    words = f"split({text_col}, ' ')"
+    shingle list and its per-shingle counts never leave the row.
+
+    O(G log G) per document: the max multiplicity of any gram equals the
+    longest equal-run in the SORTED gram array, found in one fold.  (The
+    previous distinct×filter formulation was O(G²) per row — a straggler
+    factory on exactly the long repetitive documents this signal exists
+    to catch: a 50k-word page would cost ~2.5×10⁹ comparisons in one
+    task.)  The word and gram arrays are bound to real columns between
+    projections: inlining them would re-split/rebuild per lambda element
+    (the other quadratic)."""
+    ws = df.select(
+        id_col, F.split(F.col(text_col), " ").alias("_ws")
+    )
     grams = (
-        f"CASE WHEN size({words}) >= {n} THEN "
-        f"transform(sequence(0, size({words}) - {n}),"
-        f" i -> array_join(slice({words}, i + 1, {n}), ' ')) "
+        f"CASE WHEN size(_ws) >= {n} THEN "
+        f"transform(sequence(0, size(_ws) - {n}),"
+        f" i -> array_join(slice(_ws, i + 1, {n}), ' ')) "
         f"ELSE CAST(array() AS array<string>) END"
     )
+    g = ws.select(id_col, F.expr(grams).alias("_grams"))
     max_rep = (
-        f"aggregate(array_distinct({grams}), 0, (acc, g) -> "
-        f"greatest(acc, size(filter({grams}, x -> x = g))))"
+        "aggregate(array_sort(_grams), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        "(acc, g) -> named_struct("
+        "  'prev', g, "
+        "  'run', CASE WHEN g <=> acc.prev THEN acc.run + 1 ELSE 1 END, "
+        "  'best', greatest(acc.best, "
+        "    CASE WHEN g <=> acc.prev THEN acc.run + 1 ELSE 1 END)), "
+        "acc -> acc.best)"
     )
-    return df.select(
+    return g.select(
         id_col,
-        F.expr(f"size({grams})").alias("n_grams"),
+        F.expr("size(_grams)").alias("n_grams"),
         F.expr(
-            f"CASE WHEN size({grams}) > 0 THEN "
-            f"CAST({max_rep} AS DOUBLE) / size({grams}) ELSE 0.0 END"
+            f"CASE WHEN size(_grams) > 0 THEN "
+            f"CAST({max_rep} AS DOUBLE) / size(_grams) ELSE 0.0 END"
         ).alias("max_gram_ratio"),
     )
 

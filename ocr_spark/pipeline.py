@@ -235,25 +235,26 @@ def extract_from_path(
     Python workers read the payload column directly with pyarrow — the
     binary never crosses the JVM↔Python boundary (see
     extract_udfs.extract_manifest).  Downstream postprocess/assembly is
-    identical to :func:`extract`.  On a real cluster the split list comes
-    from the Iceberg ``.files`` metadata table instead of a local glob."""
-    import glob as _glob
+    identical to :func:`extract`.
 
-    import pyarrow.parquet as _pq
+    The driver only LISTS file names (cheap; Iceberg's ``.files`` metadata
+    table replaces even that on a real cluster) — the per-file parquet
+    FOOTER reads that produce row-group splits run distributed
+    (extract_udfs.enumerate_row_groups), so millions of files never
+    serialize through a driver loop."""
+    import glob as _glob
 
     cfg = cfg or PipelineConfig()
     files = sorted(_glob.glob(f"{path}/*.parquet")) or [path]
-    manifest = [
-        (f, rg)
-        for f in files
-        for rg in range(_pq.ParquetFile(f).num_row_groups)
-    ]
     n = cfg.page_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    mdf = spark.createDataFrame(
-        manifest, "file string, row_group int"
-    ).repartition(min(n, max(len(manifest), 1)))
+    fdf = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(min(n, len(files)))
+    mdf = fdf.mapInPandas(
+        udfs.enumerate_row_groups, "file string, row_group int"
+    ).repartition(n)
     finished = _parse_blocks_json(
         mdf.mapInPandas(udfs.extract_manifest, PAGE_BLOCKS_JSON_SCHEMA)
     )
@@ -266,7 +267,21 @@ def extract(
     pages: DataFrame, cfg: PipelineConfig | None = None
 ) -> DataFrame:
     """pages table → extracted table (the flagship job)."""
+    import os
+
     cfg = cfg or PipelineConfig()
+    if (
+        cfg.mode != "fused"
+        and os.environ.get("OCR_SPARK_BACKEND") == "model"
+    ):
+        # fail fast on the driver: the model backend has no per-page byte
+        # handoff (fitz documents are not page-sliceable), so paged/staged
+        # would otherwise surface as misleading per-doc PARSE_ERROR rows
+        raise ValueError(
+            "OCR_SPARK_BACKEND=model supports mode='fused' only "
+            "(PDF payloads are not page-sliceable for the paged/staged "
+            "stage handoff)"
+        )
     if cfg.mode == "fused":
         finished = doc_fused_stage(pages)
     elif cfg.mode == "paged":

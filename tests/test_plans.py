@@ -58,3 +58,24 @@ class TestPlans:
         assert n_exchanges == 1, plan
         exchange_section = plan.split("Exchange hashpartitioning", 1)[1]
         assert "html" not in exchange_section[:400]
+
+    def test_ivf_corpus_assignment_is_shuffle_free(self, spark):
+        """The IVF corpus→cell assignment must be a pure projection: no
+        Exchange, no Window, no Join — a 10^12-vector corpus gets its
+        cells in the scan stage (the old crossJoin+row_number shape was an
+        n_centroids× row blowup plus a full corpus shuffle)."""
+        from ocr_spark.operators.similarity import assign_cells
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = [
+            (int(r[0]), [float(v) for v in r[1]])
+            for r in emb.orderBy("vec_id").limit(4).collect()
+        ]
+        plan = (
+            assign_cells(emb, cents)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for op in ("Exchange", "Window", "Join"):
+            assert op not in plan, (op, plan)

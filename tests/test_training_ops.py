@@ -463,3 +463,80 @@ class TestCorpusQualityOps:
         )
         got = {r.doc_id: r.g_keep for r in gopher_rules(df).collect()}
         assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+class TestHotBucketGuards:
+    """Degenerate-key skew: one shared band bucket must not go quadratic
+    (the 100x failure mode of banded LSH on real corpora — empty/identical
+    texts, zero vectors)."""
+
+    def test_lsh_mega_bucket_capped_and_audited(self, spark):
+        import time
+
+        from ocr_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            lsh_hot_buckets,
+            minhash_signatures,
+        )
+
+        # 10k byte-identical docs (every band key equal) + one near-dup pair
+        rows = [(i, "common boilerplate empty page text body") for i in range(10_000)]
+        rows += [
+            (20_001, "alpha beta gamma delta epsilon zeta eta theta"),
+            (20_002, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = minhash_signatures(df, num_perm=8).cache()
+
+        t0 = time.time()
+        pairs = lsh_candidate_pairs(sigs, max_bucket=1_000).collect()
+        elapsed = time.time() - t0
+        # the 10k-doc bucket (~50M candidate pairs) is excluded; the real
+        # near-dup pair must survive on its own bucket
+        assert (20_001, 20_002) in {(p.doc_a, p.doc_b) for p in pairs}
+        assert all(p.doc_a > 10_000 for p in pairs)
+        assert elapsed < 60, f"quadratic task suspected: {elapsed:.1f}s"
+
+        # the cap is never silent: the audit view names the dropped buckets
+        hot = lsh_hot_buckets(sigs, max_bucket=1_000).collect()
+        assert len(hot) == 4  # all 4 bands of the mega-cluster
+        assert all(r.n_docs == 10_000 for r in hot)
+
+    def test_lsh_guard_disabled_keeps_old_semantics(self, spark):
+        from ocr_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        rows = [(i, f"doc {i} unique words here") for i in range(20)]
+        rows += [(100, "same same text"), (101, "same same text")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = minhash_signatures(df, num_perm=8)
+        a = sorted(
+            (p.doc_a, p.doc_b)
+            for p in lsh_candidate_pairs(sigs, max_bucket=None).collect()
+        )
+        b = sorted(
+            (p.doc_a, p.doc_b)
+            for p in lsh_candidate_pairs(sigs, max_bucket=10_000).collect()
+        )
+        assert a == b and (100, 101) in a
+
+    def test_cosine_pairs_mega_bucket_capped(self, spark):
+        import time
+
+        from ocr_spark.operators.similarity import cosine_pairs
+
+        # 5k identical vectors (one signature bucket) + one near-dup pair
+        base = [1.0, 0.0, 0.0, 0.0]
+        rows = [(i, base) for i in range(5_000)]
+        rows += [
+            (10_001, [0.0, 1.0, 0.0, 0.02]),
+            (10_002, [0.0, 1.0, 0.0, 0.021]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        t0 = time.time()
+        got = cosine_pairs(df, threshold=0.99, max_bucket=500).collect()
+        elapsed = time.time() - t0
+        assert {(p.doc_a, p.doc_b) for p in got} == {(10_001, 10_002)}
+        assert elapsed < 60, f"quadratic task suspected: {elapsed:.1f}s"
