@@ -41,6 +41,7 @@ def _cpus() -> int:
 
 CPUS = _cpus()
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+HTML_DOCS = int(os.environ.get("SPARK_GRAFT_HTML_DOCS", "60000"))
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "240000"))
 CACHE = REPO / ".bench_cache"
 
@@ -53,9 +54,10 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
-def ensure_pages(n_docs: int) -> str:
+def ensure_pages(n_docs: int, kind: str = "pdf") -> str:
     """Generate (once) and return the cached pages-parquet path."""
-    out = CACHE / f"pages_{n_docs}"
+    suffix = "" if kind == "pdf" else f"_{kind}"
+    out = CACHE / f"pages{suffix}_{n_docs}"
     if (out / "_SUCCESS").exists():
         return str(out)
     from ocr_spark.genpages import write_pages
@@ -63,9 +65,9 @@ def ensure_pages(n_docs: int) -> str:
 
     spark = get_spark("gen-pages", cores=CPUS)
     t0 = time.time()
-    write_pages(spark, n_docs, str(out))
+    write_pages(spark, n_docs, str(out), kind=kind)
     print(
-        f"# generated {n_docs}-doc pages corpus in {time.time() - t0:.1f}s",
+        f"# generated {n_docs}-doc {kind} corpus in {time.time() - t0:.1f}s",
         file=sys.stderr,
     )
     spark.stop()
@@ -145,6 +147,19 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
     timed("text_quality", text_analysis.quality_score(docs))
     timed("text_tokens", text_analysis.token_count(docs))
     timed("text_langid", text_analysis.language_id(docs))
+    # straggler probe: 256 docs x 50k words with heavy repetition, built
+    # JVM-side — proves repetition_ratio has no quadratic per-row blowup
+    long_docs = spark.range(256).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat(repeat('lorem ipsum dolor sit amet consectetur ', 8000), "
+            "repeat('spam spam ', 1000))"
+        ).alias("text"),
+    )
+    timed(
+        "text_repetition_50kword_docs",
+        text_analysis.repetition_ratio(long_docs),
+    )
     return out
 
 
@@ -152,12 +167,17 @@ def main_bench() -> None:
     from ocr_spark.session import get_spark
 
     pages_path = ensure_pages(BENCH_DOCS)
+    html_path = ensure_pages(HTML_DOCS, kind="html")
     warm_path = ensure_pages(2000)
     spark = get_spark("bench", cores=CPUS)
     # warm-up (JIT + python worker pool), not counted
     run_extraction(spark, warm_path, reps=1)
     ext_sec, n_docs, n_pages = run_extraction(spark, pages_path)
-    queries = {"extract_e2e": round(ext_sec, 3)}
+    html_sec, n_html, _ = run_extraction(spark, html_path)
+    queries = {
+        "extract_e2e": round(ext_sec, 3),
+        "extract_html_e2e": round(html_sec, 3),
+    }
     queries.update(operator_benches(spark, SF_DIR))
     print(
         json.dumps(
@@ -171,6 +191,8 @@ def main_bench() -> None:
                 "bench_pages": n_pages,
                 "docs_per_sec": round(n_docs / ext_sec, 1),
                 "pages_per_sec": round(n_pages / ext_sec, 1),
+                "html_docs": n_html,
+                "html_docs_per_sec": round(n_html / html_sec, 1),
                 "cores": CPUS,
             }
         )

