@@ -887,6 +887,175 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing: both engines inject synthetic contact info around
+# documents.text, then the SAME lookaround-free regex chain (Java vs RE2)
+# must redact identically — counts and cleaned text are hash-compared.
+
+_PII_INJECT_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), "
+    "'@example.com or 10.0.', CAST(doc_id % 256 AS STRING), '.7 call "
+    "+1 555 123 44', lpad(CAST(doc_id % 100 AS STRING), 2, '0'), ' end')"
+)
+_PII_INJECT_DUCK = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+    "'@example.com or 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 call "
+    "+1 555 123 44', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), ' end')"
+)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_INJECT_SPARK).alias("text")
+    )
+    return pii.scrub_pii(docs).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "clean_text"
+    )
+
+
+def _pii_sql() -> str:
+    from .operators.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IP_TOKEN,
+        IPV4_RE,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    def esc(p: str) -> str:
+        # DuckDB single-quoted literals keep backslashes verbatim —
+        # only quotes need escaping (doubling backslashes would turn
+        # \d into a literal-backslash class member)
+        return p.replace("'", "''")
+
+    e, i, p = esc(EMAIL_RE), esc(IPV4_RE), esc(PHONE_RE)
+    return f"""
+WITH t0 AS (SELECT doc_id, {_PII_INJECT_DUCK} AS t FROM documents),
+t1 AS (SELECT doc_id, t,
+         CAST(len(regexp_extract_all(t, '{e}')) AS INTEGER) AS n_emails,
+         regexp_replace(t, '{e}', '{EMAIL_TOKEN}', 'g') AS s FROM t0),
+t2 AS (SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(s, '{i}')) AS INTEGER) AS n_ips,
+         regexp_replace(s, '{i}', '{IP_TOKEN}', 'g') AS s FROM t1),
+t3 AS (SELECT doc_id, n_emails, n_ips,
+         CAST(len(regexp_extract_all(s, '{p}')) AS INTEGER) AS n_phones,
+         regexp_replace(s, '{p}', '{PHONE_TOKEN}', 'g') AS s FROM t2)
+SELECT doc_id, n_emails, n_ips, n_phones, s AS clean_text FROM t3
+"""
+
+
+# Gopher duplicate-line stats (word-separated for the oracle twin — the
+# testdata text has no newlines; pytest covers the '\n' case).
+_DUP_LINES_SQL = """
+WITH l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line
+           FROM documents),
+c AS (SELECT doc_id, line, count(*) AS n, length(line) AS len
+      FROM l GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(n) AS INTEGER) AS n_lines,
+       CAST(count(*) AS INTEGER) AS n_distinct,
+       CAST(sum(n * len) AS BIGINT) AS total_chars,
+       round((sum(n) - count(*)) / sum(n), 6) AS dup_line_frac,
+       CASE WHEN sum(n * len) > 0 THEN
+         round(sum(CASE WHEN n > 1 THEN n * len ELSE 0 END)
+               / sum(n * len), 6)
+       ELSE 0.0 END AS dup_char_frac
+FROM c GROUP BY doc_id
+"""
+
+
+def _q_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.duplicate_line_stats(
+        _t(spark, sf_dir, "documents"), sep=" "
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination + per-domain corpus stats
+
+_DECONTAM_SQL = f"""
+WITH words AS ({_WORDS_CTE}),
+csh AS ({_shingle_cte(3)}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
+bsh AS (SELECT doc_id AS bench_id, shingle FROM csh WHERE doc_id % 29 = 0),
+co AS (
+  SELECT c.doc_id, b.bench_id, count(*) AS common
+  FROM csh c JOIN bsh b ON c.shingle = b.shingle
+  GROUP BY 1, 2)
+SELECT co.doc_id, bench_id, common,
+       CAST(sz AS INTEGER) AS doc_shingles,
+       round(common / sz, 6) AS overlap_frac
+FROM co JOIN sizes s ON co.doc_id = s.doc_id
+"""
+
+_DECONTAM_CLEAN_SQL = f"""
+WITH words AS ({_WORDS_CTE}),
+csh AS ({_shingle_cte(3)}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
+bsh AS (SELECT doc_id AS bench_id, shingle FROM csh WHERE doc_id % 29 = 0),
+dirty AS (
+  SELECT DISTINCT c.doc_id
+  FROM csh c JOIN bsh b ON c.shingle = b.shingle
+  JOIN sizes s ON c.doc_id = s.doc_id
+  GROUP BY c.doc_id, b.bench_id, s.sz
+  HAVING count(*) / s.sz >= 0.5)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+"""
+
+_DOMAIN_SQL = """
+WITH w AS (SELECT source, lang, text, string_split(text, ' ') AS ws
+           FROM documents)
+SELECT source AS domain,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(ws)) AS BIGINT) AS total_words,
+       count(DISTINCT lang) AS n_langs,
+       round(CAST(sum(len(ws)) AS BIGINT) / count(*), 6) AS mean_words,
+       round(CAST(sum(len(list_filter(ws, x -> length(x) <= 2)))
+                  AS BIGINT)
+             / CAST(sum(len(ws)) AS BIGINT), 6) AS short_word_frac
+FROM w GROUP BY source
+"""
+
+
+def _bench_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.expr("doc_id % 29 = 0"))
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+
+
+def _q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import decontam
+
+    res = decontam.shingle_overlap(
+        _t(spark, sf_dir, "documents"), _bench_df(spark, sf_dir), n=3
+    )
+    return res.select(
+        "doc_id", "bench_id", "common", "doc_shingles",
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+    )
+
+
+def _q_decontam_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import decontam
+
+    return decontam.decontaminate(
+        _t(spark, sf_dir, "documents"),
+        _bench_df(spark, sf_dir),
+        n=3,
+        threshold=0.5,
+    ).select("doc_id")
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.corpus_domain_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # HTML extraction roundtrip (oracle-checked): both engines template HTML
 # around documents.text; Spark runs the REAL boilerplate-strip pipeline
 # (htmlpage.py) on the bytes, DuckDB computes what extraction must produce
@@ -1083,6 +1252,13 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "mm_media_meta": (_q_media_meta, _MEDIA_SQL),
     "mm_features": (_q_media_features, _FEATURES_SQL),
     "mm_sample_frames": (_q_sample_frames, _FRAMES_SQL),
+    # PII scrubbing + duplicate-line stats
+    "pii_scrub": (_q_pii_scrub, _pii_sql()),
+    "text_dup_lines": (_q_dup_lines, _DUP_LINES_SQL),
+    # benchmark decontamination + per-domain rollup
+    "decontam_overlap": (_q_decontam_overlap, _DECONTAM_SQL),
+    "decontam_clean_corpus": (_q_decontam_clean, _DECONTAM_CLEAN_SQL),
+    "corpus_domain_stats": (_q_domain_stats, _DOMAIN_SQL),
     # HTML extraction roundtrip (oracle-checked end-to-end)
     "extract_html": (_q_extract_html, _HTML_SQL),
     # extraction pipeline (non-SQL-expressible: rows-only checks)

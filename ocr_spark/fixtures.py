@@ -269,8 +269,9 @@ def make_html_doc(k: int) -> dict:
 
     - 0: full semantic page (head scripts, header/nav chrome, main + h1,
       footer) — the canonical strip case;
-    - 1: div soup — no semantic containers; a link-farm div that must be
-      dropped by link density, a <br>-split address block;
+    - 1: div soup — no semantic containers; class/id-marked chrome divs
+      (the attr-heuristic strip), a link-farm div that must be dropped by
+      link density, a <br>-split address block;
     - 2: entities, nested inline markup, a table;
     - 3: malformed markup (unclosed <p>, stray close tag, uppercase tags);
     - 4: boilerplate-heavy; every 17th is PURE boilerplate → zero-page doc.
@@ -306,9 +307,11 @@ def make_html_doc(k: int) -> dict:
         )
     elif v == 1:
         body = (
-            linkfarm
+            '<div class="top-banner"><p>SALE! fifty percent off</p></div>'
+            + linkfarm
             + "".join(f"<div class=c>{p}</div>" for p in paras)
             + f"<div>{_esc(_words(rng, 3))}<br>{_esc(_words(rng, 3))}</div>"
+            + '<div id="page-footer"><p>terms privacy contact</p></div>'
         )
     elif v == 2:
         cells = "".join(

@@ -23,6 +23,11 @@ of work: block segmentation at DOM block elements, link-density scoring):
   dropped entirely (markup, not prose);
 - ``nav/header/footer/aside`` subtrees are dropped (site chrome — the
   boilerplate strip);
+- generic containers (``div/section/ul/…``) whose ``class``/``id``
+  carries a chrome token (``footer``, ``sidebar``, ``menu``, ``ad``, …)
+  are subtree-dropped too — real pages mark chrome with classes at least
+  as often as with semantic tags (the jusText/boilerpipe class hint);
+  matching is per TOKEN, so ``class="roadmap"`` is not an ad;
 - block-level tags delimit blocks; ``<br>`` delimits lines inside a block;
 - ``h1``-``h6`` blocks get type ``title``; everything else ``text`` (the
   engine's existing block-type vocabulary);
@@ -62,6 +67,32 @@ BLOCK_TAGS = frozenset(
     "form fieldset hr body html center".split()
 )
 HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+# Generic containers whose class/id can mark them as site chrome — real
+# pages render nav/footer/sidebar as <div class="footer"> at least as
+# often as with semantic tags (the jusText/boilerpipe class-hint
+# heuristic).  Subtree-dropped when any class/id TOKEN matches.
+ATTR_CHECK_TAGS = frozenset(
+    "div section span ul ol table form article aside li".split()
+)
+BOILERPLATE_CLASS_WORDS = frozenset(
+    "nav navbar navigation menu footer header sidebar banner breadcrumb "
+    "breadcrumbs comment comments share social sharing advert adverts "
+    "advertisement ad ads adsense widget widgets cookie cookies popup "
+    "modal pagination pager disclaimer copyright related promo "
+    "subscribe newsletter masthead toolbar skip".split()
+)
+_CLASS_TOKEN_RE = re.compile(r"[^a-zA-Z0-9]+")
+
+
+def _boilerplate_attrs(attrs) -> bool:
+    """True when a class/id attribute carries a chrome-marker token."""
+    for name, value in attrs:
+        if name in ("class", "id") and value:
+            for tok in _CLASS_TOKEN_RE.split(value.lower()):
+                if tok in BOILERPLATE_CLASS_WORDS:
+                    return True
+    return False
 
 MAX_LINK_DENSITY = 0.5
 
@@ -108,6 +139,8 @@ class _BlockCollector(HTMLParser):
         super().__init__(convert_charrefs=True)
         self._drop: dict[str, int] = {}  # per-tag open counts (misnest-safe)
         self._drop_total = 0  # O(1) suppression check on the hot data path
+        self._open: dict[str, int] = {}  # ATTR_CHECK_TAGS nesting depths
+        self._attr_drops: list[tuple[str, int]] = []  # (tag, depth_at_open)
         self._link_depth = 0
         self._heading_depth = 0
         self._cur: dict | None = None  # {"title","lines":[ [str,...] ],...}
@@ -119,6 +152,20 @@ class _BlockCollector(HTMLParser):
             self._drop_total += 1
             self._flush()
             return
+        if tag in ATTR_CHECK_TAGS:
+            # class/id chrome marker → drop this element's whole subtree;
+            # same-tag nesting tracked by depth so the drop ends at the
+            # MATCHING close even through nested divs
+            if (
+                not self._attr_drops
+                and not self._drop_total
+                and attrs
+                and _boilerplate_attrs(attrs)
+            ):
+                self._attr_drops.append((tag, self._open.get(tag, 0)))
+                self._drop_total += 1
+                self._flush()
+            self._open[tag] = self._open.get(tag, 0) + 1
         if tag == "br":
             if self._cur is not None:
                 self._cur["lines"].append([])
@@ -145,6 +192,16 @@ class _BlockCollector(HTMLParser):
                 self._drop_total -= 1
             self._flush()
             return
+        if tag in ATTR_CHECK_TAGS:
+            depth = self._open.get(tag, 0)
+            if depth > 0:
+                self._open[tag] = depth - 1
+                if (
+                    self._attr_drops
+                    and self._attr_drops[-1] == (tag, depth - 1)
+                ):
+                    self._attr_drops.pop()
+                    self._drop_total -= 1
         if tag == "a" and self._link_depth > 0:
             self._link_depth -= 1
         if tag in HEADING_TAGS and self._heading_depth > 0:
@@ -213,8 +270,22 @@ class _BlockCollector(HTMLParser):
 
 _TAG_CLOSE_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9-]*)[^>]*>")
 _TAG_OPEN_RE = re.compile(
-    r"<([a-zA-Z][a-zA-Z0-9-]*)(?:\"[^\"]*\"|'[^']*'|[^>'\"])*?(/?)>", re.S
+    r"<([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>'\"])*?)(/?)>", re.S
 )
+_ATTR_RE = re.compile(
+    r"(?i)\b(class|id)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
+)
+
+
+def _class_id_attrs(chunk: str) -> list[tuple[str, str]]:
+    """Extract only the class/id attrs (the ones the collector inspects)
+    from a raw start-tag attribute chunk; values entity-unescaped for
+    parity with html.parser."""
+    out = []
+    for m in _ATTR_RE.finditer(chunk):
+        value = m.group(2) or m.group(3) or m.group(4) or ""
+        out.append((m.group(1).lower(), _unesc(value)))
+    return out
 _MARKUP_SKIP_RE = re.compile(
     r"<!--.*?(?:-->|\Z)"          # comments (unterminated: to EOF)
     r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"  # CDATA sections
@@ -248,10 +319,15 @@ def _fast_feed(text: str, c: "_BlockCollector") -> None:
         if m:
             tag = m.group(1).lower()
             pos = m.end()
-            if m.group(2) == "/":
+            if m.group(3) == "/":
                 c.handle_startendtag(tag, [])
                 continue
-            c.handle_starttag(tag, [])
+            attrs = (
+                _class_id_attrs(m.group(2))
+                if tag in ATTR_CHECK_TAGS and m.group(2)
+                else []
+            )
+            c.handle_starttag(tag, attrs)
             if tag in _RAWTEXT_TAGS:
                 # raw content: no tags, no entities — skip to the close
                 end = low.find("</" + tag, pos)

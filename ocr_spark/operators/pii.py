@@ -1,0 +1,65 @@
+"""PII scrubbing: redact emails / IPv4 addresses / phone-like numbers from
+a text column and count what was removed — the standard privacy pass of a
+webtext training pipeline (public technique: regex redaction with typed
+placeholder tokens, as in the C4 / Dolma / FineWeb processing descriptions).
+
+Pure Spark SQL expressions (codegen'd regexp_replace / regexp_count; no
+UDFs, no shuffle).  Patterns are lookaround-free so the identical regexes
+run under Java regex (Spark) and RE2 (the DuckDB oracle) — same
+cross-engine discipline as :mod:`ocr_spark.operators.urls`.
+
+Replacement ORDER matters and is fixed: emails first (they contain
+digits/dots that the looser patterns would chew), then IPv4, then phones;
+each count is taken on the text as it stood when that class was scrubbed,
+so counts always agree with what the output actually redacted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Shared pattern source (inlined into both engines by the contract).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# 9+ digit runs with common separators, optional leading +; requires a
+# digit at both ends so trailing punctuation stays in the text.  The
+# hyphen sits LAST and unescaped in the class: RE2 rejects the escaped
+# `\-` range form that Java tolerates.
+PHONE_RE = r"\+?\d[\d(). -]{7,}\d"
+
+EMAIL_TOKEN, IP_TOKEN, PHONE_TOKEN = "<EMAIL>", "<IP>", "<PHONE>"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Adds ``out_col`` (redacted text) and per-class removal counts
+    (``n_emails``, ``n_ips``, ``n_phones``).
+
+    Patterns ride as Column literals (F.lit) — a SQL string literal would
+    eat the backslash classes (the CLAUDE.md regex trap)."""
+    email, ipv4, phone = F.lit(EMAIL_RE), F.lit(IPV4_RE), F.lit(PHONE_RE)
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, email, F.lit(EMAIL_TOKEN))
+    t2 = F.regexp_replace(t1, ipv4, F.lit(IP_TOKEN))
+    t3 = F.regexp_replace(t2, phone, F.lit(PHONE_TOKEN))
+    return df.select(
+        "*",
+        F.regexp_count(t0, email).alias("n_emails"),
+        F.regexp_count(t1, ipv4).alias("n_ips"),
+        F.regexp_count(t2, phone).alias("n_phones"),
+        t3.alias(out_col),
+    )
+
+
+def pii_document_flags(
+    df: DataFrame, text_col: str = "text", max_hits: int = 5
+) -> DataFrame:
+    """Adds ``pii_hits`` (total redactions) and ``pii_drop`` — documents
+    that are effectively contact-info listings (hits over ``max_hits``)
+    get dropped rather than scrubbed in most pipeline policies."""
+    scrubbed = scrub_pii(df, text_col)
+    return scrubbed.withColumn(
+        "pii_hits",
+        F.col("n_emails") + F.col("n_ips") + F.col("n_phones"),
+    ).withColumn("pii_drop", F.col("pii_hits") > max_hits)

@@ -232,3 +232,111 @@ def fingerprint(
         ).alias("fp_max"),
         F.expr("size(shingles)").alias("fp_size"),
     )
+
+
+def corpus_domain_stats(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-domain corpus rollup: the curation axis a web-scale pipeline
+    filters on (domain blocklists, per-site quality caps, language mix).
+
+    One map-side-combined groupBy on the domain key — at 10^12 docs the
+    shuffle carries one partial row per (domain × partition), and domain
+    cardinality (~10^8 hosts for the full web) is far below doc count, so
+    this is the cheap aggregation shape.  Skewed mega-domains only affect
+    the pre-combined partials (counts/sums), not row volume.
+
+    All aggregates are INTEGER sums divided once at the end — a float
+    ``avg`` across rows depends on partial-sum order (nondeterministic
+    across partitionings and engines); integer sums are exact, so the
+    output is bit-stable and oracle-hashable."""
+    words = F.split(F.col(text_col), " ")
+    return (
+        df.groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text_col)).alias("total_chars"),
+            F.sum(F.size(words)).alias("total_words"),
+            F.sum(
+                F.size(F.filter(words, lambda w: F.length(w) <= 2))
+            ).alias("_short"),
+            F.count_distinct(F.col(lang_col)).alias("n_langs"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "total_chars",
+            "total_words",
+            "n_langs",
+            F.round(F.col("total_words") / F.col("n_docs"), 6).alias(
+                "mean_words"
+            ),
+            F.round(F.col("_short") / F.col("total_words"), 6).alias(
+                "short_word_frac"
+            ),
+        )
+    )
+
+
+def duplicate_line_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style duplicate-line signals: the fraction of line
+    OCCURRENCES that duplicate another line, and the fraction of
+    characters living in duplicated lines (Rae et al. 2021 repetition
+    table) — boilerplate/templated pages repeat whole lines.
+
+    Same scale discipline as repetition_ratio: the line array is bound to
+    a real column (no per-lambda re-split), and per-line multiplicities
+    come from ONE sorted fold (O(L log L)); character counts are integer
+    sums divided once, so output is bit-stable across partitionings and
+    engines."""
+    import re as _re
+
+    lines = df.select(
+        id_col, F.split(F.col(text_col), _re.escape(sep)).alias("_lines")
+    )
+    uniq_chars = (
+        "aggregate(array_sort(_lines), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, "
+        "             'uniq', CAST(0 AS BIGINT)), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1 END, "
+        "  'uniq', acc.uniq + CASE WHEN acc.prev IS NULL THEN CAST(0 AS BIGINT) "
+        "     WHEN x <=> acc.prev THEN CAST(0 AS BIGINT) "
+        "     WHEN acc.run = 1 THEN CAST(length(acc.prev) AS BIGINT) "
+        "     ELSE CAST(0 AS BIGINT) END), "
+        "acc -> acc.uniq + CASE WHEN acc.run = 1 "
+        "  THEN CAST(length(acc.prev) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    )
+    g = lines.select(
+        id_col,
+        F.expr("size(_lines)").alias("n_lines"),
+        F.expr("size(array_distinct(_lines))").alias("n_distinct"),
+        F.expr(
+            "aggregate(_lines, CAST(0 AS BIGINT), "
+            "(a, x) -> a + CAST(length(x) AS BIGINT))"
+        ).alias("total_chars"),
+        F.expr(uniq_chars).alias("_uniq_chars"),
+    )
+    return g.select(
+        id_col,
+        "n_lines",
+        "n_distinct",
+        "total_chars",
+        F.round(
+            (F.col("n_lines") - F.col("n_distinct")) / F.col("n_lines"), 6
+        ).alias("dup_line_frac"),
+        F.expr(
+            "CASE WHEN total_chars > 0 THEN "
+            "round((total_chars - _uniq_chars) / total_chars, 6) "
+            "ELSE 0.0 END"
+        ).alias("dup_char_frac"),
+    )

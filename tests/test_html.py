@@ -112,6 +112,57 @@ class TestHandGoldens:
             {"type": "text", "lines": ["content"]}
         ]
 
+    def test_class_id_chrome_dropped(self):
+        html = (
+            b'<html><body><div class="site-footer"><p>copyright</p></div>'
+            b'<div id="sidebar"><div><p>widget</p></div></div>'
+            b'<ul class="nav-list"><li>Home</li></ul>'
+            b'<div class="article-body"><p>real content</p></div>'
+            b"</body></html>"
+        )
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["real content"]}
+        ]
+
+    def test_class_token_not_substring(self):
+        # "roadmap" contains "ad" as a substring but not as a token
+        html = b'<html><body><div class="roadmap"><p>kept</p></div></body></html>'
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["kept"]}
+        ]
+
+    def test_attr_drop_ends_at_matching_close(self):
+        html = (
+            b'<html><body><div class=menu><div><p>deep</p></div></div>'
+            b"<p>after</p></body></html>"
+        )
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["after"]}
+        ]
+
+    def test_fast_and_stdlib_engines_agree(self):
+        """Differential pin: the regex tokenizer and the html.parser
+        reference path must produce identical blocks on the whole fixture
+        corpus and the malformed/attr cases."""
+        from ocr_spark.fixtures import generate_html_rows
+
+        cases = [
+            bytes(r["html"])
+            for r in generate_html_rows(120, with_crawl_text=False)
+        ]
+        cases += [
+            b"<html><body><p>a < b and a&amp;b</p></body></html>",
+            b"<html><body><p>x<script>var s='</p>';</script><p>y</p>",
+            b"<html><body><!-- <p>no</p> --><p>yes</p></body></html>",
+            b'<html><body><DIV CLASS=Menu><p>m</p></DIV><p>ok</p></body></html>',
+            b'<html><body><div class="a&amp;b"><p>kept</p></div></body></html>',
+            b"<html><body><p>truncated <b>bold",
+        ]
+        for h in cases:
+            assert htmlpage.parse_html_blocks(
+                h, engine="fast"
+            ) == htmlpage.parse_html_blocks(h, engine="stdlib"), h[:80]
+
     def test_pure_boilerplate_zero_pages(self):
         html = b"<html><head><script>x</script></head><body><nav>H</nav></body></html>"
         doc = decode_doc(html)

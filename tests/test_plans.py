@@ -59,6 +59,32 @@ class TestPlans:
         exchange_section = plan.split("Exchange hashpartitioning", 1)[1]
         assert "html" not in exchange_section[:400]
 
+    def test_nested_schema_pruning_on_extracted(self, spark, extracted_path):
+        """A query touching only pages[].i must scan a pruned nested
+        schema — not deserialize the whole block/line tree (the `extracted`
+        table's dominant bytes at 100 TB).
+
+        Both prunable access shapes are asserted; NB `transform(pages,
+        p -> p.i)` is NOT prunable (lambda bodies are opaque to Spark's
+        nested-column pruning) — use the field reference or explode."""
+        from pyspark.sql import functions as F
+
+        shapes = {
+            "fieldref": spark.read.parquet(extracted_path).select(
+                "url", F.col("pages.i")
+            ),
+            "explode": spark.read.parquet(extracted_path)
+            .select("url", F.explode("pages").alias("p"))
+            .select("url", "p.i"),
+        }
+        for label, df in shapes.items():
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            read_schema = [
+                ln for ln in plan.splitlines() if "ReadSchema" in ln
+            ][0]
+            assert "pages" in read_schema, label
+            assert "blocks" not in read_schema, (label, read_schema)
+
     def test_ivf_corpus_assignment_is_shuffle_free(self, spark):
         """The IVF corpus→cell assignment must be a pure projection: no
         Exchange, no Window, no Join — a 10^12-vector corpus gets its

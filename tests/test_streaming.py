@@ -79,3 +79,25 @@ class TestStreaming:
         out = read_extracted(spark, dirs["out"])
         assert out.count() == 10
         assert out.select("url").distinct().count() == 10
+
+
+class TestStreamingMixedFormats:
+    def test_html_docs_stream_byte_identical(self, spark, dirs):
+        """An arriving wave that mixes PDF-style payloads and real HTML
+        pages streams through the same pipeline — format dispatch inside
+        the micro-batch, byte-identical output per url."""
+        from ocr_spark.fixtures import (
+            generate_html_rows,
+            generate_pages_rows,
+            write_rows_parquet,
+        )
+
+        rows = generate_pages_rows(6) + generate_html_rows(10)
+        write_rows_parquet(dirs["in"] / "wave.parquet", rows)
+        _await(stream_extract(spark, str(dirs["in"]), dirs["out"], dirs["ckpt"]))
+        out = {r.url: r for r in read_extracted(spark, dirs["out"]).collect()}
+        assert len(out) == 16
+        for r in rows:
+            want = extract_document(bytes(r["html"]), r["lang"])["text"]
+            assert out[r["url"]].text == want, r["url"]
+            assert out[r["url"]].status == "COMPLETED"

@@ -540,3 +540,126 @@ class TestHotBucketGuards:
         elapsed = time.time() - t0
         assert {(p.doc_a, p.doc_b) for p in got} == {(10_001, 10_002)}
         assert elapsed < 60, f"quadratic task suspected: {elapsed:.1f}s"
+
+
+class TestDecontamination:
+    def test_planted_contamination_detected(self, spark):
+        from ocr_spark.operators.decontam import decontaminate, shingle_overlap
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "completely unrelated text about spark plans here"),
+                (3, "partial overlap the quick brown fox appears then diverges wildly"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog today")],
+            "bench_id long, text string",
+        )
+        ov = {
+            (r.doc_id, r.bench_id): r.overlap_frac
+            for r in shingle_overlap(corpus, bench, n=3).collect()
+        }
+        assert ov[(1, 100)] == 1.0          # exact benchmark copy
+        assert 0 < ov[(3, 100)] < 0.5       # shares a phrase only
+        assert (2, 100) not in ov           # no 3-gram in common
+        clean = {r.doc_id for r in decontaminate(
+            corpus, bench, n=3, threshold=0.5).collect()}
+        assert clean == {2, 3}
+
+    def test_benchmark_side_is_broadcast(self, spark):
+        """The corpus side must not shuffle for the shingle join — the
+        bench shingle table rides a broadcast."""
+        from ocr_spark.operators.decontam import shingle_overlap
+
+        corpus = spark.createDataFrame(
+            [(i, f"doc number {i} words here now") for i in range(50)],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(1, "doc number 7 words here now")], "bench_id long, text string"
+        )
+        plan = (
+            shingle_overlap(corpus, bench, n=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestDomainStats:
+    def test_rollup_values(self, spark):
+        from ocr_spark.operators.text_analysis import corpus_domain_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "a bb ccc dddd", "en", "siteA"),
+                (2, "ee ff gg hh ii jj", "de", "siteA"),
+                (3, "one two", "en", "siteB"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        got = {r.domain: r for r in corpus_domain_stats(df).collect()}
+        a = got["siteA"]
+        assert (a.n_docs, a.total_words, a.n_langs) == (2, 10, 2)
+        assert a.mean_words == 5.0
+        assert a.short_word_frac == round(8 / 10, 6)  # a,bb + ee..jj
+        b = got["siteB"]
+        assert (b.n_docs, b.total_words, b.n_langs) == (1, 2, 1)
+
+
+class TestPiiScrub:
+    def test_redaction_and_counts(self, spark):
+        from ocr_spark.operators.pii import pii_document_flags, scrub_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "reach bob.smith+x@corp.example.co or 10.1.2.3 "
+                    "or +1 (555) 123-4567 today"),
+                (2, "clean document with no contact info"),
+                (3, "a@b.io c@d.io e@f.io g@h.io i@j.io k@l.io listing"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in scrub_pii(df).collect()}
+        assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (1, 1, 1)
+        assert got[1].clean_text == (
+            "reach <EMAIL> or <IP> or <PHONE> today"
+        )
+        assert got[2].clean_text == got[2].text
+        flags = {r.doc_id: r for r in pii_document_flags(df).collect()}
+        assert flags[3].pii_hits == 6 and bool(flags[3].pii_drop) is True
+        assert bool(flags[1].pii_drop) is False
+
+    def test_email_scrubbed_before_phone_can_eat_digits(self, spark):
+        from ocr_spark.operators.pii import scrub_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail 123456789a@example.org now")],
+            "doc_id long, text string",
+        )
+        r = scrub_pii(df).collect()[0]
+        assert (r.n_emails, r.n_phones) == (1, 0)
+        assert r.clean_text == "mail <EMAIL> now"
+
+
+class TestDuplicateLineStats:
+    def test_newline_docs(self, spark):
+        from ocr_spark.operators.text_analysis import duplicate_line_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha\nbeta\nalpha\ngamma\nalpha"),
+                (2, "one\ntwo\nthree"),
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in duplicate_line_stats(df).collect()}
+        assert (got[1].n_lines, got[1].n_distinct) == (5, 3)
+        assert got[1].dup_line_frac == 0.4          # 2 of 5 are repeats
+        assert got[1].dup_char_frac == 0.625        # 15 of 24 chars
+        assert got[2].dup_line_frac == 0.0
+        assert got[3].total_chars == 0 and got[3].dup_char_frac == 0.0
