@@ -111,6 +111,9 @@ def _nonws_count(s: str) -> int:
 _HTML_SNIFF_RE = re.compile(
     rb"(?i)<!doctype\s+html|<html[\s>]|<head[\s>]|<body[\s>]"
 )
+# HTML5-prescan-style charset declaration search (first KB, raw bytes):
+# <meta charset=X> or <meta http-equiv=content-type content="...charset=X">
+_CHARSET_RE = re.compile(rb"(?i)charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-:.]+)")
 
 # Virtual-page geometry: identical to the synthetic-corpus layout rule
 # (fixtures._text_block) so per-line coverage lands ≈0.85 ≥ 0.5 and the
@@ -128,8 +131,44 @@ def looks_like_html(data: bytes) -> bool:
 
     The analogue of fitz's magic-byte sniff at the reference's parse seam
     (document.py:532-541): decide the per-format parser from the first KB.
+    UTF-16 pages (BOM-led) are sniffed through their decoded prefix —
+    the raw-byte markers are NUL-interleaved there.
     """
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        prefix = data[:2048].decode("utf-16", errors="replace")
+        return bool(
+            re.search(r"(?i)<!doctype\s+html|<html[\s>]|<head[\s>]|<body[\s>]",
+                      prefix)
+        )
     return bool(_HTML_SNIFF_RE.search(data[:1024]))
+
+
+def decode_html_bytes(data: bytes) -> str:
+    """Charset-aware decode (Common-Crawl pages are NOT all UTF-8).
+
+    Priority per the HTML5 encoding sniff: byte-order mark → declared
+    ``<meta charset>`` / ``http-equiv`` in the first KB (utf-16
+    declarations are treated as utf-8 per the spec — the prescan only
+    runs on ASCII-compatible bytes) → utf-8.  Always ``errors='replace'``
+    (never raise on mojibake; deterministic output).  Unknown or
+    misdeclared charsets fall back to utf-8."""
+    import codecs
+
+    if data[:3] == b"\xef\xbb\xbf":
+        return data[3:].decode("utf-8", errors="replace")
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return data.decode("utf-16", errors="replace")
+    m = _CHARSET_RE.search(data[:1024])
+    if m:
+        name = m.group(1).decode("ascii", errors="replace").strip(".")
+        if name.lower().replace("-", "").startswith("utf16"):
+            name = "utf-8"
+        try:
+            codecs.lookup(name)
+        except LookupError:
+            name = "utf-8"
+        return data.decode(name, errors="replace")
+    return data.decode("utf-8", errors="replace")
 
 
 class _BlockCollector(HTMLParser):
@@ -352,7 +391,7 @@ def parse_html_blocks(data: bytes, engine: str = "fast") -> list[dict]:
     differential test); both produce identical blocks on every corpus we
     generate — prefer the default on the hot path."""
     parser = _BlockCollector()
-    text = data.decode("utf-8", errors="replace")
+    text = decode_html_bytes(data)
     if engine == "fast":
         _fast_feed(text, parser)
         parser._flush()

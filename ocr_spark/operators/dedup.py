@@ -198,15 +198,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
     Shuffle on shingle (inverted index) → pair counts → join doc sizes.
-    Used to verify LSH candidates; direct use only on bounded corpora."""
+    Used to verify LSH candidates; direct use only on bounded corpora.
+
+    ``max_posting`` (off by default — it changes the measure) drops
+    shingles whose posting list exceeds the cap before the self-join: the
+    standard inverted-index stop-list against stop-shingle skew.  Capped
+    shingles still count toward doc sizes, so Jaccard becomes a
+    conservative UNDER-estimate — pairs can only be missed, never
+    inflated."""
     sh = with_shingles(df, text_col, n).select(
         id_col, F.explode("shingles").alias("shingle")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_posting is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_posting)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(
@@ -269,13 +285,19 @@ def simhash_near_dup_pairs(
     bits: int = 16,
     max_hamming: int = 2,
     hash_mode: str = "xxhash64",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     Bucketing uses ``max_hamming + 1`` signature bands: by pigeonhole, any
     pair within the distance budget agrees on at least one whole band, so
     recall is EXACT (a two-half scheme only guarantees hamming ≤ 1 — pairs
-    with one flip in each half would be missed)."""
+    with one flip in each half would be missed).
+
+    Same hot-bucket guard as :func:`lsh_candidate_pairs` — an
+    identical-content mega-cluster shares every band key and would make
+    one bucket quadratic (``max_bucket=None`` disables; at corpus scale
+    use ``bits=64`` so band keyspace doesn't saturate)."""
     sig = simhash(df, text_col, id_col, bits, hash_mode)
     bands = max_hamming + 1
     width = -(-bits // bands)  # ceil
@@ -295,6 +317,14 @@ def simhash_near_dup_pairs(
     buck = sig.select(
         id_col, "simhash", F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "simhash", "bk.band", "bk.key")
+    if max_bucket is not None:
+        hot = (
+            buck.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "key")
+        )
+        buck = buck.join(hot, ["band", "key"], "left_anti")
     a, b = buck.alias("a"), buck.alias("b")
     pairs = a.join(
         b,

@@ -266,3 +266,79 @@ class TestMixedCorpusE2E:
         a = {r.url: r.text for r in alt.select("url", "text").collect()}
         b = {r.url: r.text for r in extracted.select("url", "text").collect()}
         assert a == b
+
+
+class TestCharsets:
+    """Common-Crawl pages are not all UTF-8: the HTML5-style encoding
+    sniff (BOM → declared meta charset → utf-8) must recover them."""
+
+    def test_latin1_declared(self):
+        html = (
+            '<html><head><meta charset="iso-8859-1"></head>'
+            "<body><p>café résumé</p></body></html>"
+        ).encode("iso-8859-1")
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["café résumé"]}
+        ]
+
+    def test_gbk_via_http_equiv(self):
+        html = (
+            '<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=gbk"></head>'
+            "<body><p>\u4e2d\u6587\u6587\u672c</p></body></html>"
+        ).encode("gbk")
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["\u4e2d\u6587\u6587\u672c"]}
+        ]
+
+    def test_utf8_bom_stripped(self):
+        html = b"\xef\xbb\xbf<html><body><p>bom text</p></body></html>"
+        assert htmlpage.looks_like_html(html)
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["bom text"]}
+        ]
+
+    def test_utf16le_bom(self):
+        html = "<html><body><p>sixteen bits</p></body></html>".encode(
+            "utf-16"
+        )  # BOM-led
+        assert htmlpage.looks_like_html(html)
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["sixteen bits"]}
+        ]
+
+    def test_unknown_charset_falls_back_utf8(self):
+        html = (
+            b'<html><head><meta charset="no-such-enc"></head>'
+            b"<body><p>fallback ok</p></body></html>"
+        )
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["fallback ok"]}
+        ]
+
+    def test_misdeclared_bytes_never_raise(self):
+        # declared gbk but contains invalid byte sequences → replacement
+        # chars, deterministic, no exception
+        html = (
+            b'<html><head><meta charset="gbk"></head><body><p>ok '
+            b"\x81\x20 tail</p></body></html>"
+        )
+        blocks = htmlpage.parse_html_blocks(html)
+        assert len(blocks) == 1 and blocks[0]["lines"][0].startswith("ok")
+
+    def test_utf16_end_to_end_through_pipeline(self, spark):
+        import datetime as dt
+
+        from ocr_spark.pipeline import extract
+
+        html = "<html><body><h1>Titre</h1><p>déjà vu</p></body></html>".encode(
+            "utf-16"
+        )
+        df = spark.createDataFrame(
+            [("u://u16", dt.datetime(2025, 1, 1), bytearray(html), "", "fr")],
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string",
+        )
+        r = extract(df).collect()[0]
+        assert r.status == "COMPLETED"
+        assert r.text == "Titre\n\ndéjà vu"
