@@ -112,8 +112,12 @@ _HTML_SNIFF_RE = re.compile(
     rb"(?i)<!doctype\s+html|<html[\s>]|<head[\s>]|<body[\s>]"
 )
 # HTML5-prescan-style charset declaration search (first KB, raw bytes):
-# <meta charset=X> or <meta http-equiv=content-type content="...charset=X">
-_CHARSET_RE = re.compile(rb"(?i)charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-:.]+)")
+# <meta charset=X> or <meta http-equiv=content-type content="...charset=X">.
+# Anchored to a <meta tag so a `?charset=` in a script src URL or inline
+# JS `document.charset=` can never hijack the document encoding.
+_CHARSET_RE = re.compile(
+    rb"(?i)<meta[^>]{0,200}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-:.]+)"
+)
 
 # Virtual-page geometry: identical to the synthetic-corpus layout rule
 # (fixtures._text_block) so per-line coverage lands ≈0.85 ≥ 0.5 and the
@@ -210,7 +214,11 @@ class _BlockCollector(HTMLParser):
                 self._cur["lines"].append([])
             return
         if tag == "a":
-            self._link_depth += 1
+            # HTML5-style implied end tag: a new <a> while one is open
+            # closes the old one — unclosed-<a> chains (malformed menus)
+            # must not accumulate depth and mark the rest of the page
+            # as linked
+            self._link_depth = 1
         if tag in HEADING_TAGS:
             self._heading_depth += 1
         if tag in BLOCK_TAGS:
@@ -247,6 +255,14 @@ class _BlockCollector(HTMLParser):
             self._heading_depth -= 1
         if tag in BLOCK_TAGS:
             self._flush()
+            # a BLOCK close implicitly terminates dangling inline state:
+            # an unclosed <a>/<h2> must not leak into the next block and
+            # link-density-drop (or title-ify) the rest of the document.
+            # Conservative direction: under-counting link density KEEPS
+            # content; legit <a> spanning block closes is malformed HTML4
+            # and rare enough to accept the under-count.
+            self._link_depth = 0
+            self._heading_depth = 0
 
     # -- text accumulation -------------------------------------------------
     def handle_data(self, data):
@@ -311,8 +327,14 @@ _TAG_CLOSE_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9-]*)[^>]*>")
 _TAG_OPEN_RE = re.compile(
     r"<([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>'\"])*?)(/?)>", re.S
 )
-_ATTR_RE = re.compile(
-    r"(?i)\b(class|id)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
+# Attribute scanner: consumes name(=value)? pairs SEQUENTIALLY so a
+# quoted value is swallowed as a value, never re-scanned for names — a
+# bare word-boundary search would false-match the `id` suffix of
+# `data-id` or a `class=` inside title="..." and drop content the stdlib
+# reference keeps.
+_ATTR_SCAN_RE = re.compile(
+    r"\s*([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
 )
 
 
@@ -321,9 +343,19 @@ def _class_id_attrs(chunk: str) -> list[tuple[str, str]]:
     from a raw start-tag attribute chunk; values entity-unescaped for
     parity with html.parser."""
     out = []
-    for m in _ATTR_RE.finditer(chunk):
-        value = m.group(2) or m.group(3) or m.group(4) or ""
-        out.append((m.group(1).lower(), _unesc(value)))
+    pos, n = 0, len(chunk)
+    while pos < n:
+        m = _ATTR_SCAN_RE.match(chunk, pos)
+        if m is None or m.end() == pos:
+            pos += 1
+            continue
+        name = m.group(1).lower()
+        if name in ("class", "id"):
+            value = m.group(2) or ""
+            if value[:1] in "\"'":
+                value = value[1:-1]
+            out.append((name, _unesc(value)))
+        pos = m.end()
     return out
 _MARKUP_SKIP_RE = re.compile(
     r"<!--.*?(?:-->|\Z)"          # comments (unterminated: to EOF)
@@ -333,6 +365,13 @@ _MARKUP_SKIP_RE = re.compile(
     re.S,
 )
 _RAWTEXT_TAGS = frozenset(("script", "style"))  # html.parser CDATA elems
+# Close-tag finders for rawtext skipping: case-insensitive search on the
+# ORIGINAL text — a lowercased copy shifts indices when case-folding
+# changes string length (e.g. 'İ'.lower() is two codepoints), which made
+# the fast engine swallow content after scripts on Turkish pages.
+_RAWTEXT_CLOSE_RE = {
+    t: re.compile(f"(?i)</{t}") for t in _RAWTEXT_TAGS
+}
 
 
 def _unesc(s: str) -> str:
@@ -340,7 +379,6 @@ def _unesc(s: str) -> str:
 
 
 def _fast_feed(text: str, c: "_BlockCollector") -> None:
-    low = text.lower()  # one pass for case-insensitive rawtext close find
     pos, n = 0, len(text)
     while pos < n:
         lt = text.find("<", pos)
@@ -369,10 +407,10 @@ def _fast_feed(text: str, c: "_BlockCollector") -> None:
             c.handle_starttag(tag, attrs)
             if tag in _RAWTEXT_TAGS:
                 # raw content: no tags, no entities — skip to the close
-                end = low.find("</" + tag, pos)
-                if end < 0:
+                cm = _RAWTEXT_CLOSE_RE[tag].search(text, pos)
+                if cm is None:
                     break  # unterminated: swallowed (parser parity)
-                gt = text.find(">", end)
+                gt = text.find(">", cm.start())
                 c.handle_endtag(tag)
                 pos = n if gt < 0 else gt + 1
             continue

@@ -82,8 +82,8 @@ def read_extracted(
     return df
 
 
-def processed_urls(spark: SparkSession, path: str) -> DataFrame | None:
-    """urls already extracted successfully; None when no checkpoint exists.
+def _checkpoint_df(spark: SparkSession, path: str) -> DataFrame | None:
+    """The checkpoint table, or None when no checkpoint exists yet.
 
     Only a missing path means "fresh run" — any other read failure (auth,
     throttling on an object store) re-raises, because treating it as fresh
@@ -96,15 +96,29 @@ def processed_urls(spark: SparkSession, path: str) -> DataFrame | None:
     from pyspark.errors import AnalysisException
 
     try:
-        return (
-            read_extracted(spark, path)
-            .filter(F.col("status") == "COMPLETED")
-            .select("url")
-        )
+        return read_extracted(spark, path)
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
             return None  # no checkpoint yet (or an empty directory)
         raise
+
+
+def processed_urls(spark: SparkSession, path: str) -> DataFrame | None:
+    """urls already extracted successfully; None when no checkpoint exists."""
+    df = _checkpoint_df(spark, path)
+    if df is None:
+        return None
+    return df.filter(F.col("status") == "COMPLETED").select("url")
+
+
+def _exhausted_from(df: DataFrame, max_attempts: int) -> DataFrame:
+    return (
+        df.filter(F.col("status") == "FAILED")
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= max_attempts)
+        .select("url")
+    )
 
 
 def exhausted_urls(
@@ -113,37 +127,29 @@ def exhausted_urls(
     """urls whose FAILED attempt count has reached the retry budget —
     deterministic failures (e.g. PARSE_ERROR on a corrupt payload) must not
     be retried forever or the resume loop never converges to 0."""
-    if processed_urls(spark, path) is None:  # reuse the existence probe
+    df = _checkpoint_df(spark, path)
+    if df is None:
         return None
-    return (
-        read_extracted(spark, path)
-        .filter(F.col("status") == "FAILED")
-        .groupBy("url")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= max_attempts)
-        .select("url")
-    )
+    return _exhausted_from(df, max_attempts)
 
 
 def pending_pages(
     pages: DataFrame, out_path: str, max_attempts: int = 3
 ) -> DataFrame:
     """Resume filter: pages neither COMPLETED nor retry-exhausted
-    (left-anti on url).
+    (left-anti on url).  ONE checkpoint read serves both the COMPLETED
+    set and the retry-budget set — object-store listings are expensive at
+    millions of checkpoint files.
 
     Catalyst plans this as a shuffled or broadcast anti-join depending on the
     checkpoint's size stats; urls are high-cardinality so no skew concern.
     """
-    done = processed_urls(pages.sparkSession, out_path)
-    if done is None:
+    ckpt = _checkpoint_df(pages.sparkSession, out_path)
+    if ckpt is None:
         return pages
-    skip = done
+    skip = ckpt.filter(F.col("status") == "COMPLETED").select("url")
     if max_attempts is not None:
-        exhausted = exhausted_urls(
-            pages.sparkSession, out_path, max_attempts
-        )
-        if exhausted is not None:
-            skip = done.unionByName(exhausted)
+        skip = skip.unionByName(_exhausted_from(ckpt, max_attempts))
     return pages.join(skip, on="url", how="left_anti")
 
 

@@ -67,15 +67,20 @@ def with_shingles(
     into the lambda would re-split the WHOLE text once per shingle
     (O(W²) per document — a straggler factory on long documents).
     CollapseProject keeps the bind because the column is referenced more
-    than once and split is not cheap."""
-    ws = df.withColumn("_ws", F.split(F.col(text_col), " "))
+    than once and split is not cheap.  The temp column name is made
+    collision-free against the caller's schema (a fixed '_ws' would
+    silently overwrite-and-drop an existing column of that name)."""
+    tmp = "_ws"
+    while tmp in df.columns:
+        tmp += "_"
+    ws = df.withColumn(tmp, F.split(F.col(text_col), " "))
     expr = (
-        f"CASE WHEN size(_ws) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size(_ws) - {n}),"
-        f" i -> array_join(slice(_ws, i + 1, {n}), ' '))) "
+        f"CASE WHEN size(`{tmp}`) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(`{tmp}`) - {n}),"
+        f" i -> array_join(slice(`{tmp}`, i + 1, {n}), ' '))) "
         f"ELSE CAST(array() AS array<string>) END"
     )
-    return ws.withColumn(out, F.expr(expr)).drop("_ws")
+    return ws.withColumn(out, F.expr(expr)).drop(tmp)
 
 
 def minhash_signatures(

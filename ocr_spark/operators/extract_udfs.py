@@ -176,7 +176,9 @@ def _finish_common(pdf: pd.DataFrame, lines_per_row: list[list[dict]],
             "lang": pdf["lang"],
             "page_i": pdf["page_i"],
             "n_pages": pdf["n_pages"],
-            "ocr": ocr_flag,
+            # error rows never count as OCR pages — keeps ocr_pages
+            # identical across fused/paged/staged for the same input
+            "ocr": [ocr_flag and e is None for e in errors],
             "blocks": blocks_col,
             "error": errors,
         }

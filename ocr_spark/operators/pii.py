@@ -21,11 +21,23 @@ from pyspark.sql import DataFrame, functions as F
 # Shared pattern source (inlined into both engines by the contract).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-# 9+ digit runs with common separators, optional leading +; requires a
-# digit at both ends so trailing punctuation stays in the text.  The
-# hyphen sits LAST and unescaped in the class: RE2 rejects the escaped
-# `\-` range form that Java tolerates.
-PHONE_RE = r"\+?\d[\d(). -]{7,}\d"
+# Grouped phone shapes only — optional +CC, then (area)/2-4-digit group,
+# 3-digit group, 2-4-digit group with common separators.  A bare "9+
+# digits with separators" pattern redacts ISO dates (2021-03-04),
+# thousands-grouped numbers (1 000 000) and year lists — corpus
+# corruption, verified in review.  Group lengths exclude those: dates
+# split 4-2-2, year lists 4-4-4, neither fits 2..4 / 3 / 2..4 with the
+# trailing \b.  Lookaround-free (RE2 has no lookbehind); the hyphen sits
+# LAST and unescaped in classes (RE2 rejects the `\-` range form).
+# The leading digit-group alternative carries \b so a match can never
+# start mid-digit-run: a bare run must then be 7-11 digits IN TOTAL to
+# match, which excludes long constants (pi digits, IDs).  Exotic
+# groupings (e.g. +49 30 1234 5678's 2-4-4) are consciously missed —
+# under-redaction of rare formats beats shredding numeric prose.
+PHONE_RE = (
+    r"(?:\+\d{1,3}[ .-]?(?:\(\d{1,4}\)|\d{2,4})|\(\d{1,4}\)|\b\d{2,4})"
+    r"[ .-]?\d{3}[ .-]?\d{2,4}\b"
+)
 
 EMAIL_TOKEN, IP_TOKEN, PHONE_TOKEN = "<EMAIL>", "<IP>", "<PHONE>"
 

@@ -245,6 +245,10 @@ def ivf_topk(
     shuffles once on ``cell`` (or is bucketed by it at write time) and
     each query touches ``n_probe / n_centroids`` of the data instead of
     all of it."""
+    # ONE corpus scan materializes the centroid set (documented eager
+    # step — production kmeans also trains/collects centroids up front);
+    # the broadcast side is rebuilt from the collected rows instead of
+    # re-scanning the corpus a second time.
     cents_local = [
         (int(r[0]), [float(v) for v in r[1]])
         for r in df.orderBy(F.col(id_col).asc())
@@ -253,9 +257,9 @@ def ivf_topk(
         .collect()
     ]
     cents = F.broadcast(
-        df.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        df.sparkSession.createDataFrame(
+            cents_local, "cid bigint, cvec array<double>"
+        )
     )
 
     def assign_queries(x: DataFrame, probe: int) -> DataFrame:

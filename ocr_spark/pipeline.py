@@ -270,9 +270,15 @@ def extract(
     import os
 
     cfg = cfg or PipelineConfig()
-    if (
-        cfg.mode != "fused"
-        and os.environ.get("OCR_SPARK_BACKEND") == "model"
+    try:
+        executor_backend = pages.sparkSession.conf.get(
+            "spark.executorEnv.OCR_SPARK_BACKEND", None
+        )
+    except Exception:  # conf lookup must never break plan building
+        executor_backend = None
+    if cfg.mode != "fused" and "model" in (
+        os.environ.get("OCR_SPARK_BACKEND"),
+        executor_backend,
     ):
         # fail fast on the driver: the model backend has no per-page byte
         # handoff (fitz documents are not page-sliceable), so paged/staged

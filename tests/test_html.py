@@ -342,3 +342,56 @@ class TestCharsets:
         r = extract(df).collect()[0]
         assert r.status == "COMPLETED"
         assert r.text == "Titre\n\ndéjà vu"
+
+
+class TestReviewRegressions:
+    """Pinned fixes from the round-2 adversarial review."""
+
+    def test_data_id_attr_does_not_drop(self):
+        html = (
+            b'<html><body><div data-id="menu"><p>kept content</p></div>'
+            b"</body></html>"
+        )
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["kept content"]}
+        ]
+
+    def test_class_inside_quoted_value_does_not_drop(self):
+        html = (
+            b'<html><body><div title="class=nav decoy"><p>kept too</p>'
+            b"</div></body></html>"
+        )
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["kept too"]}
+        ]
+
+    def test_case_folding_length_change_before_script(self):
+        """'İ'.lower() is two codepoints — the rawtext close search must
+        not use a lowercased copy whose indices drift."""
+        body = ("İ" * 12 + "<script>var a = 1;</script>"
+                "<p>sonra gelen metin</p>").encode()
+        html = b"<html><body>" + body + b"</body></html>"
+        got = htmlpage.parse_html_blocks(html)
+        assert got == htmlpage.parse_html_blocks(html, engine="stdlib")
+        assert got[-1] == {"type": "text", "lines": ["sonra gelen metin"]}
+
+    def test_unclosed_anchor_does_not_nuke_document(self):
+        html = (
+            b'<html><body><div><a href="/x">Home</div>'
+            b"<p>Real paragraph of content here</p>"
+            b"<p>more text follows here</p></body></html>"
+        )
+        got = htmlpage.parse_html_blocks(html)
+        assert [b["lines"][0] for b in got] == [
+            "Real paragraph of content here",
+            "more text follows here",
+        ]
+
+    def test_charset_in_script_src_does_not_hijack_encoding(self):
+        html = (
+            b'<html><head><script src="lib.js?charset=shift_jis">'
+            b"</script></head><body><p>caf\xc3\xa9 utf8</p></body></html>"
+        )
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["café utf8"]}
+        ]

@@ -663,3 +663,20 @@ class TestDuplicateLineStats:
         assert got[1].dup_char_frac == 0.625        # 15 of 24 chars
         assert got[2].dup_line_frac == 0.0
         assert got[3].total_chars == 0 and got[3].dup_char_frac == 0.0
+
+
+class TestPiiPhonePrecision:
+    def test_dates_and_numeric_prose_survive(self, spark):
+        from ocr_spark.operators.pii import scrub_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "Published 2021-03-04, sold 1 000 000 units in "
+                    "2020 2021 2022; pi is 3.14159265358979"),
+                (2, "call me at (555) 123-4567 or +1 555 123 4467"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in scrub_pii(df).collect()}
+        assert got[1].n_phones == 0 and got[1].clean_text == got[1].text
+        assert got[2].n_phones == 2 and "<PHONE>" in got[2].clean_text
