@@ -887,6 +887,31 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# deterministic dataset split (salted-hash buckets, portable mode)
+
+_SPLIT_SQL = f"""
+SELECT doc_id,
+  CASE WHEN b < 800000 THEN 'train'
+       WHEN b < 900000 THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id,
+        {portable_hash_sql_duckdb("concat('v1:', CAST(doc_id AS VARCHAR))")}
+          % 1000000 AS b
+      FROM documents)
+"""
+
+
+def _q_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.splits import assign_split
+
+    return assign_split(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        hash_mode="portable",
+    ).select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing: both engines inject synthetic contact info around
 # documents.text, then the SAME lookaround-free regex chain (Java vs RE2)
 # must redact identically — counts and cleaned text are hash-compared.
@@ -1252,6 +1277,8 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "mm_media_meta": (_q_media_meta, _MEDIA_SQL),
     "mm_features": (_q_media_features, _FEATURES_SQL),
     "mm_sample_frames": (_q_sample_frames, _FRAMES_SQL),
+    # deterministic dataset split
+    "corpus_split": (_q_assign_split, _SPLIT_SQL),
     # PII scrubbing + duplicate-line stats
     "pii_scrub": (_q_pii_scrub, _pii_sql()),
     "text_dup_lines": (_q_dup_lines, _DUP_LINES_SQL),

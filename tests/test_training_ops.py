@@ -680,3 +680,43 @@ class TestPiiPhonePrecision:
         got = {r.doc_id: r for r in scrub_pii(df).collect()}
         assert got[1].n_phones == 0 and got[1].clean_text == got[1].text
         assert got[2].n_phones == 2 and "<PHONE>" in got[2].clean_text
+
+
+class TestDeterministicSplit:
+    def test_stable_proportional_and_salt_sensitive(self, spark, docs):
+        from ocr_spark.operators.splits import assign_split
+
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = {r.doc_id: r.split for r in assign_split(docs, w).collect()}
+        b = {r.doc_id: r.split for r in assign_split(docs, w).collect()}
+        assert a == b  # pure function of (id, salt)
+        counts = {}
+        for s in a.values():
+            counts[s] = counts.get(s, 0) + 1
+        assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+        c = {r.doc_id: r.split
+             for r in assign_split(docs, w, salt="v2").collect()}
+        assert c != a  # salt re-deals
+
+    def test_nested_split_growth_keeps_members(self, spark, docs):
+        """Growing train 0.6 → 0.9 must never evict an existing train doc
+        (bucket ranges are prefixes of each other)."""
+        from ocr_spark.operators.splits import assign_split
+
+        small = {
+            r.doc_id
+            for r in assign_split(docs, {"train": 0.6, "val": 0.4}).collect()
+            if r.split == "train"
+        }
+        big = {
+            r.doc_id
+            for r in assign_split(docs, {"train": 0.9, "val": 0.1}).collect()
+            if r.split == "train"
+        }
+        assert small <= big and len(big) > len(small)
+
+    def test_weights_must_sum_to_one(self, spark, docs):
+        from ocr_spark.operators.splits import assign_split
+
+        with pytest.raises(ValueError, match="sum to 1"):
+            assign_split(docs, {"train": 0.5, "val": 0.1})
