@@ -6,6 +6,9 @@
                                         per-payload format dispatch)
       → gopher_rules + quality_score    document quality gates
       → canonical-url + exact dedup     duplicate removal
+      → decontaminate()                 benchmark n-gram collision filter
+      → scrub_pii()                     email/IP/phone redaction
+      → assign_split()                  deterministic train/val/test
       → extract_features → ivf_topk     embedding + ANN neighbors
       → one JSON summary line
 
@@ -83,8 +86,30 @@ def main() -> int:
     )
     unique = canon.join(reps, "doc_id", "left_semi").cache()
 
-    # 4. embeddings + ANN neighbors over the surviving corpus
-    payloads = unique.select(
+    # 4. benchmark decontamination: docs overlapping the "eval set"
+    # (here: a planted slice of the corpus itself) are removed
+    from ocr_spark.operators.decontam import decontaminate
+
+    bench = (
+        unique.orderBy("doc_id")
+        .limit(5)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+    decontaminated = decontaminate(unique, bench, n=5, threshold=0.5).cache()
+
+    # 5. PII scrub + deterministic split assignment
+    from ocr_spark.operators.pii import scrub_pii
+    from ocr_spark.operators.splits import assign_split
+
+    final = assign_split(
+        scrub_pii(decontaminated).drop("text").withColumnRenamed(
+            "clean_text", "text"
+        ),
+        {"train": 0.98, "val": 0.01, "test": 0.01},
+    ).cache()
+
+    # 6. embeddings + ANN neighbors over the surviving corpus
+    payloads = final.select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("payload"),
     )
@@ -94,6 +119,10 @@ def main() -> int:
     queries = vectors.limit(3)
     neighbors = ivf_topk(vectors, queries, k=3, n_centroids=8, n_probe=2)
 
+    splits = {
+        r.split: r["count"]
+        for r in final.groupBy("split").count().collect()
+    }
     print(
         json.dumps(
             {
@@ -101,6 +130,8 @@ def main() -> int:
                 "extracted": docs.count(),
                 "after_quality": gated.count(),
                 "after_dedup": unique.count(),
+                "after_decontam": decontaminated.count(),
+                "splits": splits,
                 "ann_rows": neighbors.count(),
             }
         )

@@ -51,6 +51,10 @@ def main() -> int:
                     help="treat --input as a catalog table name instead "
                          "of a filesystem path")
     ap.add_argument("--page-partitions", type=int, default=None)
+    ap.add_argument("--max-attempts", type=int, default=3,
+                    help="per-url FAILED retry budget before a url is "
+                         "skipped (keeps resume loops convergent on "
+                         "deterministic failures)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -89,7 +93,7 @@ def main() -> int:
         if args.until:
             pages = pages.filter(F.col("warc_ts") < F.lit(args.until))
         result["docs_attempted_this_pass"] = run_resumable(
-            pages, args.output, cfg
+            pages, args.output, cfg, max_attempts=args.max_attempts
         )
         result["docs_in_output"] = (
             read_extracted(spark, args.output, latest_only=True)
