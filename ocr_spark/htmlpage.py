@@ -29,8 +29,10 @@ of work: block segmentation at DOM block elements, link-density scoring):
   as often as with semantic tags (the jusText/boilerpipe class hint);
   matching is per TOKEN, so ``class="roadmap"`` is not an ad;
 - block-level tags delimit blocks; ``<br>`` delimits lines inside a block;
-- ``h1``-``h6`` blocks get type ``title``; everything else ``text`` (the
-  engine's existing block-type vocabulary);
+- blocks take the reference's layout class vocabulary
+  (kernels/layout.LAYOUT_CHOICES): ``h1``-``h6`` → ``title``, table
+  cells → ``table``, ``<caption>`` → ``table_caption``,
+  ``<figcaption>`` → ``figure_caption``, everything else ``text``;
 - a block whose link density (non-whitespace chars inside ``<a>`` ÷ total
   non-whitespace chars) exceeds 0.5 is dropped as link-farm boilerplate
   (nav menus rendered as ``<div>`` lists);
@@ -63,10 +65,19 @@ BOILERPLATE_TAGS = frozenset("nav header footer aside".split())
 # Tags that delimit content blocks (flush on open AND close).
 BLOCK_TAGS = frozenset(
     "p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody tfoot tr "
-    "td th blockquote pre article section main figure figcaption address "
-    "form fieldset hr body html center".split()
+    "td th caption blockquote pre article section main figure figcaption "
+    "address form fieldset hr body html center".split()
 )
 HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+# Containers that type their blocks with the reference's richer layout
+# vocabulary (kernels/layout.LAYOUT_CHOICES): table cells → "table",
+# <caption> → "table_caption", <figcaption> → "figure_caption".
+_TYPE_CONTEXT_TAGS = ("figcaption", "caption", "table")
+_TYPE_FOR_CONTEXT = {
+    "figcaption": "figure_caption",
+    "caption": "table_caption",
+    "table": "table",
+}
 
 # Generic containers whose class/id can mark them as site chrome — real
 # pages render nav/footer/sidebar as <div class="footer"> at least as
@@ -116,7 +127,7 @@ _HTML_SNIFF_RE = re.compile(
 # Anchored to a <meta tag so a `?charset=` in a script src URL or inline
 # JS `document.charset=` can never hijack the document encoding.
 _CHARSET_RE = re.compile(
-    rb"(?i)<meta[^>]{0,200}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-:.]+)"
+    rb"(?i)<meta[^>]*?charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-:.]+)"
 )
 
 # Virtual-page geometry: identical to the synthetic-corpus layout rule
@@ -186,6 +197,15 @@ class _BlockCollector(HTMLParser):
         self._attr_drops: list[tuple[str, int]] = []  # (tag, depth_at_open)
         self._link_depth = 0
         self._heading_depth = 0
+        # inline-state scoping: block-nesting depth plus the depth at
+        # which the current <a>/outermost heading opened, so dangling
+        # inline state dies with its CONTAINER (unclosed <a> in a menu
+        # item) but survives blocks nested INSIDE it (HTML5 card links:
+        # <a><h3>..</h3><p>..</p></a> stays fully linked)
+        self._block_depth = 0
+        self._a_open_depth: int | None = None
+        self._heading_open_depth: int | None = None
+        self._ctx = dict.fromkeys(_TYPE_CONTEXT_TAGS, 0)
         self._cur: dict | None = None  # {"title","lines":[ [str,...] ],...}
         self.blocks: list[dict] = []  # [{"type","lines":[str,...]}]
 
@@ -213,14 +233,21 @@ class _BlockCollector(HTMLParser):
             if self._cur is not None:
                 self._cur["lines"].append([])
             return
+        if tag in BLOCK_TAGS:
+            self._block_depth += 1
         if tag == "a":
             # HTML5-style implied end tag: a new <a> while one is open
             # closes the old one — unclosed-<a> chains (malformed menus)
             # must not accumulate depth and mark the rest of the page
             # as linked
             self._link_depth = 1
+            self._a_open_depth = self._block_depth
         if tag in HEADING_TAGS:
             self._heading_depth += 1
+            if self._heading_open_depth is None:
+                self._heading_open_depth = self._block_depth
+        if tag in self._ctx:
+            self._ctx[tag] += 1
         if tag in BLOCK_TAGS:
             self._flush()
 
@@ -250,19 +277,35 @@ class _BlockCollector(HTMLParser):
                     self._attr_drops.pop()
                     self._drop_total -= 1
         if tag == "a" and self._link_depth > 0:
-            self._link_depth -= 1
+            self._link_depth = 0
+            self._a_open_depth = None
         if tag in HEADING_TAGS and self._heading_depth > 0:
             self._heading_depth -= 1
+            if self._heading_depth == 0:
+                self._heading_open_depth = None
+        if tag in self._ctx and self._ctx[tag] > 0:
+            self._ctx[tag] -= 1
         if tag in BLOCK_TAGS:
             self._flush()
-            # a BLOCK close implicitly terminates dangling inline state:
-            # an unclosed <a>/<h2> must not leak into the next block and
-            # link-density-drop (or title-ify) the rest of the document.
-            # Conservative direction: under-counting link density KEEPS
-            # content; legit <a> spanning block closes is malformed HTML4
-            # and rare enough to accept the under-count.
-            self._link_depth = 0
-            self._heading_depth = 0
+            if self._block_depth > 0:
+                self._block_depth -= 1
+            # closing a block BELOW where an <a>/heading opened means its
+            # container ended with the inline tag dangling (unclosed <a>
+            # in a menu item) — terminate it so it cannot leak into the
+            # rest of the document and link-density-drop (or title-ify)
+            # everything; blocks nested INSIDE the anchor keep the state.
+            if (
+                self._a_open_depth is not None
+                and self._block_depth < self._a_open_depth
+            ):
+                self._link_depth = 0
+                self._a_open_depth = None
+            if (
+                self._heading_open_depth is not None
+                and self._block_depth < self._heading_open_depth
+            ):
+                self._heading_depth = 0
+                self._heading_open_depth = None
 
     # -- text accumulation -------------------------------------------------
     def handle_data(self, data):
@@ -271,8 +314,16 @@ class _BlockCollector(HTMLParser):
         if self._cur is None:
             if not data.strip():
                 return  # inter-tag whitespace never opens a block
+            if self._heading_depth > 0:
+                btype = "title"
+            else:
+                btype = "text"
+                for ctx_tag in _TYPE_CONTEXT_TAGS:
+                    if self._ctx[ctx_tag] > 0:
+                        btype = _TYPE_FOR_CONTEXT[ctx_tag]
+                        break
             self._cur = {
-                "title": self._heading_depth > 0,
+                "type": btype,
                 "lines": [[]],
                 "chars": 0,
                 "linked": 0,
@@ -305,9 +356,7 @@ class _BlockCollector(HTMLParser):
             return
         if cur["chars"] > 0 and cur["linked"] / cur["chars"] > MAX_LINK_DENSITY:
             return  # link-farm boilerplate
-        self.blocks.append(
-            {"type": "title" if cur["title"] else "text", "lines": lines}
-        )
+        self.blocks.append({"type": cur["type"], "lines": lines})
 
     def close(self):
         super().close()
@@ -347,7 +396,15 @@ def _class_id_attrs(chunk: str) -> list[tuple[str, str]]:
     while pos < n:
         m = _ATTR_SCAN_RE.match(chunk, pos)
         if m is None or m.end() == pos:
-            pos += 1
+            # resync over junk — but NEVER one char at a time into a
+            # quoted string (a value-only attr like ="class=ad" would
+            # otherwise get its contents parsed as attributes)
+            q = chunk[pos]
+            if q in "\"'":
+                close = chunk.find(q, pos + 1)
+                pos = n if close < 0 else close + 1
+            else:
+                pos += 1
             continue
         name = m.group(1).lower()
         if name in ("class", "id"):

@@ -29,14 +29,19 @@ IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 # split 4-2-2, year lists 4-4-4, neither fits 2..4 / 3 / 2..4 with the
 # trailing \b.  Lookaround-free (RE2 has no lookbehind); the hyphen sits
 # LAST and unescaped in classes (RE2 rejects the `\-` range form).
-# The leading digit-group alternative carries \b so a match can never
-# start mid-digit-run: a bare run must then be 7-11 digits IN TOTAL to
-# match, which excludes long constants (pi digits, IDs).  Exotic
-# groupings (e.g. +49 30 1234 5678's 2-4-4) are consciously missed —
-# under-redaction of rare formats beats shredding numeric prose.
+# Phone shapes must carry an unambiguous phone marker: a +country
+# prefix, a parenthesized area code, full 3-3-4 hyphenation, or a bare
+# 9-11 digit run (\b-anchored so it can't start mid-run, which also
+# excludes longer constants).  Space- and dot-grouped digit runs WITHOUT
+# such a marker (10 000 000, 12.345.678, ISBN segments) are prose, not
+# phones — under-redaction of exotic formats beats shredding numeric
+# text (the review reproduced exactly that corruption with a looser
+# pattern).
 PHONE_RE = (
-    r"(?:\+\d{1,3}[ .-]?(?:\(\d{1,4}\)|\d{2,4})|\(\d{1,4}\)|\b\d{2,4})"
-    r"[ .-]?\d{3}[ .-]?\d{2,4}\b"
+    r"(?:\+\d{1,3}[ .-]?(?:\(\d{1,4}\)|\d{2,4})[ .-]?\d{3}[ .-]?\d{2,4}"
+    r"|\(\d{1,4}\)[ .-]?\d{3}[ .-]?\d{2,4}"
+    r"|\b\d{3}-\d{3}-\d{4}"
+    r"|\b\d{9,11})\b"
 )
 
 EMAIL_TOKEN, IP_TOKEN, PHONE_TOKEN = "<EMAIL>", "<IP>", "<PHONE>"

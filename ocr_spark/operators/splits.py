@@ -40,7 +40,17 @@ def assign_split(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    salted = F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    bad = {k: w for k, w in weights.items() if not 0.0 <= w <= 1.0}
+    if bad:
+        raise ValueError(f"split weights must be in [0, 1]: {bad}")
+    # NULL ids hash like the empty string (one deterministic bucket,
+    # almost surely in the largest split) instead of NULL-propagating
+    # through the when-chain into the LAST label — which would quietly
+    # concentrate dirty rows in the smallest eval split
+    salted = F.concat(
+        F.lit(salt + ":"),
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+    )
     if hash_mode == "portable":
         h = portable_hash_col(salted)
     else:

@@ -91,6 +91,25 @@ class TestHandGoldens:
         )
         blocks = htmlpage.parse_html_blocks(html)
         assert [b["lines"] for b in blocks] == [["a1"], ["a2"], ["b1"]]
+        assert {b["type"] for b in blocks} == {"table"}
+
+    def test_rich_block_types_from_dom_context(self):
+        """Tables/captions/figcaptions map onto the reference's layout
+        class vocabulary (kernels/layout.LAYOUT_CHOICES), not just
+        title/text."""
+        html = (
+            b"<html><body>"
+            b"<figure><figcaption>Figure 1: a chart</figcaption></figure>"
+            b"<table><caption>Quarterly totals</caption>"
+            b"<tr><td>Q1</td></tr></table>"
+            b"<p>prose</p></body></html>"
+        )
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "figure_caption", "lines": ["Figure 1: a chart"]},
+            {"type": "table_caption", "lines": ["Quarterly totals"]},
+            {"type": "table", "lines": ["Q1"]},
+            {"type": "text", "lines": ["prose"]},
+        ]
 
     def test_malformed_markup_survives(self):
         html = (
@@ -394,4 +413,42 @@ class TestReviewRegressions:
         )
         assert htmlpage.parse_html_blocks(html) == [
             {"type": "text", "lines": ["café utf8"]}
+        ]
+
+    def test_value_only_attr_does_not_leak_class(self):
+        html = (
+            b'<html><body><div ="class=ad"><p>content kept</p></div>'
+            b"</body></html>"
+        )
+        got = htmlpage.parse_html_blocks(html)
+        assert got == htmlpage.parse_html_blocks(html, engine="stdlib")
+        assert got == [{"type": "text", "lines": ["content kept"]}]
+
+    def test_anchor_wrapping_blocks_stays_linked(self):
+        """HTML5 card links (<a> around h3+p teasers) are fully linked
+        content and must be link-density-dropped; the unlinked article
+        prose after them must survive."""
+        html = (
+            b"<html><body>"
+            b'<a href="/1"><h3>Teaser one</h3><p>teaser description</p></a>'
+            b'<a href="/2"><h3>Teaser two</h3><p>other teaser text</p></a>'
+            b"<p>Actual article prose with plenty of unlinked words.</p>"
+            b"</body></html>"
+        )
+        assert htmlpage.parse_html_blocks(html) == [
+            {
+                "type": "text",
+                "lines": ["Actual article prose with plenty of unlinked words."],
+            }
+        ]
+
+    def test_charset_deep_in_long_meta_tag(self):
+        html = (
+            b'<html><head><meta data-pad="' + b"x" * 220
+            + b'" http-equiv="content-type" '
+            b'content="text/html; charset=iso-8859-1"></head>'
+            b"<body><p>caf\xe9</p></body></html>"
+        )
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["café"]}
         ]

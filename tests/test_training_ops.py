@@ -720,3 +720,44 @@ class TestDeterministicSplit:
 
         with pytest.raises(ValueError, match="sum to 1"):
             assign_split(docs, {"train": 0.5, "val": 0.1})
+
+
+class TestSplitEdgeCases:
+    def test_null_ids_deterministic_not_in_last_label(self, spark):
+        from ocr_spark.operators.splits import assign_split
+
+        df = spark.createDataFrame(
+            [(None,), (None,), (1,), (2,)], "doc_id long"
+        )
+        got = [
+            r.split
+            for r in assign_split(
+                df, {"train": 0.98, "val": 0.01, "test": 0.01}
+            ).collect()
+            if r.doc_id is None
+        ]
+        assert len(set(got)) == 1  # one deterministic bucket
+        assert got[0] == "train"   # empty-string hash lands in the bulk
+
+    def test_out_of_range_weights_rejected(self, spark, docs):
+        from ocr_spark.operators.splits import assign_split
+
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            assign_split(docs, {"train": 1.2, "test": -0.2})
+
+
+class TestPiiNumericProse:
+    def test_grouped_numbers_and_isbn_survive(self, spark):
+        from ocr_spark.operators.pii import scrub_pii
+
+        df = spark.createDataFrame(
+            [(1, "sold 10 000 000 units to 12.345.678 people, "
+                 "ISBN 978-3-16-148410-0, raw id 123456789")],
+            "doc_id long, text string",
+        )
+        r = scrub_pii(df).collect()[0]
+        # only the bare 9-digit run is phone-shaped
+        assert r.n_phones == 1
+        assert "10 000 000" in r.clean_text
+        assert "12.345.678" in r.clean_text
+        assert "978-3-16-148410-0" in r.clean_text
