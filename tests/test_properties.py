@@ -138,3 +138,80 @@ class TestPayloadFuzz:
         doc = decode_doc(d["html"])
         assert len(doc["pages"]) >= 0
         assert all(p["i"] == i for i, p in enumerate(doc["pages"]))
+
+
+# ---------------------------------------------------------------------------
+# HTML parser fuzz: total functions over arbitrary bytes; engine parity
+# over grammar-generated markup.
+
+_TAG_POOL = [
+    "p", "div", "span", "li", "ul", "table", "tr", "td", "h1", "h2",
+    "nav", "footer", "aside", "a", "b", "i", "em", "script", "style",
+    "figure", "figcaption", "caption", "br", "main", "article",
+]
+_WORDS = ["alpha", "beta", "gamma", "delta", "nav", "menu", "text",
+          "a&amp;b", "x &lt; y", "café", "100", "two words"]
+
+
+def _markup(draw, depth=0):
+    import random as _r
+
+    rng = _r.Random(draw)
+    out = []
+    for _ in range(rng.randint(1, 8)):
+        roll = rng.random()
+        if roll < 0.45 or depth > 3:
+            out.append(rng.choice(_WORDS) + " ")
+        else:
+            tag = rng.choice(_TAG_POOL)
+            attr = rng.choice(
+                ["", " class=menu", ' class="content main"',
+                 ' id="sidebar"', ' data-id="nav"', ' href="/x"',
+                 " =\"class=ad\""]
+            )
+            inner = _markup(rng.randint(0, 10**9), depth + 1)
+            close = rng.random() > 0.15  # 15% unclosed
+            out.append(f"<{tag}{attr}>{inner}")
+            if close:
+                out.append(f"</{tag}>")
+    return "".join(out)
+
+
+class TestHtmlParserFuzz:
+    @given(data=st.binary(min_size=0, max_size=400))
+    @settings(max_examples=300, deadline=None)
+    def test_never_raises_on_arbitrary_bytes(self, data):
+        from ocr_spark import htmlpage
+
+        for engine in ("fast", "stdlib"):
+            blocks = htmlpage.parse_html_blocks(
+                b"<html><body>" + data + b"</body></html>", engine=engine
+            )
+            for b in blocks:  # shape invariant
+                assert b["type"] in {
+                    "title", "text", "table", "table_caption",
+                    "figure_caption",
+                } and all(ln.strip() for ln in b["lines"])
+
+    @given(seed=st.integers(min_value=0, max_value=10**9))
+    @settings(max_examples=250, deadline=None)
+    def test_engines_agree_on_generated_markup(self, seed):
+        from ocr_spark import htmlpage
+
+        html = ("<html><body>" + _markup(seed) + "</body></html>").encode()
+        fast = htmlpage.parse_html_blocks(html, engine="fast")
+        std = htmlpage.parse_html_blocks(html, engine="stdlib")
+        assert fast == std, html[:300]
+
+    @given(seed=st.integers(min_value=0, max_value=10**9))
+    @settings(max_examples=60, deadline=None)
+    def test_oracle_total_on_generated_markup(self, seed):
+        """The whole per-document pipeline (not just the parser) is total
+        over generated markup and deterministic."""
+        from ocr_spark.oracle import extract_document
+
+        html = ("<html><body>" + _markup(seed) + "</body></html>").encode()
+        a = extract_document(html)
+        b = extract_document(html)
+        assert a == b
+        assert a["n_pages"] in (0, 1)
