@@ -675,19 +675,55 @@ def _votes_duck(lang: str) -> str:
     )
 
 
-def _lang_sql() -> str:
+def _lang_sql(source: str = "documents") -> str:
     langs = list(text_analysis.LANG_PROFILES)
     votes = ", ".join(f"{_votes_duck(lg)} AS v_{lg}" for lg in langs)
+    scripts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{cls}')) AS INTEGER) AS s_{lg}"
+        for lg, cls, _, _ in text_analysis.SCRIPT_RULES
+    )
     case = "CASE"
+    for lg, _, num, den in text_analysis.SCRIPT_RULES:
+        case += (
+            f" WHEN length(text) > 0 AND s_{lg} * {den} > "
+            f"length(text) * {num} THEN '{lg}'"
+        )
     for lg in langs:
         others = " AND ".join(f"v_{lg} >= v_{o}" for o in langs if o != lg)
         case += f" WHEN {others} THEN '{lg}'"
     case += " ELSE 'und' END"
     great = ", ".join(f"v_{lg}" for lg in langs)
     return f"""
-WITH v AS (SELECT doc_id, {votes} FROM documents)
+WITH v AS (SELECT doc_id, text, {scripts}, {votes} FROM {source})
 SELECT doc_id, {case} AS lang_pred, greatest({great}) AS lang_votes FROM v
 """
+
+
+# CJK/script detection roundtrip: both engines inject Han/kana/Hangul
+# text for three doc_id classes; the script-ratio rules must classify
+# identically.
+_CJK_INJECT = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 1 THEN '统计学习方法 机器学习 数据处理流程' "
+    "WHEN 2 THEN 'これはテストです。データ処理のテスト。' "
+    "WHEN 3 THEN '한국어 텍스트 데이터 처리 파이프라인' "
+    "ELSE text END"
+)
+
+
+def _q_language_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_CJK_INJECT).alias("text")
+    )
+    return text_analysis.language_id(docs).select(
+        "doc_id", "lang_pred", "lang_votes"
+    )
+
+
+def _cjk_sql() -> str:
+    return _lang_sql(
+        f"(SELECT doc_id, {_CJK_INJECT} AS text FROM documents)"
+    )
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1266,6 +1302,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "sim_near_dup": (_q_near_dup, _NEAR_DUP_SQL),
     # text analysis
     "text_language_id": (_q_language_id, _lang_sql()),
+    "text_language_id_cjk": (_q_language_id_cjk, _cjk_sql()),
     "text_quality": (_q_quality, _quality_sql()),
     "text_token_count": (_q_token_count, _TOKEN_SQL),
     "text_fingerprint": (_q_fingerprint, _FINGERPRINT_SQL),

@@ -17,6 +17,17 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 EN_STOPWORDS = LANG_PROFILES["en"] + ("a", "an", "it", "on", "with", "as")
 
+# Script-based detection for languages the stopword vote cannot see
+# (unspaced scripts).  (lang, literal char-class, ratio as num/den so the
+# comparison stays in INTEGER arithmetic — bit-identical across engines).
+# Order matters: kana implies Japanese even on kanji-heavy text, so it
+# precedes the Han rule; Hangul is unambiguous.
+SCRIPT_RULES: list[tuple[str, str, int, int]] = [
+    ("ko", "[가-힣]", 3, 10),
+    ("ja", "[ぁ-ゖァ-ヺー]", 1, 20),
+    ("zh", "[一-鿿]", 3, 10),
+]
+
 # BPE-ish token regex: word pieces OR single non-space symbols.
 TOKEN_PATTERN = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"
 
@@ -30,16 +41,28 @@ def _votes(lang: str, text_col: str) -> str:
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-vote language ID with deterministic tie-break (profile order).
+    """Language ID: script-ratio rules for unspaced scripts (ko/ja/zh),
+    then a stopword vote with deterministic tie-break (profile order).
 
     A real deployment swaps the profiles for charset n-gram tables; the
-    operator shape (pure expression, no shuffle) is the point."""
+    operator shape (pure expression, no shuffle) is the point.  Script
+    ratios compare as ``count*den > length*num`` — integer arithmetic,
+    so the decision is bit-identical across engines."""
+    script_cols = [
+        F.regexp_count(F.col(text_col), F.lit(cls)).alias(f"s_{lang}")
+        for lang, cls, _, _ in SCRIPT_RULES
+    ]
     vote_cols = [F.expr(_votes(lang, text_col)).alias(f"v_{lang}")
                  for lang in LANG_PROFILES]
-    scored = df.select("*", *vote_cols)
-    # greatest-vote argmax, ties resolved by profile declaration order
+    scored = df.select("*", *script_cols, *vote_cols)
+    # script rules first, then greatest-vote argmax (ties → profile order)
     langs = list(LANG_PROFILES)
     case = "CASE"
+    for lang, _, num, den in SCRIPT_RULES:
+        case += (
+            f" WHEN length({text_col}) > 0 AND "
+            f"s_{lang} * {den} > length({text_col}) * {num} THEN '{lang}'"
+        )
     for lang in langs:
         others = " AND ".join(
             f"v_{lang} >= v_{o}" for o in langs if o != lang

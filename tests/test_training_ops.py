@@ -761,3 +761,29 @@ class TestPiiNumericProse:
         assert "10 000 000" in r.clean_text
         assert "12.345.678" in r.clean_text
         assert "978-3-16-148410-0" in r.clean_text
+
+
+class TestScriptLanguageId:
+    def test_cjk_scripts_detected(self, spark):
+        from ocr_spark.operators.text_analysis import language_id
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox and the lazy dog of the day"),
+                (2, "统计学习方法 机器学习 数据处理"),
+                (3, "これはテストです。日本語の文章。"),
+                (4, "한국어 텍스트 데이터 처리"),
+                (5, "der hund und die katze ist nicht da"),
+                (6, ""),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+        assert got[1] == "en"
+        assert got[2] == "zh"
+        assert got[3] == "ja"   # kana rule outranks Han on mixed text
+        assert got[4] == "ko"
+        assert got[5] == "de"
+        # zero votes tie-break to the first profile (long-standing,
+        # oracle-pinned behavior): empty text classifies as 'en'
+        assert got[6] == "en"
