@@ -160,6 +160,10 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
         "text_repetition_50kword_docs",
         text_analysis.repetition_ratio(long_docs),
     )
+    # 64-bit signature over the same 50k-word docs — proves simhash hashes
+    # each token once (the old per-bit re-split shape paid a bits× factor
+    # exactly here: corpus-scale bits=64 on the longest documents)
+    timed("dedup_simhash64_50kword_docs", dedup.simhash(long_docs, bits=64))
     return out
 
 

@@ -32,9 +32,25 @@ from .pipeline import PipelineConfig, extract
 STATUSES = ("PENDING", "IN_PROGRESS", "COMPLETED", "FAILED", "CANCELLED")
 
 
-def write_extracted(extracted: DataFrame, path: str, mode: str = "append") -> None:
+def write_extracted(
+    extracted: DataFrame,
+    path: str,
+    mode: str = "append",
+    writer_buckets: int = 512,
+) -> None:
     """Write the extracted table partitioned by crawl day — the offline
-    analogue of Iceberg ``days(warc_ts)`` partition pruning."""
+    analogue of Iceberg ``days(warc_ts)`` partition pruning.
+
+    Writers are SPREAD within a day: the shuffle key is
+    ``(warc_day, pmod(xxhash64(url), writer_buckets))``, matching the
+    Iceberg spec ``PARTITIONED BY (days(warc_ts), bucket(512, url))``
+    declared above.  Hashing on the day alone would funnel every row of a
+    given crawl day into ONE writer task — and a production batch is
+    typically one day, so the entire output (and its parquet encode) would
+    serialize through a single core while the rest of the cluster idles.
+    With the url bucket in the key, a single-day corpus fans out across
+    min(writer_buckets, spark.sql.shuffle.partitions) writer tasks;
+    ``partitionBy`` still gives the day-directory layout either way."""
     (
         # UTC calendar day regardless of spark.sql.session.timeZone — the
         # partition a row lands in must not depend on which cluster's
@@ -50,7 +66,10 @@ def write_extracted(extracted: DataFrame, path: str, mode: str = "append") -> No
                 )
             ),
         )
-        .repartition("warc_day")  # one writer wave per day partition
+        .repartition(
+            F.col("warc_day"),
+            F.pmod(F.xxhash64("url"), F.lit(writer_buckets)),
+        )
         .write.mode(mode)
         .partitionBy("warc_day")
         .parquet(path)

@@ -30,18 +30,17 @@ IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 # trailing \b.  Lookaround-free (RE2 has no lookbehind); the hyphen sits
 # LAST and unescaped in classes (RE2 rejects the `\-` range form).
 # Phone shapes must carry an unambiguous phone marker: a +country
-# prefix, a parenthesized area code, full 3-3-4 hyphenation, or a bare
-# 9-11 digit run (\b-anchored so it can't start mid-run, which also
-# excludes longer constants).  Space- and dot-grouped digit runs WITHOUT
-# such a marker (10 000 000, 12.345.678, ISBN segments) are prose, not
-# phones — under-redaction of exotic formats beats shredding numeric
-# text (the review reproduced exactly that corruption with a looser
-# pattern).
+# prefix, a parenthesized area code, or full 3-3-4 hyphenation.  Digit
+# runs WITHOUT such a marker — unix epochs (1723880000), unhyphenated
+# ISBN-10s, account ids, space/dot-grouped figures (10 000 000,
+# 12.345.678) — are prose, not phones: a bare \b\d{9,11}\b alternative
+# (removed after review) redacted exactly those and corrupted numeric
+# text across a webtext corpus.  Under-redaction of exotic formats
+# beats shredding numbers the pipeline is supposed to preserve.
 PHONE_RE = (
     r"(?:\+\d{1,3}[ .-]?(?:\(\d{1,4}\)|\d{2,4})[ .-]?\d{3}[ .-]?\d{2,4}"
     r"|\(\d{1,4}\)[ .-]?\d{3}[ .-]?\d{2,4}"
-    r"|\b\d{3}-\d{3}-\d{4}"
-    r"|\b\d{9,11})\b"
+    r"|\b\d{3}-\d{3}-\d{4})\b"
 )
 
 EMAIL_TOKEN, IP_TOKEN, PHONE_TOKEN = "<EMAIL>", "<IP>", "<PHONE>"

@@ -187,7 +187,9 @@ def _vec_literal(values: list[float]) -> str:
 
 
 def nearest_cell_expr(
-    vec_col: str, cents: list[tuple[int, list[float]]]
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    norm_expr: str | None = None,
 ) -> str:
     """Per-row nearest-centroid argmax as ONE projection expression.
 
@@ -196,11 +198,18 @@ def nearest_cell_expr(
     assignment needs NO crossJoin row blowup and NO shuffle/Window — the
     100 TB shape for assigning 10^12 vectors to cells.  Norms stay in SQL
     (same fold as everywhere else) so scores are bit-identical to the
-    windowed query-side assignment."""
+    windowed query-side assignment.
+
+    Pass ``norm_expr`` (a column holding ``_norm(vec_col)``) to pay the
+    O(dim) row-norm fold ONCE per row instead of once per centroid — the
+    centroid-literal norms are constant-folded by Catalyst, but the row
+    norm is not.  The value is bit-identical either way (same sqrt of the
+    same sequential fold)."""
+    rn = norm_expr if norm_expr is not None else _norm(vec_col)
     structs = []
     for cid, cvec in cents:
         lit = _vec_literal(cvec)
-        ccos = f"({_dot(vec_col, lit)}) / ({_norm(vec_col)} * {_norm(lit)})"
+        ccos = f"({_dot(vec_col, lit)}) / ({rn} * {_norm(lit)})"
         structs.append(
             f"named_struct('ccos', {ccos}, 'ncid', {-int(cid)}L)"
         )
@@ -213,11 +222,24 @@ def assign_cells(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Corpus → (id, vec, cell) via the shuffle-free argmax projection."""
-    return df.select(
+    """Corpus → (id, vec, cell) via the shuffle-free argmax projection.
+
+    The row norm is bound to a real column first and referenced by every
+    centroid struct (n_centroids references keep CollapseProject from
+    inlining the fold back), so each corpus vector pays ONE norm fold, not
+    ``n_centroids``."""
+    tmp = "_rnorm"
+    while tmp in df.columns:
+        tmp += "_"
+    bound = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        tmp, F.expr(_norm(vec_col))
+    )
+    return bound.select(
         F.col(id_col),
         F.col(vec_col),
-        F.expr(nearest_cell_expr(vec_col, cents)).alias("cell"),
+        F.expr(
+            nearest_cell_expr(vec_col, cents, norm_expr=f"`{tmp}`")
+        ).alias("cell"),
     )
 
 

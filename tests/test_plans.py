@@ -85,6 +85,48 @@ class TestPlans:
             assert "pages" in read_schema, label
             assert "blocks" not in read_schema, (label, read_schema)
 
+    def test_single_day_corpus_spreads_across_writer_tasks(
+        self, spark, tmp_path
+    ):
+        """A one-day corpus (the normal production batch) must NOT funnel
+        through a single writer task: the write shuffle keys on
+        (warc_day, bucket(url)), so a single day's rows fan out across many
+        tasks — one output file per non-empty task is the evidence."""
+        import glob
+
+        from ocr_spark.io import write_extracted
+
+        rows = [
+            (f"https://example.org/d/{i:05d}", "2025-01-03 04:05:06", f"t{i}")
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts string, text string"
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        out = str(tmp_path / "oneday")
+        # The shuffle key is (warc_day, bucket(url)) — AQE then sizes the
+        # writer-task count to the data volume.  At test scale 400 rows fit
+        # one advisory partition, so shrink the advisory size to make the
+        # corpus "big" relative to it (the production regime, where a day
+        # is GBs against a 64 MB advisory target); the old day-only key
+        # pinned every row of the day to one task no matter the volume.
+        shrink = {
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        }
+        prev = {k: spark.conf.get(k) for k in shrink}
+        for k, v in shrink.items():
+            spark.conf.set(k, v)
+        try:
+            write_extracted(df, out)
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+        day_dirs = glob.glob(f"{out}/warc_day=*")
+        assert len(day_dirs) == 1  # truly a single-day corpus
+        files = glob.glob(f"{day_dirs[0]}/part-*.parquet")
+        assert len(files) > 1, files
+
     def test_ivf_corpus_assignment_is_shuffle_free(self, spark):
         """The IVF corpus→cell assignment must be a pure projection: no
         Exchange, no Window, no Join — a 10^12-vector corpus gets its

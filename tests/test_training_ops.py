@@ -91,6 +91,30 @@ class TestDedup:
                 if ham <= 3:
                     assert (a, b) in found, (a, b, ham)
 
+    def test_simhash_strategies_identical(self, docs):
+        """The zero-shuffle hof fold and the codegen explode aggregation
+        must produce bit-identical signatures (integer bit-sums are
+        order-independent), in both hash modes and at both bit widths —
+        the strategy choice is purely physical."""
+        from ocr_spark.operators.dedup import simhash
+
+        sample = docs.limit(40)
+        for bits in (16, 64):
+            for mode in ("xxhash64", "portable"):
+                hof = {
+                    r.doc_id: r.simhash
+                    for r in simhash(
+                        sample, bits=bits, hash_mode=mode, strategy="hof"
+                    ).collect()
+                }
+                exp = {
+                    r.doc_id: r.simhash
+                    for r in simhash(
+                        sample, bits=bits, hash_mode=mode, strategy="explode"
+                    ).collect()
+                }
+                assert hof == exp, (bits, mode)
+
     def test_ngram_jaccard_exact_dup_is_one(self, docs):
         from ocr_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -748,19 +772,33 @@ class TestSplitEdgeCases:
 
 class TestPiiNumericProse:
     def test_grouped_numbers_and_isbn_survive(self, spark):
+        """Numeric prose must survive the phone pass untouched — including
+        bare 9-11 digit runs (epochs, ISBN-10s, account ids): a marker-less
+        digit run is not phone evidence, and the removed \\b\\d{9,11}\\b
+        alternative shredded exactly these."""
         from ocr_spark.operators.pii import scrub_pii
 
         df = spark.createDataFrame(
             [(1, "sold 10 000 000 units to 12.345.678 people, "
-                 "ISBN 978-3-16-148410-0, raw id 123456789")],
+                 "ISBN 978-3-16-148410-0, raw id 123456789, "
+                 "epoch 1723880000")],
             "doc_id long, text string",
         )
         r = scrub_pii(df).collect()[0]
-        # only the bare 9-digit run is phone-shaped
-        assert r.n_phones == 1
-        assert "10 000 000" in r.clean_text
-        assert "12.345.678" in r.clean_text
-        assert "978-3-16-148410-0" in r.clean_text
+        assert r.n_phones == 0
+        assert r.clean_text == r.text  # nothing here is a phone
+
+    def test_marked_phone_shapes_still_redacted(self, spark):
+        from ocr_spark.operators.pii import scrub_pii
+
+        df = spark.createDataFrame(
+            [(1, "tel +49 30 901 820, fax (030) 901 821, "
+                 "US line 555-123-4567")],
+            "doc_id long, text string",
+        )
+        r = scrub_pii(df).collect()[0]
+        assert r.n_phones == 3
+        assert r.clean_text.count("<PHONE>") == 3
 
 
 class TestScriptLanguageId:
