@@ -86,6 +86,27 @@ def main() -> int:
     )
     unique = canon.join(reps, "doc_id", "left_semi").cache()
 
+    # 3b. near-dup pass: banded MinHash LSH with an EXPLICIT hot-bucket
+    # cap, paired with its audit view — the cap bounds recall, so a real
+    # run must log what it dropped (the never-cap-silently contract)
+    from ocr_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_hot_buckets,
+        minhash_signatures,
+    )
+
+    max_bucket = 10_000
+    sigs = minhash_signatures(unique, num_perm=8).cache()
+    near = (
+        lsh_candidate_pairs(sigs, num_perm=8, max_bucket=max_bucket)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    capped_buckets = lsh_hot_buckets(
+        sigs, num_perm=8, max_bucket=max_bucket
+    ).count()
+    unique = unique.join(near, "doc_id", "left_anti").cache()
+
     # 4. benchmark decontamination: docs overlapping the "eval set"
     # (here: a planted slice of the corpus itself) are removed
     from ocr_spark.operators.decontam import decontaminate
@@ -130,6 +151,7 @@ def main() -> int:
                 "extracted": docs.count(),
                 "after_quality": gated.count(),
                 "after_dedup": unique.count(),
+                "lsh_capped_buckets": capped_buckets,
                 "after_decontam": decontaminated.count(),
                 "splits": splits,
                 "ann_rows": neighbors.count(),

@@ -122,13 +122,33 @@ def _nonws_count(s: str) -> int:
 _HTML_SNIFF_RE = re.compile(
     rb"(?i)<!doctype\s+html|<html[\s>]|<head[\s>]|<body[\s>]"
 )
-# HTML5-prescan-style charset declaration search (first KB, raw bytes):
-# <meta charset=X> or <meta http-equiv=content-type content="...charset=X">.
-# Anchored to a <meta tag so a `?charset=` in a script src URL or inline
-# JS `document.charset=` can never hijack the document encoding.
-_CHARSET_RE = re.compile(
-    rb"(?i)<meta[^>]*?charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-:.]+)"
+# HTML5-prescan-style charset declaration (first KB): a <meta> tag's
+# ATTRIBUTES are parsed (the same quoted-value-consuming scanner as the
+# fast tokenizer), and only an actual `charset` attribute — or a
+# `content` attribute on an http-equiv=content-type meta — is honored.
+# A raw `charset=` substring search would be hijacked by `?charset=` in
+# a script src URL, or by unrelated attribute VALUES like
+# <meta name="description" content="see charset=koi8-r docs">, which the
+# spec's prescan correctly ignores.
+_META_RE = re.compile(r"(?i)<meta((?:\"[^\"]*\"|'[^']*'|[^>'\"])*)>")
+_CONTENT_CHARSET_RE = re.compile(
+    r"(?i)charset\s*=\s*[\"']?\s*([a-zA-Z0-9_\-:.]+)"
 )
+
+
+def _prescan_charset(data: bytes) -> str | None:
+    """The declared document charset per the HTML5 prescan, or None."""
+    head = data[:1024].decode("latin-1")  # byte-transparent view
+    for m in _META_RE.finditer(head):
+        attrs = dict(_scan_attrs(m.group(1)))
+        charset = attrs.get("charset", "").strip()
+        if charset:
+            return charset
+        if attrs.get("http-equiv", "").strip().lower() == "content-type":
+            cm = _CONTENT_CHARSET_RE.search(attrs.get("content", ""))
+            if cm:
+                return cm.group(1)
+    return None
 
 # Virtual-page geometry: identical to the synthetic-corpus layout rule
 # (fixtures._text_block) so per-line coverage lands ≈0.85 ≥ 0.5 and the
@@ -173,9 +193,9 @@ def decode_html_bytes(data: bytes) -> str:
         return data[3:].decode("utf-8", errors="replace")
     if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
         return data.decode("utf-16", errors="replace")
-    m = _CHARSET_RE.search(data[:1024])
-    if m:
-        name = m.group(1).decode("ascii", errors="replace").strip(".")
+    name = _prescan_charset(data)
+    if name:
+        name = name.strip(".")
         if name.lower().replace("-", "").startswith("utf16"):
             name = "utf-8"
         try:
@@ -387,11 +407,12 @@ _ATTR_SCAN_RE = re.compile(
 )
 
 
-def _class_id_attrs(chunk: str) -> list[tuple[str, str]]:
-    """Extract only the class/id attrs (the ones the collector inspects)
-    from a raw start-tag attribute chunk; values entity-unescaped for
-    parity with html.parser."""
-    out = []
+def _scan_attrs(chunk: str):
+    """Yield (name, raw_value) pairs from a start-tag attribute chunk,
+    consuming name(=value)? pairs SEQUENTIALLY so a quoted value is
+    swallowed as a value, never re-scanned for names — a bare
+    word-boundary search would false-match the `id` suffix of `data-id`
+    or a `class=` inside title="..."."""
     pos, n = 0, len(chunk)
     while pos < n:
         m = _ATTR_SCAN_RE.match(chunk, pos)
@@ -406,14 +427,21 @@ def _class_id_attrs(chunk: str) -> list[tuple[str, str]]:
             else:
                 pos += 1
             continue
-        name = m.group(1).lower()
-        if name in ("class", "id"):
-            value = m.group(2) or ""
-            if value[:1] in "\"'":
-                value = value[1:-1]
-            out.append((name, _unesc(value)))
+        value = m.group(2) or ""
+        if value[:1] in "\"'":
+            value = value[1:-1]
+        yield m.group(1).lower(), value
         pos = m.end()
-    return out
+
+
+def _class_id_attrs(chunk: str) -> list[tuple[str, str]]:
+    """Extract only the class/id attrs (the ones the collector inspects);
+    values entity-unescaped for parity with html.parser."""
+    return [
+        (name, _unesc(value))
+        for name, value in _scan_attrs(chunk)
+        if name in ("class", "id")
+    ]
 _MARKUP_SKIP_RE = re.compile(
     r"<!--.*?(?:-->|\Z)"          # comments (unterminated: to EOF)
     r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"  # CDATA sections
@@ -479,12 +507,44 @@ def _fast_feed(text: str, c: "_BlockCollector") -> None:
         pos = lt + 1
 
 
-def parse_html_blocks(data: bytes, engine: str = "fast") -> list[dict]:
-    """HTML bytes → content blocks ``[{"type", "lines": [str, ...]}, ...]``.
+# Giant-page decode guard.  The HTML parse is per-document Python and an
+# HTML document is ONE virtual page — unlike a PDF it cannot be
+# page-split by the paged plan, so a pathological 100 MB page would be a
+# single straggler task dominating its stage.  Documents over this many
+# bytes are truncated at a tag boundary before parsing and flagged
+# TRUNCATED in lineage (never silently): 4 MiB is ~100× the Common-Crawl
+# median page and parses in ~0.1 s/core, so the worst single-page task
+# stays bounded no matter what the crawl contains.
+MAX_HTML_BYTES = 4 * 1024 * 1024
 
-    ``engine='stdlib'`` runs the html.parser reference path (used by the
-    differential test); both produce identical blocks on every corpus we
-    generate — prefer the default on the hot path."""
+# Block-count companion to the byte guard: the downstream page kernels
+# (coverage probe, consolidation — reference-exact loops) are O(blocks ×
+# lines) per page, so a 4 MiB page of thousands of TINY blocks is still a
+# multi-10-second task even after the byte cut.  Real article pages carry
+# well under 500 content blocks; a page over this cap is a listing/feed
+# whose tail adds no prose value.  Applied identically in the pure-Python
+# oracle (same function), so Spark↔oracle byte-identity is preserved, and
+# flagged through the same TRUNCATED lineage — never silent.
+MAX_HTML_BLOCKS = 2000
+
+
+def _truncate_at_tag(data: bytes, max_bytes: int) -> bytes:
+    """Cut before the last ``<`` under the limit so no half-parsed tag is
+    ever fed to the tokenizer; the parse of the truncated bytes is then
+    exactly the parse an untruncated document with that content would get
+    (re-parsing page_bytes in the paged plan reproduces it bit-for-bit)."""
+    cut = data.rfind(b"<", 1, max_bytes)
+    return data[:cut] if cut > 0 else data[:max_bytes]
+
+
+def _parse_blocks(
+    data: bytes, engine: str = "fast", max_bytes: int | None = MAX_HTML_BYTES
+) -> tuple[list[dict], bool]:
+    """(blocks, truncated) — see :func:`parse_html_blocks`."""
+    truncated = False
+    if max_bytes is not None and len(data) > max_bytes:
+        data = _truncate_at_tag(data, max_bytes)
+        truncated = True
     parser = _BlockCollector()
     text = decode_html_bytes(data)
     if engine == "fast":
@@ -493,13 +553,35 @@ def parse_html_blocks(data: bytes, engine: str = "fast") -> list[dict]:
     else:
         parser.feed(text)
         parser.close()
-    return parser.blocks
+    return parser.blocks, truncated
 
 
-def html_page(data: bytes) -> dict | None:
+def parse_html_blocks(
+    data: bytes, engine: str = "fast",
+    max_bytes: int | None = MAX_HTML_BYTES,
+) -> list[dict]:
+    """HTML bytes → content blocks ``[{"type", "lines": [str, ...]}, ...]``.
+
+    ``engine='stdlib'`` runs the html.parser reference path (used by the
+    differential test); both produce identical blocks on every corpus we
+    generate — prefer the default on the hot path.  Inputs over
+    ``max_bytes`` are truncated at a tag boundary first (see
+    ``MAX_HTML_BYTES``); use :func:`html_doc` to get the truncation flag
+    for lineage."""
+    return _parse_blocks(data, engine, max_bytes)[0]
+
+
+def html_page(
+    data: bytes, max_bytes: int | None = MAX_HTML_BYTES
+) -> dict | None:
     """HTML bytes → one virtual page dict (decode_page shape), or ``None``
-    when no content blocks survive the boilerplate strip."""
-    blocks = parse_html_blocks(data)
+    when no content blocks survive the boilerplate strip.  Giant inputs
+    are truncated (see ``MAX_HTML_BYTES``); the page dict then carries
+    ``"truncated": True`` for lineage."""
+    blocks, truncated = _parse_blocks(data, max_bytes=max_bytes)
+    if len(blocks) > MAX_HTML_BLOCKS:
+        blocks = blocks[:MAX_HTML_BLOCKS]
+        truncated = True
     if not blocks:
         return None
     layout: list[dict] = []
@@ -525,17 +607,28 @@ def html_page(data: bytes) -> dict | None:
         "layout": layout,
         "native_lines": native,
         "ocr_lines": [],
+        "truncated": truncated,
     }
 
 
-def html_doc(data: bytes) -> dict:
+def html_doc(data: bytes, max_bytes: int | None = MAX_HTML_BYTES) -> dict:
     """HTML bytes → doc dict (decode_doc shape): one virtual page, or zero
-    pages when the document is pure boilerplate."""
-    page = html_page(data)
-    pages = [page] if page is not None else []
+    pages when the document is pure boilerplate.  ``"truncated"`` is True
+    when the decode guard cut the input (lineage — never silent); the
+    stored ``page_bytes`` are the TRUNCATED bytes, so the paged plan's
+    re-parse reproduces the same blocks bit-for-bit and never ships the
+    unbounded payload through its shuffle."""
+    page = html_page(data, max_bytes=max_bytes)
+    truncated = bool(page and page.get("truncated"))
+    if max_bytes is not None and len(data) > max_bytes:
+        # ship only the decoded prefix downstream (paged-plan page_bytes);
+        # a page flagged for the BLOCK cap alone keeps its full (bounded)
+        # bytes — the cap re-applies identically on re-parse
+        data = _truncate_at_tag(data, max_bytes)
     return {
         "dpi": VIRTUAL_DPI,
         "kind": "H",
-        "pages": pages,
+        "pages": [page] if page is not None else [],
         "page_bytes": [data] if page is not None else [],
+        "truncated": truncated,
     }

@@ -152,7 +152,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_perm: int = 8,
     bands: int = 4,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair.
 
@@ -165,10 +165,14 @@ def lsh_candidate_pairs(
     (count per key + anti-join — the count aggregate is map-side combined
     and AQE broadcasts the tiny hot-key list).  Members of a degenerate
     bucket are mega-cluster near-identical content whose duplicates are
-    the province of :func:`exact_dedup_groups` (16-byte digest shuffle),
-    not pairwise LSH.  Use :func:`lsh_hot_buckets` to audit what a given
-    corpus would drop — never cap silently; ``max_bucket=None`` disables
-    the guard."""
+    the province of :func:`exact_dedup` (16-byte digest shuffle), not
+    pairwise LSH.
+
+    The cap is OPT-IN (``max_bucket=None`` default): it changes the
+    measure, and a production run must never have its recall bounded
+    silently.  At corpus scale pass an explicit cap AND run/log
+    :func:`lsh_hot_buckets` alongside so every excluded bucket is named
+    (examples/training_pipeline.py shows the pairing)."""
     exploded = _banded_keys(signatures, id_col, num_perm, bands)
     if max_bucket is not None:
         hot = (
@@ -215,7 +219,9 @@ def ngram_jaccard_pairs(
     standard inverted-index stop-list against stop-shingle skew.  Capped
     shingles still count toward doc sizes, so Jaccard becomes a
     conservative UNDER-estimate — pairs can only be missed, never
-    inflated."""
+    inflated.  At verify scale a stop-shingle ("click here to", a
+    boilerplate footer n-gram) otherwise goes quadratic; pass the cap AND
+    run/log :func:`jaccard_hot_shingles` so the drop is never silent."""
     sh = with_shingles(df, text_col, n).select(
         id_col, F.explode("shingles").alias("shingle")
     )
@@ -254,6 +260,27 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def jaccard_hot_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_posting: int = 10_000,
+) -> DataFrame:
+    """Audit view of the stop-shingles a ``max_posting`` cap would drop
+    from :func:`ngram_jaccard_pairs`: (shingle, n_docs) with n_docs >
+    max_posting.  Run/log this alongside a capped verify job — a cap must
+    never be silent (same contract as :func:`lsh_hot_buckets`)."""
+    sh = with_shingles(df, text_col, n).select(
+        id_col, F.explode("shingles").alias("shingle")
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_posting)
     )
 
 
@@ -325,27 +352,11 @@ def simhash(
     return df.select(id_col, F.expr(sig).alias("simhash"))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    bits: int = 16,
-    max_hamming: int = 2,
-    hash_mode: str = "xxhash64",
-    max_bucket: int | None = 10_000,
+def _simhash_buckets(
+    sig: DataFrame, id_col: str, bits: int, max_hamming: int
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
-
-    Bucketing uses ``max_hamming + 1`` signature bands: by pigeonhole, any
-    pair within the distance budget agrees on at least one whole band, so
-    recall is EXACT (a two-half scheme only guarantees hamming ≤ 1 — pairs
-    with one flip in each half would be missed).
-
-    Same hot-bucket guard as :func:`lsh_candidate_pairs` — an
-    identical-content mega-cluster shares every band key and would make
-    one bucket quadratic (``max_bucket=None`` disables; at corpus scale
-    use ``bits=64`` so band keyspace doesn't saturate)."""
-    sig = simhash(df, text_col, id_col, bits, hash_mode)
+    """Pigeonhole band buckets over a simhash column: ``max_hamming + 1``
+    bands, so any pair within the distance budget shares a whole band."""
     bands = max_hamming + 1
     width = -(-bits // bands)  # ceil
     band_cols = []
@@ -361,9 +372,56 @@ def simhash_near_dup_pairs(
                 F.expr(f"shiftright(simhash, {start}) & {mask}").alias("key"),
             )
         )
-    buck = sig.select(
+    return sig.select(
         id_col, "simhash", F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "simhash", "bk.band", "bk.key")
+
+
+def simhash_hot_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+    hash_mode: str = "xxhash64",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Audit view of the band buckets a ``max_bucket`` cap would exclude
+    from :func:`simhash_near_dup_pairs` — same never-cap-silently contract
+    as :func:`lsh_hot_buckets`."""
+    sig = simhash(df, text_col, id_col, bits, hash_mode)
+    return (
+        _simhash_buckets(sig, id_col, bits, max_hamming)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+    hash_mode: str = "xxhash64",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Bucketing uses ``max_hamming + 1`` signature bands: by pigeonhole, any
+    pair within the distance budget agrees on at least one whole band, so
+    recall is EXACT (a two-half scheme only guarantees hamming ≤ 1 — pairs
+    with one flip in each half would be missed).
+
+    Same hot-bucket guard as :func:`lsh_candidate_pairs`, and the same
+    OPT-IN default (``max_bucket=None``): an identical-content
+    mega-cluster shares every band key and makes one bucket quadratic, but
+    bounding recall must be an explicit, audited choice — pass a cap and
+    run/log :func:`simhash_hot_buckets` with it.  At corpus scale use
+    ``bits=64`` so the band keyspace doesn't saturate."""
+    sig = simhash(df, text_col, id_col, bits, hash_mode)
+    buck = _simhash_buckets(sig, id_col, bits, max_hamming)
     if max_bucket is not None:
         hot = (
             buck.groupBy("band", "key")
@@ -398,9 +456,11 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via the similarity module's
-    bucketed join; see similarity.cosine_pairs for the plan shape."""
+    bucketed join; see similarity.cosine_pairs for the plan shape and the
+    opt-in ``max_bucket`` guard contract."""
     from .similarity import cosine_pairs
 
-    return cosine_pairs(df, vec_col, id_col, threshold)
+    return cosine_pairs(df, vec_col, id_col, threshold, max_bucket=max_bucket)

@@ -69,7 +69,8 @@ def parse_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list[Any]] = {
             "url": [], "warc_ts": [], "lang": [], "doc_dpi": [],
-            "page_i": [], "n_pages": [], "page_bytes": [], "error": [],
+            "page_i": [], "n_pages": [], "page_bytes": [],
+            "truncated": [], "error": [],
         }
         for url, warc_ts, html, lang in zip(
             pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
@@ -77,6 +78,7 @@ def parse_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             try:
                 doc = hx.decode_doc(bytes(html))
                 npg = len(doc["pages"])
+                trunc = bool(doc.get("truncated"))
                 if npg == 0:
                     # zero-page doc: placeholder row so the url survives
                     # to assembly (page_i=-1 collects no page there)
@@ -87,6 +89,7 @@ def parse_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     out["page_i"].append(-1)
                     out["n_pages"].append(0)
                     out["page_bytes"].append(None)
+                    out["truncated"].append(trunc)
                     out["error"].append(None)
                 for page, raw in zip(doc["pages"], doc["page_bytes"]):
                     out["url"].append(url)
@@ -96,6 +99,7 @@ def parse_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     out["page_i"].append(_page_i(page))
                     out["n_pages"].append(npg)
                     out["page_bytes"].append(raw)
+                    out["truncated"].append(trunc)
                     out["error"].append(None)
             except Exception as e:  # noqa: BLE001 - failure-code lineage
                 out["url"].append(url)
@@ -105,6 +109,7 @@ def parse_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["page_i"].append(-1)
                 out["n_pages"].append(0)
                 out["page_bytes"].append(None)
+                out["truncated"].append(False)
                 out["error"].append(f"PARSE_ERROR: {type(e).__name__}: {e}")
         yield pd.DataFrame(out)
 
@@ -180,6 +185,7 @@ def _finish_common(pdf: pd.DataFrame, lines_per_row: list[list[dict]],
             # identical across fused/paged/staged for the same input
             "ocr": [ocr_flag and e is None for e in errors],
             "blocks": blocks_col,
+            "truncated": pdf["truncated"],
             "error": errors,
         }
     )
@@ -222,10 +228,12 @@ def extract_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list[Any]] = {
             "url": [], "warc_ts": [], "lang": [], "page_i": [],
-            "n_pages": [], "ocr": [], "blocks_json": [], "error": [],
+            "n_pages": [], "ocr": [], "blocks_json": [],
+            "truncated": [], "error": [],
         }
 
-        def emit(url, warc_ts, lang, page_i, n_pages, ocr, blocks, error):
+        def emit(url, warc_ts, lang, page_i, n_pages, ocr, blocks, error,
+                 truncated=False):
             out["url"].append(url)
             out["warc_ts"].append(warc_ts)
             out["lang"].append(lang)
@@ -233,6 +241,7 @@ def extract_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["n_pages"].append(n_pages)
             out["ocr"].append(ocr)
             out["blocks_json"].append(blocks)
+            out["truncated"].append(truncated)
             out["error"].append(error)
 
         for url, warc_ts, html, lang in zip(
@@ -245,20 +254,30 @@ def extract_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                      f"PARSE_ERROR: {type(e).__name__}: {e}")
                 continue
             npg = len(doc["pages"])
+            trunc = bool(doc.get("truncated"))
             if npg == 0:
                 # zero-page documents still exist in the output (the
                 # reference yields an empty tree, not an error); page_i=-1
                 # marks "no page" and assembly skips it
-                emit(url, warc_ts, lang, -1, 0, False, "[]", None)
+                emit(url, warc_ts, lang, -1, 0, False, "[]", None, trunc)
                 continue
-            # The page loop is guarded per DOCUMENT: one throwing page turns
-            # the whole url into a single EXTRACT_ERROR lineage row (partial
-            # pages dropped) instead of aborting the Spark task — mirroring
-            # the PARSE_ERROR path; a single bad document must never fail a
-            # 100 TB run.
-            staged: list[tuple] = []
+            # Page indices are read under the doc-level guard (parity with
+            # parse_pages, where a page-index failure is a PARSE_ERROR for
+            # the whole document in the paged/staged plans).
             try:
-                for page in doc["pages"]:
+                page_is = [_page_i(p) for p in doc["pages"]]
+            except Exception as e:  # noqa: BLE001 - failure-code lineage
+                emit(url, warc_ts, lang, -1, 0, False, "[]",
+                     f"PARSE_ERROR: {type(e).__name__}: {e}")
+                continue
+            # The kernel loop is guarded per PAGE — the same granularity as
+            # analyze_and_finish in the paged/staged plans, so every mode
+            # produces IDENTICAL output on an error-injected corpus: a
+            # throwing page becomes one page_i-level EXTRACT_ERROR lineage
+            # row while the document's good pages survive, and a single bad
+            # page can never abort a Spark task (or drop its siblings).
+            for pi, page in zip(page_is, doc["pages"]):
+                try:
                     info = hx.analyze_page(page, doc["dpi"])
                     layout = [
                         {"type": b["type"], "bbox": _bbox_list(b["bbox"])}
@@ -276,18 +295,15 @@ def extract_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             }
                             for ln in info["native_lines"]
                         ]
-                    staged.append(
-                        (url, warc_ts, lang, _page_i(page), npg,
+                    emit(url, warc_ts, lang, pi, npg,
                          bool(info["needs_ocr"]),
-                         json.dumps(_pack_blocks(hx.finish_page(lines, layout))),
-                         None)
-                    )
-            except Exception as e:  # noqa: BLE001 - failure-code lineage
-                emit(url, warc_ts, lang, -1, 0, False, "[]",
-                     f"EXTRACT_ERROR: {type(e).__name__}: {e}")
-                continue
-            for row in staged:
-                emit(*row)
+                         json.dumps(
+                             _pack_blocks(hx.finish_page(lines, layout))
+                         ),
+                         None, trunc)
+                except Exception as e:  # noqa: BLE001 - failure-code lineage
+                    emit(url, warc_ts, lang, pi, npg, False, "[]",
+                         f"EXTRACT_ERROR: {type(e).__name__}: {e}", trunc)
         yield pd.DataFrame(out)
 
 
@@ -410,6 +426,7 @@ def analyze_and_finish(
                 "n_pages": pdf["n_pages"],
                 "ocr": ocr_col,
                 "blocks": blocks_col,
+                "truncated": pdf["truncated"],
                 "error": errors,
             }
         )

@@ -243,6 +243,69 @@ def assign_cells(
     )
 
 
+def train_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd (k-means) iterations as DataFrame ops.
+
+    Seeded from the ``n_centroids`` lowest-id vectors (the same static
+    pick :func:`ivf_topk` uses untrained), re-labeled with dense cell ids
+    0..n-1.  Each iteration assigns every vector to its nearest centroid
+    with the shuffle-free argmax projection (:func:`assign_cells`), then
+    recomputes each cell's mean.  The mean is a SORTED sequential fold —
+    ``array_sort(collect_list(struct(id, vec)))`` then one ``aggregate``
+    — so the result is BIT-deterministic regardless of partitioning; a
+    plain ``avg()`` over doubles is partial-sum-order dependent and would
+    break oracle reproducibility.  Empty cells keep their previous
+    centroid (standard Lloyd degeneracy handling).
+
+    Scale note: the deterministic fold gathers each cell's vectors into
+    one row, so train on a bounded SAMPLE (the standard practice — fit
+    centroids on ~10^5 vectors, assign all 10^12 with the projection);
+    ``pyspark.ml.clustering.KMeans`` is the alternative when bit-exact
+    reproducibility is not required.  Untrained lowest-id centroids are
+    arbitrary points: on clustered real embeddings their cells are
+    unbalanced and recall collapses — a few Lloyd rounds move them to
+    density centers (tests/test_training_ops.py pins the recall win)."""
+    seed = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents = [
+        (i, [float(v) for v in r[1]]) for i, r in enumerate(seed)
+    ]
+    mean_fold = (
+        "transform(aggregate(_sv, CAST(array() AS array<double>), "
+        "(acc, s) -> CASE WHEN size(acc) = 0 "
+        "THEN transform(s._v, x -> CAST(x AS DOUBLE)) "
+        "ELSE zip_with(acc, s._v, (a, b) -> a + CAST(b AS DOUBLE)) END), "
+        "x -> x / _n)"
+    )
+    for _ in range(iters):
+        assigned = assign_cells(df, cents, vec_col, id_col)
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                F.expr(
+                    f"array_sort(collect_list(struct({id_col} AS _id, "
+                    f"{vec_col} AS _v)))"
+                ).alias("_sv"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select("cell", F.expr(mean_fold).alias("cvec"))
+        )
+        got = {int(r["cell"]): [float(v) for v in r["cvec"]]
+               for r in means.collect()}
+        cents = [(cid, got.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -251,6 +314,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     n_centroids: int = 8,
     n_probe: int = 2,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid cells, probe only
     the query's ``n_probe`` nearest cells, exact cosine rerank inside them.
@@ -270,14 +334,22 @@ def ivf_topk(
     # ONE corpus scan materializes the centroid set (documented eager
     # step — production kmeans also trains/collects centroids up front);
     # the broadcast side is rebuilt from the collected rows instead of
-    # re-scanning the corpus a second time.
-    cents_local = [
-        (int(r[0]), [float(v) for v in r[1]])
-        for r in df.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(id_col, vec_col)
-        .collect()
-    ]
+    # re-scanning the corpus a second time.  ``train_iters > 0`` runs
+    # that many deterministic Lloyd rounds (:func:`train_centroids`) so
+    # centroids sit at density centers instead of arbitrary low-id
+    # points — same plan shape either way, just better cell balance.
+    if train_iters > 0:
+        cents_local = train_centroids(
+            df, vec_col, id_col, n_centroids, train_iters
+        )
+    else:
+        cents_local = [
+            (int(r[0]), [float(v) for v in r[1]])
+            for r in df.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        ]
     cents = F.broadcast(
         df.sparkSession.createDataFrame(
             cents_local, "cid bigint, cvec array<double>"
@@ -333,31 +405,20 @@ def ivf_topk(
     )
 
 
-def cosine_pairs(
+def _hyperplane_buckets(
     df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    threshold: float = 0.95,
-    planes: int = 16,
-    signs: list[list[int]] | None = None,
-    max_bucket: int | None = 10_000,
+    vec_col: str,
+    id_col: str,
+    planes: int,
+    signs: list[list[int]] | None,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold via half-signature buckets + exact rerank.
-    High thresholds → high bucket recall (near-identical vectors agree on
-    most hyperplane signs).
-
-    Hot-bucket guard (same rationale as dedup.lsh_candidate_pairs): a
-    degenerate signature shared by a huge vector cluster (zero/constant
-    embeddings) makes one bucket quadratic — buckets over ``max_bucket``
-    are excluded via count + anti-join; audit with
-    ``banded.groupBy('band','key').count()`` before a production run;
-    ``max_bucket=None`` disables."""
+    """Half-signature band buckets over an embedding column (2 bands)."""
     half = planes // 2
     mask = (1 << half) - 1
     s = hyperplane_signature(
         df.select(id_col, vec_col), vec_col, planes, signs=signs
     )
-    banded = s.select(
+    return s.select(
         id_col,
         vec_col,
         F.explode(
@@ -368,6 +429,48 @@ def cosine_pairs(
             )
         ).alias("bk"),
     ).select(id_col, vec_col, "bk.band", "bk.key")
+
+
+def cosine_hot_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 16,
+    signs: list[list[int]] | None = None,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Audit view of the signature buckets a ``max_bucket`` cap would
+    exclude from :func:`cosine_pairs` — same never-cap-silently contract
+    as dedup.lsh_hot_buckets."""
+    return (
+        _hyperplane_buckets(df, vec_col, id_col, planes, signs)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: int = 16,
+    signs: list[list[int]] | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via half-signature buckets + exact rerank.
+    High thresholds → high bucket recall (near-identical vectors agree on
+    most hyperplane signs).
+
+    Hot-bucket guard (same rationale as dedup.lsh_candidate_pairs): a
+    degenerate signature shared by a huge vector cluster (zero/constant
+    embeddings) makes one bucket quadratic — buckets over ``max_bucket``
+    are excluded via count + anti-join.  The cap is OPT-IN
+    (``max_bucket=None`` default — recall must never be bounded silently);
+    pass a cap and run/log :func:`cosine_hot_buckets` with it before a
+    production run."""
+    banded = _hyperplane_buckets(df, vec_col, id_col, planes, signs)
     if max_bucket is not None:
         hot = (
             banded.groupBy("band", "key")

@@ -68,6 +68,9 @@ def extract_document(
         "n_pages": len(out_pages),
         "n_blocks": n_blocks,
         "ocr_pages": ocr_pages,
+        # decode-guard lineage (giant-HTML truncation, htmlpage.py): HTML
+        # docs have at most one virtual page, so the doc flag IS the count
+        "truncated_pages": int(bool(doc.get("truncated"))),
     }
 
 

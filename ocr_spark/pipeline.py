@@ -184,6 +184,7 @@ def branch_and_finish(analyzed: DataFrame, cfg: PipelineConfig) -> DataFrame:
         "n_pages",
         F.lit(False).alias("ocr"),
         F.expr(f"CAST(array() AS {blocks_type})").alias("blocks"),
+        "truncated",
         "error",
     )
     return native.unionByName(ocr).unionByName(errs)
@@ -211,6 +212,10 @@ def assemble_stage(page_blocks: DataFrame) -> DataFrame:
         ).alias("n_pages_seen"),
         F.sum(F.expr("size(blocks)")).alias("n_blocks"),
         F.sum(F.when(F.col("ocr"), 1).otherwise(0)).alias("ocr_pages"),
+        # decode-guard lineage: pages cut at MAX_HTML_BYTES (never silent)
+        F.sum(F.when(F.col("truncated"), 1).otherwise(0)).alias(
+            "truncated_pages"
+        ),
         F.max("error").alias("error"),
     )
     return assembled.select(
@@ -221,6 +226,7 @@ def assemble_stage(page_blocks: DataFrame) -> DataFrame:
         F.col("n_pages_seen").cast("int").alias("n_pages"),
         F.col("n_blocks").cast("int").alias("n_blocks"),
         F.col("ocr_pages").cast("int").alias("ocr_pages"),
+        F.col("truncated_pages").cast("int").alias("truncated_pages"),
         F.when(F.col("error").isNotNull(), F.lit("FAILED"))
         .otherwise(F.lit("COMPLETED"))
         .alias("status"),

@@ -56,6 +56,7 @@ PAGE_ROW_SCHEMA = T.StructType(
         T.StructField("page_i", T.IntegerType(), False),
         T.StructField("n_pages", T.IntegerType(), False),
         T.StructField("page_bytes", T.BinaryType(), True),
+        T.StructField("truncated", T.BooleanType(), False),
         T.StructField("error", T.StringType(), True),
     ]
 )
@@ -93,6 +94,7 @@ PAGE_BLOCKS_SCHEMA = T.StructType(
         T.StructField("n_pages", T.IntegerType(), False),
         T.StructField("ocr", T.BooleanType(), False),
         T.StructField("blocks", T.ArrayType(BLOCK_TYPE), False),
+        T.StructField("truncated", T.BooleanType(), False),
         T.StructField("error", T.StringType(), True),
     ]
 )
@@ -109,6 +111,7 @@ PAGE_BLOCKS_JSON_SCHEMA = T.StructType(
         T.StructField("n_pages", T.IntegerType(), False),
         T.StructField("ocr", T.BooleanType(), False),
         T.StructField("blocks_json", T.StringType(), False),
+        T.StructField("truncated", T.BooleanType(), False),
         T.StructField("error", T.StringType(), True),
     ]
 )
@@ -123,6 +126,7 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("n_pages", T.IntegerType(), False),
         T.StructField("n_blocks", T.IntegerType(), False),
         T.StructField("ocr_pages", T.IntegerType(), False),
+        T.StructField("truncated_pages", T.IntegerType(), False),
         T.StructField("status", T.StringType(), False),
         T.StructField("error", T.StringType(), True),
     ]

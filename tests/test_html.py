@@ -345,6 +345,36 @@ class TestCharsets:
         blocks = htmlpage.parse_html_blocks(html)
         assert len(blocks) == 1 and blocks[0]["lines"][0].startswith("ok")
 
+    def test_charset_inside_unrelated_content_value_ignored(self):
+        """The spec prescan parses meta ATTRIBUTES: a `charset=` substring
+        inside an unrelated attribute VALUE (here a description) must not
+        hijack the document decoding to koi8-r."""
+        html = (
+            '<html><head><meta name="description" '
+            'content="see charset=koi8-r docs"></head>'
+            "<body><p>привет мир</p></body></html>"
+        ).encode("utf-8")
+        assert htmlpage._prescan_charset(html) is None
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["привет мир"]}
+        ]
+
+    def test_content_charset_needs_http_equiv(self):
+        # content="...charset=..." WITHOUT http-equiv=content-type is not
+        # a declaration either (same prescan rule)
+        html = (
+            b'<html><head><meta name="x" content="charset=gbk"></head>'
+            b"<body><p>plain</p></body></html>"
+        )
+        assert htmlpage._prescan_charset(html) is None
+        # and unquoted standalone charset attrs still count
+        assert (
+            htmlpage._prescan_charset(
+                b"<html><head><meta charset=windows-1251></head>"
+            )
+            == "windows-1251"
+        )
+
     def test_utf16_end_to_end_through_pipeline(self, spark):
         import datetime as dt
 
@@ -452,3 +482,86 @@ class TestReviewRegressions:
         assert htmlpage.parse_html_blocks(html) == [
             {"type": "text", "lines": ["café"]}
         ]
+
+
+class TestGiantHtmlGuard:
+    """A pathological giant single HTML page is ONE virtual page — the
+    paged plan cannot split it — so the decode guard must bound the task
+    (truncate at a tag boundary) and report it in lineage, never silently."""
+
+    def test_truncation_deterministic_and_idempotent(self):
+        block = "<p>" + "word " * 200 + "</p>"  # ~1 KB per block
+        html = ("<html><body>" + block * 12000 + "</body></html>").encode()
+        assert len(html) > htmlpage.MAX_HTML_BYTES
+        blocks, truncated = htmlpage._parse_blocks(html)
+        assert truncated
+        # far fewer blocks than the full 12k (the guard actually cut)
+        assert 0 < len(blocks) < 6000
+        # parsing the truncated bytes reproduces the same blocks exactly —
+        # the paged plan re-parses page_bytes, so this is the bit-identity
+        # guarantee across plan modes
+        cut = htmlpage._truncate_at_tag(html, htmlpage.MAX_HTML_BYTES)
+        assert htmlpage.parse_html_blocks(cut) == blocks
+
+    def test_small_pages_unaffected(self):
+        html = b"<html><body><p>normal page</p></body></html>"
+        blocks, truncated = htmlpage._parse_blocks(html)
+        assert not truncated
+        doc = decode_doc(html)
+        assert doc["truncated"] is False
+
+    def test_giant_page_bounded_and_reported_e2e(self, spark):
+        """The pipeline finishes in bounded time on a corpus with one giant
+        page, reports truncated_pages in the output row, stays COMPLETED
+        (truncation is partial success, not failure), and matches the
+        oracle byte-for-byte."""
+        import datetime as dt
+        import time
+
+        from ocr_spark.pipeline import PipelineConfig, extract
+
+        block = "<p>" + "word " * 200 + "</p>"
+        giant = ("<html><body>" + block * 12000 + "</body></html>").encode()
+        small = b"<html><body><p>tiny sibling doc</p></body></html>"
+        rows = [
+            ("u://giant", dt.datetime(2025, 1, 1), bytearray(giant), "", "en"),
+            ("u://small", dt.datetime(2025, 1, 1), bytearray(small), "", "en"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string",
+        )
+        for mode in ("fused", "paged"):
+            t0 = time.time()
+            out = {
+                r.url: r
+                for r in extract(
+                    df, PipelineConfig(mode=mode, page_partitions=2)
+                ).collect()
+            }
+            elapsed = time.time() - t0
+            g = out["u://giant"]
+            assert g.status == "COMPLETED", mode
+            assert g.truncated_pages == 1, mode
+            assert out["u://small"].truncated_pages == 0, mode
+            assert elapsed < 120, f"unbounded giant-page task: {elapsed:.0f}s"
+            oracle = extract_document(bytes(giant), "en")
+            assert g.text == oracle["text"], mode
+            assert oracle["truncated_pages"] == 1
+
+    def test_block_count_cap_bounds_dense_listings(self):
+        """Thousands of tiny blocks under the byte limit are still a
+        kernel straggler (the probe/consolidate loops are O(blocks x
+        lines)) — the block cap bounds them and flags the same lineage."""
+        html = ("<html><body>" + "<p>w</p>" * 5000 + "</body></html>").encode()
+        assert len(html) < htmlpage.MAX_HTML_BYTES
+        page = htmlpage.html_page(html)
+        assert page["truncated"] is True
+        assert len(page["layout"]) == htmlpage.MAX_HTML_BLOCKS
+        doc = decode_doc(html)
+        assert doc["truncated"] is True
+        # block cap alone keeps the (already bounded) full bytes, and the
+        # re-parse of page_bytes re-applies the cap identically
+        assert bytes(doc["page_bytes"][0]) == html
+        assert decode_page(doc["page_bytes"][0])["layout"] == page["layout"]

@@ -270,3 +270,55 @@ class TestPipelineVariants:
             assert r.error.startswith("EXTRACT_ERROR"), (mode, r.error)
             g = out[good["url"]]
             assert g.status == "COMPLETED" and g.n_pages > 0, mode
+
+    def test_error_granularity_identical_across_modes(self, spark):
+        """Error lineage is per PAGE in every mode: a document mixing good
+        and kernel-throwing pages keeps its good pages' text and records
+        ONE EXTRACT_ERROR for the bad page — and fused, paged, and staged
+        produce byte-identical rows for it (fused used to drop the whole
+        document to a single page_i=-1 error row, diverging from the
+        per-page guard of the paged/staged plans)."""
+        import datetime as dt
+
+        from ocr_spark.payload import MAGIC
+
+        mixed = (
+            MAGIC
+            + b'<doc dpi="200" kind="A">'
+            b'<page i="0" w="612.0" h="792.0">'
+            b'<layout type="text" bbox="72.0,72.0,540.0,100.0"/>'
+            b'<nline bbox="74.0,75.0,538.0,99.0" s="Z29vZCBwYWdl"/></page>'
+            b'<page i="1" w="612.0" h="792.0">'
+            b'<layout type="text" bbox="1.0,2.0,3.0"/>'
+            b'<nline bbox="74.0,75.0,538.0,99.0" s="YmFk"/></page>'
+            b'<page i="2" w="612.0" h="792.0">'
+            b'<layout type="text" bbox="72.0,72.0,540.0,100.0"/>'
+            b'<nline bbox="74.0,75.0,538.0,99.0" s="dGFpbCBwYWdl"/></page>'
+            b"</doc>"
+        )
+        df = spark.createDataFrame(
+            [("u://mixed", dt.datetime(2025, 1, 1), bytearray(mixed), "", "en")],
+            "url string, warc_ts timestamp, html binary, text string, "
+            "lang string",
+        )
+        results = {}
+        for mode in ("fused", "paged", "staged"):
+            out = extract(
+                df, PipelineConfig(mode=mode, page_partitions=2)
+            ).collect()
+            assert len(out) == 1, mode
+            r = out[0]
+            assert r.status == "FAILED", mode  # the bad page taints status
+            assert r.error.startswith("EXTRACT_ERROR"), (mode, r.error)
+            # good pages SURVIVE at page granularity
+            assert [p.i for p in r.pages] == [0, 2], mode
+            assert r.text == "good pagetail page", mode
+            results[mode] = (
+                r.url, r.text, r.n_pages, r.n_blocks, r.ocr_pages,
+                r.status, r.error,
+                [(p.i, [(b.i, b.type, tuple(b.bbox),
+                         [(ln.i, ln.content, tuple(ln.bbox))
+                          for ln in b.lines]) for b in p.blocks])
+                 for p in r.pages],
+            )
+        assert results["fused"] == results["paged"] == results["staged"]

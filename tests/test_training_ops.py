@@ -143,6 +143,68 @@ class TestDedup:
 
 
 class TestSimilarity:
+    def test_trained_centroids_beat_seed_pick_on_clustered_corpus(
+        self, spark
+    ):
+        """Lowest-id seed centroids are arbitrary points; on a clustered
+        corpus whose low ids all sit in ONE cluster (the adversarial but
+        realistic case — ids correlate with crawl order), recall collapses.
+        A few deterministic Lloyd rounds must recover it — and training
+        must be bit-reproducible run to run."""
+        import hashlib
+
+        from ocr_spark.operators.similarity import (
+            cosine_topk_bruteforce,
+            ivf_topk,
+            train_centroids,
+        )
+
+        K, per, dim = 4, 150, 8
+
+        def vec(c, j):
+            base = [0.0] * dim
+            base[2 * c] = 1.0
+            base[2 * c + 1] = 0.5
+            return [
+                base[d]
+                + (hashlib.md5(f"{c}:{j}:{d}".encode()).digest()[0] - 127.5)
+                / 127.5
+                * 0.08
+                for d in range(dim)
+            ]
+
+        # id = cluster * 10_000 + j → the 8 lowest ids are ALL cluster 0
+        rows = [(c * 10_000 + j, vec(c, j)) for c in range(K) for j in range(per)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).cache()
+        qids = [c * 10_000 + 50 for c in range(K)]
+        queries = df.filter(F.col("vec_id").isin(qids))
+
+        truth = {}
+        for r in cosine_topk_bruteforce(df, queries, k=10).collect():
+            truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+        def recall(res):
+            got = {}
+            for r in res.collect():
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            hit = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+            return hit / sum(len(t) for t in truth.values())
+
+        untrained = recall(ivf_topk(df, queries, k=10, n_centroids=8, n_probe=1))
+        trained = recall(
+            ivf_topk(df, queries, k=10, n_centroids=8, n_probe=1, train_iters=3)
+        )
+        assert trained >= untrained
+        assert trained >= 0.85, (untrained, trained)
+
+        # bit-reproducible: the sorted sequential mean fold makes training
+        # independent of partitioning
+        a = train_centroids(df, n_centroids=8, iters=3)
+        b = train_centroids(df.repartition(7), n_centroids=8, iters=3)
+        assert a == b
+
     def test_bruteforce_topk_matches_numpy(self, embs):
         import numpy as np
 
@@ -545,6 +607,57 @@ class TestHotBucketGuards:
             for p in lsh_candidate_pairs(sigs, max_bucket=10_000).collect()
         )
         assert a == b and (100, 101) in a
+
+    def test_jaccard_stop_shingle_capped_and_audited(self, spark):
+        """A stop-shingle shared by 10k docs must not make the verify
+        self-join quadratic when the posting cap is on — and the audit
+        view names exactly what the cap dropped."""
+        import time
+
+        from ocr_spark.operators.dedup import (
+            jaccard_hot_shingles,
+            ngram_jaccard_pairs,
+        )
+
+        # every doc shares the boilerplate trigram run; each also has a
+        # unique tail so docs are not exact dups of each other
+        rows = [
+            (i, f"click here to subscribe now unique{i} tail{i} words{i}")
+            for i in range(10_000)
+        ]
+        rows += [
+            (20_001, "alpha beta gamma delta epsilon zeta"),
+            (20_002, "alpha beta gamma delta epsilon zeta eta"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+        t0 = time.time()
+        pairs = ngram_jaccard_pairs(
+            df, threshold=0.5, max_posting=1_000
+        ).collect()
+        elapsed = time.time() - t0
+        # the shared-shingle postings (~10k each → ~50M join rows apiece)
+        # are dropped; the genuine near-dup pair still verifies
+        assert (20_001, 20_002) in {(p.doc_a, p.doc_b) for p in pairs}
+        assert all(p.doc_a > 10_000 for p in pairs)
+        assert elapsed < 60, f"quadratic task suspected: {elapsed:.1f}s"
+
+        hot = jaccard_hot_shingles(df, max_posting=1_000).collect()
+        assert len(hot) == 3  # the three boilerplate trigrams
+        assert all(r.n_docs == 10_000 for r in hot)
+
+    def test_default_caps_are_off(self, spark):
+        """Recall must never be bounded silently: with no explicit cap,
+        every pair inside a big bucket is still produced."""
+        from ocr_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        rows = [(i, "same tiny boilerplate text") for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = lsh_candidate_pairs(minhash_signatures(df, num_perm=8))
+        assert pairs.count() == 60 * 59 // 2  # uncapped: all pairs
 
     def test_cosine_pairs_mega_bucket_capped(self, spark):
         import time
