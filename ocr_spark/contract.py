@@ -323,16 +323,51 @@ JOIN sizes sb ON co.doc_b = sb.doc_id
 WHERE common / (sa.sz + sb.sz - common) >= 0.15
 """
 
+# Stop-shingle-capped variant (max_posting=25): postings over the cap are
+# dropped before the self-join, doc sizes still count them — Jaccard
+# becomes the documented conservative under-estimate.  sf0.01 has 632
+# shingles over this cap, so the capped measure genuinely differs from
+# dedup_jaccard and the driver verifies the stop-list path end-to-end.
+_JACCARD_CAPPED_SQL = f"""
+WITH words AS ({_WORDS_CTE}),
+sh AS ({_shingle_cte(2)}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shf AS (SELECT * FROM sh WHERE shingle NOT IN
+        (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 25)),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, common,
+       common / (sa.sz + sb.sz - common) AS jaccard
+FROM co
+JOIN sizes sa ON co.doc_a = sa.doc_id
+JOIN sizes sb ON co.doc_b = sb.doc_id
+WHERE common / (sa.sz + sb.sz - common) >= 0.15
+"""
+
 _PH_T = portable_hash_sql_duckdb("t")
 
-_SIMHASH_EXPR = f"""
-CAST(list_aggregate(list_transform(generate_series(0, 15), j ->
+def _simhash_expr(bits: int = 16) -> str:
+    return f"""
+CAST(list_aggregate(list_transform(generate_series(0, {bits - 1}), j ->
   CASE WHEN list_aggregate(list_transform(string_split(text, ' '), t ->
     CASE WHEN (({_PH_T} >> j) & 1) = 1 THEN 1 ELSE -1 END), 'sum') > 0
   THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT)
 """
 
+
+_SIMHASH_EXPR = _simhash_expr(16)
+
 _SIMHASH_SQL = f"SELECT doc_id, {_SIMHASH_EXPR} AS simhash FROM documents"
+
+# The codegen explode strategy (the corpus-scale path for bits > 16) must
+# produce the same signatures as the hof fold — checked against a fresh
+# 32-bit oracle so the strategy itself is driver-verified, not just
+# pytest-verified.
+_SIMHASH32_SQL = (
+    f"SELECT doc_id, {_simhash_expr(32)} AS simhash FROM documents"
+)
 
 # 4 bands of 4 bits (max_hamming=3 → pigeonhole-exact recall; mirrors
 # dedup.simhash_near_dup_pairs banding)
@@ -483,6 +518,20 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simhash_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", bits=32,
+        hash_mode="portable", strategy="explode",
+    )
+
+
+def _q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=2,
+        threshold=0.15, max_posting=25,
+    )
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id", bits=16,
@@ -622,6 +671,86 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     res = similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, n_probe=2
+    )
+    return res.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
+    )
+
+
+# Trained-IVF oracle: ONE deterministic Lloyd round unrolled in SQL.  The
+# centroid means must be BIT-identical across engines, so both sides run
+# the same sorted sequential fold — Spark: array_sort(collect_list) +
+# aggregate (similarity.train_centroids); DuckDB: list(v ORDER BY vec_id)
+# + list_reduce (a left fold over the ordered list).  Element widening to
+# DOUBLE happens before any addition in both engines (float32 embeddings
+# widen exactly).  Empty cells keep the seed centroid (COALESCE).
+_LLOYD_COS = (
+    "(list_sum(list_transform(list_zip(c.v, s.cvec), z -> z[1] * z[2])) / "
+    "(sqrt(list_sum(list_transform(c.v, x -> x * x))) * "
+    "sqrt(list_sum(list_transform(s.cvec, x -> x * x)))))"
+)
+
+_LLOYD_CENTS_CTE = f"""
+seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+corpus0 AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+scored0 AS (
+  SELECT c.vec_id, c.v, s.cid,
+    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      {_LLOYD_COS} DESC, s.cid ASC) AS rk
+  FROM corpus0 c CROSS JOIN seed s),
+assigned0 AS (SELECT vec_id, v, cid AS cell FROM scored0 WHERE rk = 1),
+means0 AS (
+  SELECT cell,
+    list_transform(
+      list_reduce(list(v ORDER BY vec_id),
+                  (a, b) -> list_transform(list_zip(a, b),
+                                           z -> z[1] + z[2])),
+      x -> x / count(*)) AS cvec
+  FROM assigned0 GROUP BY cell),
+cents AS (
+  SELECT s.cid, COALESCE(m.cvec, s.cvec) AS cvec
+  FROM seed s LEFT JOIN means0 m ON s.cid = m.cell)
+"""
+
+_IVF_TRAINED_SQL = f"""
+WITH {_LLOYD_CENTS_CTE},
+corpus_cells AS (
+  SELECT vec_id AS c_id, embedding AS c_vec, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_cos_duck('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1),
+query_cells AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_cos_duck('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS crank
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 5)
+  WHERE crank <= 2),
+cand AS (
+  SELECT DISTINCT q.q_id, cc.c_id, cc.c_vec, q.q_vec
+  FROM corpus_cells cc JOIN query_cells q ON cc.cell = q.cell
+  WHERE cc.c_id <> q.q_id),
+scored AS (SELECT q_id, c_id, {_cos_duck('c_vec', 'q_vec')} AS cos FROM cand)
+SELECT q_id AS query_id, c_id AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cos, 6) AS cos_r
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos DESC, c_id ASC) AS rank FROM scored)
+WHERE rank <= 10
+"""
+
+
+def _q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    res = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8,
+        n_probe=2, train_iters=1,
     )
     return res.select(
         "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
@@ -1294,11 +1423,14 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "dedup_lsh_pairs": (_q_lsh_pairs, _LSH_SQL),
     "dedup_jaccard": (_q_jaccard, _JACCARD_SQL),
     "dedup_simhash": (_q_simhash, _SIMHASH_SQL),
+    "dedup_simhash_explode": (_q_simhash_explode, _SIMHASH32_SQL),
     "dedup_simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_SQL),
+    "dedup_jaccard_capped": (_q_jaccard_capped, _JACCARD_CAPPED_SQL),
     # similarity search
     "sim_cosine_topk": (_q_cosine_topk, _COS_TOPK_SQL),
     "sim_lsh_topk": (_q_lsh_topk, _LSH_TOPK_SQL),
     "sim_ivf_topk": (_q_ivf_topk, _IVF_SQL),
+    "sim_ivf_trained": (_q_ivf_trained, _IVF_TRAINED_SQL),
     "sim_near_dup": (_q_near_dup, _NEAR_DUP_SQL),
     # text analysis
     "text_language_id": (_q_language_id, _lang_sql()),
