@@ -4,8 +4,12 @@
     pages (url, warc_ts, html, lang) — mixed PDF payloads + real HTML
       → extract()                       main-content extraction (fused;
                                         per-payload format dispatch)
-      → gopher_rules + quality_score    document quality gates
+      → filter_blocked_domains()        URL blocklist (cheapest first)
+      → gopher_rules + quality_score
+        + c4_rules                      document quality gates
       → canonical-url + exact dedup     duplicate removal
+      → minhash LSH (capped + audited)  near-dup removal
+      → corpus_line_dedup()             global boilerplate-line dedup
       → decontaminate()                 benchmark n-gram collision filter
       → scrub_pii()                     email/IP/phone redaction
       → assign_split()                  deterministic train/val/test
@@ -71,10 +75,27 @@ def main() -> int:
     ).withColumn("doc_id", F.xxhash64("url"))
     docs = docs.unionByName(dups).unionByName(junk)
 
-    # 2. quality gates: Gopher rules + composite score
+    # 1b. URL blocklist — the cheapest filter runs FIRST (pure
+    # projection-side predicate, pushed toward the scan; no join)
+    from ocr_spark.operators.urls import filter_blocked_domains
+
+    n_before = docs.count()
+    docs = filter_blocked_domains(docs, ["junk.example"])
+    blocked_removed = n_before - docs.count()
+
+    # 2. quality gates: Gopher rules + composite score + C4 flags
+    # (curly-brace/lorem are hard drops; the other C4 columns are audit
+    # signals a real pipeline thresholds per-language)
+    from ocr_spark.operators.text_analysis import c4_rules
+
     gated = (
-        quality_score(gopher_rules(docs))
-        .filter(F.col("g_keep") & (F.col("quality") >= 0.3))
+        c4_rules(quality_score(gopher_rules(docs)))
+        .filter(
+            F.col("g_keep")
+            & (F.col("quality") >= 0.3)
+            & ~F.col("c4_has_curly")
+            & ~F.col("c4_has_lorem")
+        )
         .select("doc_id", "url", "text")
         .cache()
     )
@@ -106,6 +127,22 @@ def main() -> int:
         sigs, num_perm=8, max_bucket=max_bucket
     ).count()
     unique = unique.join(near, "doc_id", "left_anti").cache()
+
+    # 3c. corpus-global line dedup (the C4 step): boilerplate lines that
+    # survive per-document extraction — footers, cookie banners — keep
+    # only their first occurrence corpus-wide
+    from ocr_spark.operators.dedup import corpus_line_dedup
+
+    ld = corpus_line_dedup(unique).cache()
+    dup_lines_removed = int(
+        ld.agg(
+            F.sum(F.col("n_lines") - F.col("n_lines_kept"))
+        ).collect()[0][0]
+        or 0
+    )
+    unique = unique.drop("text").join(
+        ld.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+    ).cache()
 
     # 4. benchmark decontamination: docs overlapping the "eval set"
     # (here: a planted slice of the corpus itself) are removed
@@ -148,10 +185,12 @@ def main() -> int:
         json.dumps(
             {
                 "input_docs": n_docs,
-                "extracted": docs.count(),
+                "extracted": docs.count() + blocked_removed,
+                "blocked_domain_docs": blocked_removed,
                 "after_quality": gated.count(),
                 "after_dedup": unique.count(),
                 "lsh_capped_buckets": capped_buckets,
+                "dup_lines_removed": dup_lines_removed,
                 "after_decontam": decontaminated.count(),
                 "splits": splits,
                 "ann_rows": neighbors.count(),

@@ -1393,6 +1393,116 @@ def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C4/Gopher text gates, corpus-global line dedup, and the URL blocklist
+
+_C4_SQL = """
+WITH b AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents)
+SELECT doc_id,
+  CAST(len(ls) AS INTEGER) AS c4_n_lines,
+  CAST(len(list_filter(ls, l -> regexp_matches(l, '[.!?"]\\s*\\z')))
+       AS INTEGER) AS c4_punct_lines,
+  CAST(len(regexp_extract_all(text, '[.!?]')) AS INTEGER) AS c4_n_sentences,
+  contains(text, '{') AS c4_has_curly,
+  contains(lower(text), 'lorem ipsum') AS c4_has_lorem,
+  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+       w -> list_contains(string_split(lower(text), ' '), w)))
+       AS INTEGER) AS c4_n_stop8,
+  CAST(len(list_filter(ls, l -> regexp_matches(l, '[.!?"]\\s*\\z')))
+       AS DOUBLE) / len(ls) AS c4_punct_line_frac
+FROM b
+"""
+
+
+def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = text_analysis.c4_rules(_t(spark, sf_dir, "documents"))
+    return res.select(
+        "doc_id", "c4_n_lines", "c4_punct_lines", "c4_n_sentences",
+        "c4_has_curly", "c4_has_lorem", "c4_n_stop8", "c4_punct_line_frac",
+    )
+
+
+# Corpus-global duplicate-line removal, exercised hard: the corpus is
+# unioned with a full copy of itself (ids + 1e6), so EVERY eligible line
+# is a cross-document duplicate — originals (lower ids) must win, copies
+# must lose exactly their >= 15-char lines.  Winner = lexicographic min
+# (doc_id, li), expressed in SQL as a two-step min (min doc per digest,
+# then min li within that doc).
+_LINE_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+lines AS (
+  SELECT doc_id, s.li, s.line FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ls)),
+                                 i -> {'li': i - 1, 'line': ls[i]})) AS s
+    FROM ls)),
+dig AS (
+  SELECT doc_id, li, line,
+         CASE WHEN length(line) >= 15 THEN md5(line) END AS digest
+  FROM lines),
+w1 AS (SELECT digest, min(doc_id) AS d FROM dig
+       WHERE digest IS NOT NULL GROUP BY digest),
+w AS (SELECT g.digest, g.d, min(x.li) AS p
+      FROM w1 g JOIN dig x ON x.digest = g.digest AND x.doc_id = g.d
+      GROUP BY g.digest, g.d),
+flagged AS (
+  SELECT dg.doc_id, dg.li, dg.line,
+         (w.digest IS NULL OR (w.d = dg.doc_id AND w.p = dg.li)) AS keep
+  FROM dig dg LEFT JOIN w ON dg.digest = w.digest)
+SELECT doc_id,
+  COALESCE(string_agg(line, chr(10) ORDER BY li) FILTER (WHERE keep), '')
+    AS clean_text,
+  CAST(count(*) AS INTEGER) AS n_lines,
+  CAST(count(*) FILTER (WHERE keep) AS INTEGER) AS n_lines_kept
+FROM flagged GROUP BY doc_id
+"""
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup.corpus_line_dedup(corpus)
+
+
+_DOMAIN_FILTER_SQL = """
+WITH u AS (
+  SELECT doc_id,
+    concat('https://', CASE WHEN doc_id % 7 = 0 THEN 'ads.' ELSE '' END,
+           source, '.example.com/doc/', doc_id) AS url
+  FROM documents),
+h AS (SELECT doc_id, url,
+        lower(regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+      FROM u)
+SELECT doc_id, host FROM h
+WHERE NOT (host = 'src3.example.com'
+           OR suffix(host, '.src3.example.com')
+           OR host = 'src7.example.com'
+           OR suffix(host, '.src7.example.com'))
+"""
+
+
+def _q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('https://', CASE WHEN doc_id % 7 = 0 THEN 'ads.' "
+            "ELSE '' END, source, '.example.com/doc/', doc_id)"
+        ).alias("url"),
+    )
+    kept = urls.filter_blocked_domains(
+        with_url, ["src3.example.com", "src7.example.com"], keep_host=True
+    )
+    return kept.select("doc_id", F.col("_host").alias("host"))
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -1426,6 +1536,9 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "dedup_simhash_explode": (_q_simhash_explode, _SIMHASH32_SQL),
     "dedup_simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_SQL),
     "dedup_jaccard_capped": (_q_jaccard_capped, _JACCARD_CAPPED_SQL),
+    "dedup_line_corpus": (_q_line_dedup, _LINE_DEDUP_SQL),
+    "url_domain_filter": (_q_domain_filter, _DOMAIN_FILTER_SQL),
+    "text_c4_rules": (_q_c4_rules, _C4_SQL),
     # similarity search
     "sim_cosine_topk": (_q_cosine_topk, _COS_TOPK_SQL),
     "sim_lsh_topk": (_q_lsh_topk, _LSH_TOPK_SQL),

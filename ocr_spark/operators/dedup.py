@@ -263,6 +263,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def corpus_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 15,
+) -> DataFrame:
+    """CORPUS-global duplicate-line removal (the C4 §2.2 dedup step: "we
+    discard all but one of any three-sentence span occurring more than
+    once", applied here at line granularity — the boilerplate footers /
+    cookie banners / nav leftovers that survive per-document extraction).
+
+    Every line occurring anywhere else in the corpus keeps only its FIRST
+    occurrence — lowest ``(doc_id, line_index)``, a total order, so the
+    result is deterministic under any partitioning.  Lines shorter than
+    ``min_line_chars`` never participate (list bullets and short headers
+    repeat legitimately).
+
+    Plan shape at 10^12 docs: posexplode lines → map-side-combined
+    ``min(struct(doc_id, li))`` per 16-byte line digest → equi-join back
+    on the digest → one groupBy(doc) rebuild with a sorted fold.  The
+    shuffles carry digests + ids + the line text once each; nothing is
+    quadratic and no driver-side state exists.
+
+    Returns (id_col, clean_text, n_lines, n_lines_kept) — clean_text is
+    the document with losing duplicate lines removed, preserving original
+    line order."""
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("li", "line"),
+    )
+    digested = lines.withColumn(
+        "digest",
+        F.when(
+            F.length("line") >= min_line_chars, F.md5(F.col("line"))
+        ),
+    )
+    winners = (
+        digested.filter(F.col("digest").isNotNull())
+        .groupBy("digest")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("li").alias("p"))
+            ).alias("w")
+        )
+    )
+    # NULL digests (short lines) never match the join key → kept as-is
+    joined = digested.join(winners, "digest", "left")
+    flagged = joined.select(
+        id_col,
+        "li",
+        "line",
+        (
+            F.col("w").isNull()
+            | ((F.col("w.d") == F.col(id_col)) & (F.col("w.p") == F.col("li")))
+        ).alias("keep"),
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.expr(
+            "sort_array(collect_list(CASE WHEN keep THEN "
+            "struct(li, line) END))"
+        ).alias("_kl"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_lines_kept"),
+    )
+    return agg.select(
+        id_col,
+        F.expr("array_join(transform(_kl, s -> s.line), '\\n')").alias(
+            "clean_text"
+        ),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
+    )
+
+
 def jaccard_hot_shingles(
     df: DataFrame,
     text_col: str = "text",

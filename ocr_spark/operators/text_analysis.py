@@ -220,6 +220,67 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher's 8-word stopword gate (Rae et al. 2021 §A1.1: a document must
+# contain at least 2 of these common English function words).
+GOPHER_STOP_8 = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) plus Gopher's
+    stopword gate, each as an auditable column:
+
+    - ``c4_punct_line_frac``: fraction of lines ending in terminal
+      punctuation (``.!?"``) — C4 keeps only lines that do; the fraction
+      is the auditable form of that rule;
+    - ``c4_n_sentences``: terminal-punctuation count (≥ 3 required);
+    - ``c4_has_curly``: page contains ``{`` (code, not prose — dropped);
+    - ``c4_has_lorem``: contains "lorem ipsum" (template junk — dropped);
+    - ``c4_stopword_rule``: ≥ 2 DISTINCT words of Gopher's 8-word gate;
+    - ``c4_keep``: the conjunction.
+
+    Pure codegen expressions; the line array is bound to a real column
+    (multi-referenced, so CollapseProject keeps the bind — the CLAUDE.md
+    inlined-array-build rule).  Integer counts and string predicates only,
+    so the DuckDB oracle twin is bit-exact."""
+    tmp = "_lines"
+    while tmp in df.columns:
+        tmp += "_"
+    bound = df.withColumn(tmp, F.split(F.col(text_col), "\n"))
+    stop8 = ", ".join(f"'{w}'" for w in GOPHER_STOP_8)
+    out = bound.select(
+        "*",
+        F.expr(f"size(`{tmp}`)").alias("c4_n_lines"),
+        # \z (end of TEXT), not $ — Java's $ also matches before a final
+        # \r line terminator while RE2's does not (the CLAUDE.md anchor
+        # trap); \z means the same thing in both engines
+        F.expr(
+            f"size(filter(`{tmp}`, l -> l rlike '[.!?\"]\\\\s*\\\\z'))"
+        ).alias("c4_punct_lines"),
+        F.expr(f"regexp_count({text_col}, '[.!?]')").alias("c4_n_sentences"),
+        F.expr(f"contains({text_col}, '{{')").alias("c4_has_curly"),
+        F.expr(f"contains(lower({text_col}), 'lorem ipsum')").alias(
+            "c4_has_lorem"
+        ),
+        F.expr(
+            f"size(filter(array({stop8}), "
+            f"w -> array_contains(split(lower({text_col}), ' '), w)))"
+        ).alias("c4_n_stop8"),
+    ).drop(tmp)
+    return out.select(
+        "*",
+        F.expr(
+            "CAST(c4_punct_lines AS DOUBLE) / c4_n_lines"
+        ).alias("c4_punct_line_frac"),
+        (F.col("c4_n_stop8") >= 2).alias("c4_stopword_rule"),
+    ).withColumn(
+        "c4_keep",
+        (F.col("c4_n_sentences") >= 3)
+        & ~F.col("c4_has_curly")
+        & ~F.col("c4_has_lorem")
+        & F.col("c4_stopword_rule"),
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -61,6 +61,57 @@ def canonicalize_sql_duckdb(expr: str) -> str:
     return c
 
 
+# Host extraction: authority minus userinfo and port.  Lookaround-free,
+# identical under Java regex and RE2 (the engine-parity discipline above).
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
+def host_of(col: Column) -> Column:
+    """Lowercased registrable host of a URL ('' when there is none)."""
+    return F.lower(F.regexp_extract(col, _HOST_RE, 1))
+
+
+def host_of_sql_duckdb(expr: str) -> str:
+    return f"lower(regexp_extract({expr}, '{_HOST_RE}', 1))"
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: list[str],
+    url_col: str = "url",
+    keep_host: bool = False,
+) -> DataFrame:
+    """Drop documents whose host is a blocked domain or any subdomain of
+    one (``ads.example.com`` matches a blocklist entry ``example.com``) —
+    the standard curation step in front of every web-corpus pipeline
+    (C4/RefinedWeb/FineWeb all apply URL blocklists first, cheapest
+    filter earliest).
+
+    With a literal blocklist (the common case — curated lists are
+    thousands of entries, not millions) this is a PURE projection-side
+    filter: the list inlines as an array literal, no join, no shuffle,
+    and Catalyst pushes the filter toward the scan.  For a blocklist too
+    large to inline, broadcast-anti-join instead::
+
+        df.join(F.broadcast(blocked_df.withColumnRenamed('domain','_b')),
+                on=host_of(F.col('url')) == F.col('_b'), how='left_anti')
+    """
+    tmp = "_host"
+    while tmp in df.columns:
+        tmp += "_"
+    lits = ", ".join(
+        "'" + b.lower().replace("'", "''") + "'" for b in blocked
+    )
+    bound = df.withColumn(tmp, host_of(F.col(url_col)))
+    kept = bound.filter(
+        ~F.expr(
+            f"exists(array({lits}), b -> "
+            f"`{tmp}` = b OR endswith(`{tmp}`, concat('.', b)))"
+        )
+    )
+    return kept if keep_host else kept.drop(tmp)
+
+
 def url_dedup(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:

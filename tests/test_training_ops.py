@@ -938,3 +938,101 @@ class TestScriptLanguageId:
         # zero votes tie-break to the first profile (long-standing,
         # oracle-pinned behavior): empty text classifies as 'en'
         assert got[6] == "en"
+
+
+class TestCorpusCuration:
+    def test_corpus_line_dedup_first_occurrence_wins(self, spark):
+        from ocr_spark.operators.dedup import corpus_line_dedup
+
+        boiler = "Copyright 2025 Example Corp All Rights Reserved"
+        df = spark.createDataFrame(
+            [
+                (1, f"Unique first line of document one\n{boiler}\nok\nmore unique prose here one"),
+                (2, f"Document two starts differently\n{boiler}\nok\nanother unique closing line"),
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in corpus_line_dedup(df).collect()}
+        # first occurrence (lowest doc_id) keeps the boilerplate line
+        assert boiler in got[1].clean_text and got[1].n_lines_kept == 4
+        # the later doc loses exactly that line, order preserved
+        assert got[2].clean_text == (
+            "Document two starts differently\nok\nanother unique closing line"
+        )
+        assert (got[2].n_lines, got[2].n_lines_kept) == (4, 3)
+        # short lines ("ok") never participate; empty docs survive
+        assert got[3].clean_text == "" and got[3].n_lines_kept == 1
+
+    def test_corpus_line_dedup_partitioning_invariant(self, spark, docs):
+        """Winner = lexicographic min (doc_id, li) — a total order, so the
+        result must be identical under any partitioning."""
+        from ocr_spark.operators.dedup import corpus_line_dedup
+
+        base = docs.select("doc_id", "text").limit(50)
+        dup = base.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+        corpus = base.unionByName(dup)
+        a = sorted(map(tuple, corpus_line_dedup(corpus).collect()))
+        b = sorted(map(tuple, corpus_line_dedup(corpus.repartition(13)).collect()))
+        assert a == b
+        # every copy lost all its eligible (>= 15 char) lines
+        losers = [r for r in a if r[0] >= 500000]
+        assert losers and all(r[3] < r[2] or r[2] == 1 for r in losers)
+
+    def test_c4_rules_flags(self, spark):
+        from ocr_spark.operators.text_analysis import c4_rules
+
+        df = spark.createDataFrame(
+            [
+                (1, "This is the first sentence of prose.\n"
+                    "It continues with more of that text.\n"
+                    "And it ends with a third one, which we have here."),
+                (2, "function f() { return 1; }"),
+                (3, "Lorem ipsum dolor sit amet. And that would be the "
+                    "end of it. With more to come."),
+                (4, "no punct\nno caps\nshort"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in c4_rules(df).collect()}
+        assert got[1].c4_keep and got[1].c4_punct_line_frac == 1.0
+        assert got[2].c4_has_curly and not got[2].c4_keep
+        assert got[3].c4_has_lorem and not got[3].c4_keep
+        assert not got[4].c4_stopword_rule and not got[4].c4_keep
+
+    def test_blocked_domains_subdomain_case_port_userinfo(self, spark):
+        from ocr_spark.operators.urls import filter_blocked_domains, host_of
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://ads.example.com/page"),
+                (2, "https://example.com/good"),
+                (3, "http://user:pw@Sub.Spam.NET:8080/x"),
+                (4, "https://fineweb.org/article"),
+                (5, "https://notexample.com/road"),  # no token match
+            ],
+            "doc_id long, url string",
+        )
+        kept = filter_blocked_domains(df, ["example.com", "spam.net"])
+        assert sorted(r.doc_id for r in kept.collect()) == [4, 5]
+        hosts = [r[0] for r in df.select(host_of(F.col("url"))).collect()]
+        assert hosts == [
+            "ads.example.com", "example.com", "sub.spam.net",
+            "fineweb.org", "notexample.com",
+        ]
+
+    def test_blocked_domains_is_pure_filter_no_join(self, spark, docs):
+        """A literal blocklist must stay a projection-side filter (no
+        join, no exchange) so Catalyst can push it toward the scan."""
+        from ocr_spark.operators.urls import filter_blocked_domains
+
+        with_url = docs.select(
+            "doc_id",
+            F.concat(F.lit("https://"), "source", F.lit(".example.com/p")).alias("url"),
+        )
+        plan = (
+            filter_blocked_domains(with_url, ["src3.example.com"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for op in ("Join", "Exchange"):
+            assert op not in plan, (op, plan)
