@@ -31,8 +31,12 @@ of work: block segmentation at DOM block elements, link-density scoring):
 - block-level tags delimit blocks; ``<br>`` delimits lines inside a block;
 - blocks take the reference's layout class vocabulary
   (kernels/layout.LAYOUT_CHOICES): ``h1``-``h6`` → ``title``, table
-  cells → ``table``, ``<caption>`` → ``table_caption``,
-  ``<figcaption>`` → ``figure_caption``, everything else ``text``;
+  cells → ``table``, ``<tfoot>`` cells → ``table_footnote``,
+  ``<caption>`` → ``table_caption``, ``<figcaption>`` →
+  ``figure_caption``, ``<math>`` content → ``isolate_formula`` (MathML
+  text layer; ``<annotation>``/``<annotation-xml>`` alternates are
+  dropped so TeX source never duplicates the rendered text), everything
+  else ``text``;
 - a block whose link density (non-whitespace chars inside ``<a>`` ÷ total
   non-whitespace chars) exceeds 0.5 is dropped as link-farm boilerplate
   (nav menus rendered as ``<div>`` lists);
@@ -57,8 +61,8 @@ from html.parser import HTMLParser
 
 # Subtrees whose text is never prose.
 DROP_TAGS = frozenset(
-    "script style noscript template svg math iframe object embed head "
-    "title canvas audio video map".split()
+    "script style noscript template svg iframe object embed head "
+    "title canvas audio video map annotation annotation-xml".split()
 )
 # Site-chrome subtrees: the boilerplate strip.
 BOILERPLATE_TAGS = frozenset("nav header footer aside".split())
@@ -66,16 +70,20 @@ BOILERPLATE_TAGS = frozenset("nav header footer aside".split())
 BLOCK_TAGS = frozenset(
     "p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody tfoot tr "
     "td th caption blockquote pre article section main figure figcaption "
-    "address form fieldset hr body html center".split()
+    "address form fieldset hr body html center math".split()
 )
 HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
 # Containers that type their blocks with the reference's richer layout
 # vocabulary (kernels/layout.LAYOUT_CHOICES): table cells → "table",
 # <caption> → "table_caption", <figcaption> → "figure_caption".
-_TYPE_CONTEXT_TAGS = ("figcaption", "caption", "table")
+# Order matters: more specific contexts first (tfoot cells are
+# table_footnote, not table; a formula inside a table is still a formula).
+_TYPE_CONTEXT_TAGS = ("math", "figcaption", "caption", "tfoot", "table")
 _TYPE_FOR_CONTEXT = {
+    "math": "isolate_formula",
     "figcaption": "figure_caption",
     "caption": "table_caption",
+    "tfoot": "table_footnote",
     "table": "table",
 }
 

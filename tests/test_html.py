@@ -111,6 +111,30 @@ class TestHandGoldens:
             {"type": "text", "lines": ["prose"]},
         ]
 
+    def test_tfoot_and_mathml_typed(self):
+        """tfoot cells and MathML content map onto the remaining reference
+        layout classes (table_footnote, isolate_formula); TeX alternates
+        inside <annotation> never duplicate the rendered math text."""
+        html = (
+            b"<html><body>"
+            b"<table><tr><td>Q1 totals</td></tr>"
+            b"<tfoot><tr><td>Grand total: 42</td></tr></tfoot></table>"
+            b"<math><mi>x</mi><mo>=</mo><mn>2</mn>"
+            b"<annotation encoding='application/x-tex'>x = 2</annotation>"
+            b"</math>"
+            b"<p>prose after</p></body></html>"
+        )
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "table", "lines": ["Q1 totals"]},
+            {"type": "table_footnote", "lines": ["Grand total: 42"]},
+            {"type": "isolate_formula", "lines": ["x=2"]},
+            {"type": "text", "lines": ["prose after"]},
+        ]
+        # differential: the fast tokenizer agrees with the stdlib engine
+        assert htmlpage.parse_html_blocks(
+            html, engine="stdlib"
+        ) == htmlpage.parse_html_blocks(html, engine="fast")
+
     def test_malformed_markup_survives(self):
         html = (
             b"<html><body><P>unclosed upper"  # uppercase + unclosed
