@@ -1502,6 +1502,42 @@ def _q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", F.col("_host").alias("host"))
 
 
+# Hour-bucketed event rollup — the batch twin of the watermarked
+# streaming window (streaming.stream_crawl_metrics): same tumbling
+# hour-on-event-time semantics over the `events` table.  Buckets are the
+# epoch-hour INTEGER (floor(epoch/3600)) rather than a rendered
+# timestamp, so the boundary is session-timezone-proof in both engines
+# (the io.write_extracted warc_day discipline); min/max of doubles are
+# order-independent, so the row hashes are stable under any partitioning
+# (a sum of doubles would not be).
+_EVENTS_HOUR_SQL = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS epoch_hour,
+       event_type,
+       CAST(count(*) AS INTEGER) AS n_events,
+       CAST(count(DISTINCT user_id) AS INTEGER) AS n_users,
+       min(value) AS v_min,
+       max(value) AS v_max
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_events_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "epoch_hour",
+            F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("bigint"),
+        )
+        .groupBy("epoch_hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.count_distinct("user_id").cast("int").alias("n_users"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1539,6 +1575,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "dedup_line_corpus": (_q_line_dedup, _LINE_DEDUP_SQL),
     "url_domain_filter": (_q_domain_filter, _DOMAIN_FILTER_SQL),
     "text_c4_rules": (_q_c4_rules, _C4_SQL),
+    "events_hour_rollup": (_q_events_hour, _EVENTS_HOUR_SQL),
     # similarity search
     "sim_cosine_topk": (_q_cosine_topk, _COS_TOPK_SQL),
     "sim_lsh_topk": (_q_lsh_topk, _LSH_TOPK_SQL),

@@ -6,8 +6,11 @@ The reference's "streaming" is incremental progress + resumability
 SURVEY.md §2.1), not event-time processing; the faithful Spark shape is a
 file-source stream feeding the SAME batch pipeline per micro-batch through
 ``foreachBatch``, with exactly-once progress owned by the checkpoint
-directory plus the idempotent left-anti resume of io.py.  No watermarks or
-stateful operators are needed — extraction is per-document pure.
+directory plus the idempotent left-anti resume of io.py.  Extraction
+itself needs no watermarks — it is per-document pure; the EVENT-TIME
+surface is :func:`stream_crawl_metrics`, a watermarked windowed
+aggregation over ``warc_ts`` (late-data semantics tested in
+tests/test_streaming.py).
 
 On a real deployment the source is the Iceberg table's incremental scan
 (`readStream.format("iceberg")`); offline it is a directory of parquet
@@ -16,7 +19,7 @@ files appearing over time.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from .io import pending_pages, write_extracted
@@ -61,6 +64,62 @@ def stream_extract(
     writer = (
         read_pages_stream(spark, in_dir)
         .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_crawl_metrics(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Event-time rollup of the ARRIVING crawl: docs + payload bytes per
+    ``warc_ts`` window, finalized by watermark — the online monitoring
+    view of an ingest pipeline (the checkpointed batch pipeline remains
+    the ground truth; this stream is the cheap early signal).
+
+    Real event-time semantics, not processing-time: pages are windowed on
+    their CRAWL timestamp, so out-of-order arrival (normal for WARC
+    shards) lands in the right window; a window only EMITS (append mode)
+    once the watermark — max observed ``warc_ts`` minus the allowed
+    lateness — passes its end, and pages arriving later than that are
+    dropped from the finalized count rather than mutating emitted rows.
+    State is bounded by the watermark: Spark discards window state older
+    than it, so the stream runs forever on 10^12 docs without growing.
+
+    Sums are integers (docs, octet lengths), so the emitted rows are
+    engine-deterministic for any arrival order of the same files."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(in_dir)
+    )
+    agg = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window_duration))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.octet_length("html")).alias("payload_bytes"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "docs",
+            "payload_bytes",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

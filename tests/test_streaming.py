@@ -101,3 +101,65 @@ class TestStreamingMixedFormats:
             want = extract_document(bytes(r["html"]), r["lang"])["text"]
             assert out[r["url"]].text == want, r["url"]
             assert out[r["url"]].status == "COMPLETED"
+
+
+class TestEventTimeMetrics:
+    def test_windowed_counts_finalize_by_watermark(self, spark, dirs, tmp_path):
+        """Windows key on the CRAWL timestamp (event time), emit only once
+        the watermark passes their end, and withhold still-open windows —
+        the standard late-data contract."""
+        import datetime as dt
+        import os
+        import time
+
+        from ocr_spark.fixtures import write_rows_parquet
+        from ocr_spark.streaming import stream_crawl_metrics
+
+        def rows(stamps):
+            return [
+                {
+                    "url": f"u://w/{i}-{ts:%H%M}",
+                    "warc_ts": ts,
+                    "html": b"<html><body><p>x</p></body></html>",
+                    "text": "",
+                    "lang": "en",
+                }
+                for i, ts in enumerate(stamps)
+            ]
+
+        day = dt.datetime(2025, 1, 1)
+        h = dt.timedelta(hours=1)
+        m = dt.timedelta(minutes=1)
+        # file 1: four docs in the 00:00 window, two in the 01:00 window
+        write_rows_parquet(
+            dirs["in"] / "f1.parquet",
+            rows([day + 10 * m, day + 20 * m, day + 30 * m, day + 40 * m,
+                  day + h + 15 * m, day + h + 45 * m]),
+        )
+        # files 2 and 3: later event times that advance the watermark
+        # (2-hour lateness) past the first two windows
+        write_rows_parquet(dirs["in"] / "f2.parquet", rows([day + 5 * h]))
+        write_rows_parquet(dirs["in"] / "f3.parquet", rows([day + 6 * h]))
+        # one file per micro-batch, in deterministic mtime order
+        for i, name in enumerate(["f1.parquet", "f2.parquet", "f3.parquet"]):
+            t = time.time() + i
+            os.utime(dirs["in"] / name, (t, t))
+
+        out_dir = str(tmp_path / "metrics_out")
+        q = stream_crawl_metrics(
+            spark, str(dirs["in"]), out_dir, dirs["ckpt"],
+            window_duration="1 hour", watermark="2 hours",
+        )
+        q.awaitTermination(120)
+
+        got = {
+            r.window_start: (r.docs, r.payload_bytes)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        payload = len(b"<html><body><p>x</p></body></html>")
+        # the two early windows finalized (watermark reached 03:00 or
+        # later); the 05:00/06:00 windows are still open → withheld
+        assert got == {
+            day: (4, 4 * payload),
+            day + h: (2, 2 * payload),
+        }
