@@ -147,6 +147,8 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
     timed("text_quality", text_analysis.quality_score(docs))
     timed("text_tokens", text_analysis.token_count(docs))
     timed("text_langid", text_analysis.language_id(docs))
+    timed("text_c4_rules", text_analysis.c4_rules(docs))
+    timed("dedup_line_corpus", dedup.corpus_line_dedup(docs))
     # straggler probe: 256 docs x 50k words with heavy repetition, built
     # JVM-side — proves repetition_ratio has no quadratic per-row blowup
     long_docs = spark.range(256).select(

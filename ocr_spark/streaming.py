@@ -125,3 +125,87 @@ def stream_crawl_metrics(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_host_quota(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_bytes_per_host: int,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Per-host payload-byte quota over the ARRIVING crawl — the
+    custom-stateful-operator surface (``applyInPandasWithState``).
+
+    Corpus-curation semantics (the FineWeb/RefinedWeb per-domain cap): a
+    host contributes pages until its CUMULATIVE payload bytes exceed the
+    quota; everything after is dropped at ingest, so one giant mirror or
+    crawler trap cannot dominate the corpus.  This is a running-state
+    per-row pass/drop decision — not expressible as a windowed
+    aggregation (the state never resets) — hence the arbitrary-stateful
+    API: per host, state is ONE long (bytes admitted so far), bounded by
+    the number of distinct hosts, not by stream length.
+
+    Emitted rows are the ADMITTED page keys ``(url, host, n_bytes,
+    host_bytes_after)`` — join back to the payload for extraction.  Page
+    order within a micro-batch is not defined, so which pages of the
+    boundary batch are admitted is arbitrary (the quota total is not);
+    callers needing exact boundaries should cap on the day-partitioned
+    batch table instead."""
+    import pandas as pd  # local: keep module import light
+
+    from .operators.urls import host_of
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(in_dir)
+    )
+    # project the payload DOWN to its length before grouping — the quota
+    # decision needs bytes counts, so the binary column never rides the
+    # per-host shuffle or the Arrow boundary
+    keyed = pages.select(
+        "url",
+        host_of(F.col("url")).alias("host"),
+        F.octet_length("html").alias("n_bytes"),
+    )
+
+    def admit(key, pdfs, state):
+        used = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            keep_rows = []
+            for url, host, n_bytes in zip(
+                pdf["url"], pdf["host"], pdf["n_bytes"]
+            ):
+                if used < max_bytes_per_host:
+                    used += int(n_bytes)
+                    keep_rows.append((url, host, int(n_bytes), used))
+            if keep_rows:
+                yield pd.DataFrame(
+                    keep_rows,
+                    columns=["url", "host", "n_bytes", "host_bytes_after"],
+                )
+        state.update((used,))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    admitted = keyed.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType=(
+            "url string, host string, n_bytes long, host_bytes_after long"
+        ),
+        stateStructType="used long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        admitted.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -163,3 +163,63 @@ class TestEventTimeMetrics:
             day: (4, 4 * payload),
             day + h: (2, 2 * payload),
         }
+
+
+class TestStatefulHostQuota:
+    def test_per_host_byte_quota_across_batches(self, spark, dirs, tmp_path):
+        """applyInPandasWithState: per-host cumulative admission state
+        persists across micro-batches; a host stops contributing once its
+        quota is exhausted while other hosts continue."""
+        import os
+        import time
+
+        from ocr_spark.fixtures import write_rows_parquet
+        from ocr_spark.streaming import stream_host_quota
+
+        payload = b"x" * 40
+
+        def page(host, i):
+            return {
+                "url": f"https://{host}/p{i}",
+                "warc_ts": None,
+                "html": payload,
+                "text": "",
+                "lang": "en",
+            }
+
+        # one page per host per file → the admission decision at the
+        # quota boundary is batch-deterministic
+        waves = [
+            [page("a.example.com", 1), page("b.example.com", 1)],
+            [page("a.example.com", 2), page("b.example.com", 2)],
+            [page("a.example.com", 3), page("b.example.com", 3)],
+            [page("a.example.com", 4)],
+        ]
+        for i, rows in enumerate(waves):
+            f = dirs["in"] / f"w{i}.parquet"
+            write_rows_parquet(f, rows)
+            t = time.time() + i
+            os.utime(f, (t, t))
+
+        out_dir = str(tmp_path / "quota_out")
+        q = stream_host_quota(
+            spark, str(dirs["in"]), out_dir, dirs["ckpt"],
+            max_bytes_per_host=100,
+        )
+        q.awaitTermination(120)
+
+        got = sorted(
+            (r.url, r.n_bytes, r.host_bytes_after)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        # pages 1-3 admitted per host (40, 80, 120 cumulative — the page
+        # crossing the quota is still admitted, then the gate closes);
+        # page 4 of host a is dropped
+        assert got == [
+            ("https://a.example.com/p1", 40, 40),
+            ("https://a.example.com/p2", 40, 80),
+            ("https://a.example.com/p3", 40, 120),
+            ("https://b.example.com/p1", 40, 40),
+            ("https://b.example.com/p2", 40, 80),
+            ("https://b.example.com/p3", 40, 120),
+        ]
