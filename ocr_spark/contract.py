@@ -855,6 +855,35 @@ def _cjk_sql() -> str:
     )
 
 
+# Same roundtrip for the single-block scripts added in r3 (Cyrillic,
+# Hebrew, Arabic, Devanagari, Thai): both engines inject the same text
+# per doc_id class and must classify identically.
+_SCRIPTS_INJECT = (
+    "CASE CAST(doc_id % 6 AS INT) "
+    "WHEN 1 THEN 'статистические методы обработки данных' "
+    "WHEN 2 THEN 'עיבוד נתונים בקנה מידה גדול' "
+    "WHEN 3 THEN 'معالجة البيانات على نطاق واسع' "
+    "WHEN 4 THEN 'बड़े पैमाने पर डेटा प्रसंस्करण' "
+    "WHEN 5 THEN 'การประมวลผลข้อมูลขนาดใหญ่' "
+    "ELSE text END"
+)
+
+
+def _q_language_id_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SCRIPTS_INJECT).alias("text")
+    )
+    return text_analysis.language_id(docs).select(
+        "doc_id", "lang_pred", "lang_votes"
+    )
+
+
+def _scripts_sql() -> str:
+    return _lang_sql(
+        f"(SELECT doc_id, {_SCRIPTS_INJECT} AS text FROM documents)"
+    )
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = text_analysis.quality_score(_t(spark, sf_dir, "documents"))
     return res.select(
@@ -1502,6 +1531,44 @@ def _q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", F.col("_host").alias("host"))
 
 
+_HB = portable_hash_sql_duckdb("concat('v1:', CAST(doc_id AS VARCHAR))")
+
+_SAMPLE_SQL = f"""
+SELECT doc_id FROM (SELECT doc_id, {_HB} % 1000000 AS b FROM documents)
+WHERE b < 370000
+"""
+
+
+def _q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.splits import deterministic_sample
+
+    return deterministic_sample(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        0.37,
+        hash_mode="portable",
+    )
+
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, source
+FROM (SELECT doc_id, source, {_HB} % 1000000 AS b FROM documents)
+WHERE b < CASE source WHEN 'src3' THEN 1000000 WHEN 'src7' THEN 250000
+          WHEN 'src11' THEN 0 ELSE 50000 END
+"""
+
+
+def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.splits import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        {"src3": 1.0, "src7": 0.25, "src11": 0.0},
+        strata_col="source",
+        hash_mode="portable",
+        default_rate=0.05,
+    )
+
+
 # Hour-bucketed event rollup — the batch twin of the watermarked
 # streaming window (streaming.stream_crawl_metrics): same tumbling
 # hour-on-event-time semantics over the `events` table.  Buckets are the
@@ -1585,6 +1652,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # text analysis
     "text_language_id": (_q_language_id, _lang_sql()),
     "text_language_id_cjk": (_q_language_id_cjk, _cjk_sql()),
+    "text_language_id_scripts": (_q_language_id_scripts, _scripts_sql()),
     "text_quality": (_q_quality, _quality_sql()),
     "text_token_count": (_q_token_count, _TOKEN_SQL),
     "text_fingerprint": (_q_fingerprint, _FINGERPRINT_SQL),
@@ -1598,6 +1666,8 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "mm_sample_frames": (_q_sample_frames, _FRAMES_SQL),
     # deterministic dataset split
     "corpus_split": (_q_assign_split, _SPLIT_SQL),
+    "corpus_sample": (_q_sample, _SAMPLE_SQL),
+    "corpus_stratified_sample": (_q_stratified, _STRATIFIED_SQL),
     # PII scrubbing + duplicate-line stats
     "pii_scrub": (_q_pii_scrub, _pii_sql()),
     "text_dup_lines": (_q_dup_lines, _DUP_LINES_SQL),

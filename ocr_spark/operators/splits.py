@@ -21,6 +21,73 @@ from .hashing import portable_hash_col
 BUCKETS = 1_000_000  # split granularity: 1e-6 resolution
 
 
+def _bucket(id_col: str, salt: str, hash_mode: str) -> F.Column:
+    """Hash bucket in [0, BUCKETS) — pure function of (salt, id); NULL ids
+    hash like the empty string (see assign_split's rationale)."""
+    salted = F.concat(
+        F.lit(salt + ":"),
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+    )
+    h = portable_hash_col(salted) if hash_mode == "portable" else F.xxhash64(
+        salted
+    )
+    return F.pmod(h, F.lit(BUCKETS))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Append-stable Bernoulli-by-hash sample: a document is kept iff its
+    hash bucket falls below ``fraction`` — a pure projection-side filter
+    (no RNG state, no shuffle; the deterministic twin of
+    ``df.sample(fraction)``).  Stable under corpus appends (a doc's fate
+    never changes), NESTED across fractions (a 1% sample is a subset of
+    the 10% sample at the same salt — bucket ranges are prefixes), and
+    re-dealable via ``salt``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    edge = round(fraction * BUCKETS)
+    return df.filter(_bucket(id_col, salt, hash_mode) < F.lit(edge))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    hash_mode: str = "xxhash64",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Mixture construction: per-stratum keep rates (the deterministic,
+    RNG-free twin of ``df.sampleBy``) — the training-mix step where each
+    domain/source/language contributes a chosen fraction of its documents
+    (the C4/Pile/Dolma "mixture weights" technique, made reproducible).
+    Strata absent from ``rates`` keep ``default_rate`` of their docs.
+    Pure projection-side filter; same append-stability and nesting
+    guarantees as :func:`deterministic_sample`."""
+    bad = {k: r for k, r in rates.items() if not 0.0 <= r <= 1.0}
+    if bad:
+        raise ValueError(f"rates must be in [0, 1]: {bad}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    edge = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == F.lit(stratum)
+        lit = F.lit(round(rate * BUCKETS))
+        edge = F.when(cond, lit) if edge is None else edge.when(cond, lit)
+    edge = (
+        F.lit(round(default_rate * BUCKETS))
+        if edge is None
+        else edge.otherwise(F.lit(round(default_rate * BUCKETS)))
+    )
+    return df.filter(_bucket(id_col, salt, hash_mode) < edge)
+
+
 def assign_split(
     df: DataFrame,
     weights: dict[str, float] | None = None,
@@ -43,19 +110,7 @@ def assign_split(
     bad = {k: w for k, w in weights.items() if not 0.0 <= w <= 1.0}
     if bad:
         raise ValueError(f"split weights must be in [0, 1]: {bad}")
-    # NULL ids hash like the empty string (one deterministic bucket,
-    # almost surely in the largest split) instead of NULL-propagating
-    # through the when-chain into the LAST label — which would quietly
-    # concentrate dirty rows in the smallest eval split
-    salted = F.concat(
-        F.lit(salt + ":"),
-        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
-    )
-    if hash_mode == "portable":
-        h = portable_hash_col(salted)
-    else:
-        h = F.xxhash64(salted)
-    bucket = F.pmod(h, F.lit(BUCKETS))
+    bucket = _bucket(id_col, salt, hash_mode)
     expr = None
     edge = 0
     labels = list(weights)

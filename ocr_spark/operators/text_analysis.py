@@ -26,6 +26,14 @@ SCRIPT_RULES: list[tuple[str, str, int, int]] = [
     ("ko", "[가-힣]", 3, 10),
     ("ja", "[ぁ-ゖァ-ヺー]", 1, 20),
     ("zh", "[一-鿿]", 3, 10),
+    # single-script languages with dedicated Unicode blocks: a high ratio
+    # of block characters IS the language call (the ranges are disjoint,
+    # so rule order among these does not matter)
+    ("ru", "[а-яА-ЯёЁ]", 3, 10),
+    ("he", "[֐-׿]", 3, 10),
+    ("ar", "[؀-ۿ]", 3, 10),
+    ("hi", "[ऀ-ॿ]", 3, 10),
+    ("th", "[฀-๿]", 3, 10),
 ]
 
 # BPE-ish token regex: word pieces OR single non-space symbols.

@@ -939,6 +939,23 @@ class TestScriptLanguageId:
         # oracle-pinned behavior): empty text classifies as 'en'
         assert got[6] == "en"
 
+    def test_single_block_scripts_detected(self, spark):
+        from ocr_spark.operators.text_analysis import language_id
+
+        df = spark.createDataFrame(
+            [
+                (1, "статистические методы обработки данных"),
+                (2, "עיבוד נתונים בקנה מידה גדול"),
+                (3, "معالجة البيانات على نطاق واسع"),
+                (4, "बड़े पैमाने पर डेटा प्रसंस्करण"),
+                (5, "การประมวลผลข้อมูลขนาดใหญ่"),
+                (6, "plain english text with the usual words in it today"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+        assert got == {1: "ru", 2: "he", 3: "ar", 4: "hi", 5: "th", 6: "en"}
+
 
 class TestCorpusCuration:
     def test_corpus_line_dedup_first_occurrence_wins(self, spark):
@@ -1036,3 +1053,69 @@ class TestCorpusCuration:
         )
         for op in ("Join", "Exchange"):
             assert op not in plan, (op, plan)
+
+
+class TestDeterministicSampling:
+    def test_nested_stable_and_redealable(self, spark, docs):
+        from ocr_spark.operators.splits import deterministic_sample
+
+        ids = lambda d: {r.doc_id for r in d.select("doc_id").collect()}
+        s10 = ids(deterministic_sample(docs, 0.10))
+        s30 = ids(deterministic_sample(docs, 0.30))
+        # nested: the 10% sample is a strict subset of the 30% sample
+        assert s10 < s30
+        # roughly proportional
+        n = docs.count()
+        assert abs(len(s30) / n - 0.30) < 0.1
+        # pure function of (salt, id): repartitioning changes nothing,
+        # a new salt re-deals
+        assert ids(deterministic_sample(docs.repartition(7), 0.30)) == s30
+        assert ids(deterministic_sample(docs, 0.30, salt="v2")) != s30
+
+    def test_append_stability(self, spark, docs):
+        """Sampling half the corpus then the whole corpus must agree on
+        the shared ids — a doc's fate never changes as the corpus grows."""
+        from ocr_spark.operators.splits import deterministic_sample
+
+        half = docs.filter(F.col("doc_id") < 250)
+        a = {r.doc_id for r in deterministic_sample(half, 0.2).collect()}
+        b = {
+            r.doc_id
+            for r in deterministic_sample(docs, 0.2).collect()
+            if r.doc_id < 250
+        }
+        assert a == b
+
+    def test_stratified_mixture_rates(self, spark, docs):
+        from ocr_spark.operators.splits import stratified_sample
+
+        kept = stratified_sample(
+            docs,
+            {"src3": 1.0, "src7": 0.25, "src11": 0.0},
+            strata_col="source",
+            default_rate=0.0,
+        )
+        by_src = {
+            r.source: r["count"]
+            for r in kept.groupBy("source").count().collect()
+        }
+        totals = {
+            r.source: r["count"]
+            for r in docs.groupBy("source").count().collect()
+        }
+        assert by_src.get("src3") == totals["src3"]       # rate 1.0: all
+        assert "src11" not in by_src                      # rate 0.0: none
+        assert set(by_src) <= {"src3", "src7"}            # default 0.0
+        frac7 = by_src.get("src7", 0) / totals["src7"]
+        assert 0.05 < frac7 < 0.5                         # ~0.25
+
+    def test_bad_rates_rejected(self, spark, docs):
+        from ocr_spark.operators.splits import (
+            deterministic_sample,
+            stratified_sample,
+        )
+
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            deterministic_sample(docs, 1.2)
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            stratified_sample(docs, {"src1": -0.1})
