@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the training-data curation pipeline —
+the post-extraction half of the engine (the extraction half is
+jobs/extract_job.py; chain them for raw-crawl → training-corpus).
+
+Cluster::
+
+    spark-submit --master yarn --deploy-mode cluster \
+      --py-files ocr_spark.zip \
+      jobs/curate_job.py --input s3a://bucket/extracted \
+      --output s3a://bucket/curated \
+      --blocklist blocked_domains.txt --min-quality 0.3 \
+      --near-dup --max-bucket 10000 --line-dedup --pii \
+      --split train=0.98,val=0.01,test=0.01
+
+Local smoke::
+
+    spark-submit --master 'local[8]' --py-files ocr_spark.zip \
+      jobs/curate_job.py --input /tmp/extracted --output /tmp/curated
+
+Stage order is fixed (cheapest-filter-first): URL blocklist → quality
+gates (Gopher + composite + C4 hard drops) → canonical-url + exact
+dedup → MinHash-LSH near-dup (EXPLICIT cap, audit count logged in the
+summary — the never-cap-silently contract) → corpus-global line dedup →
+PII scrub → deterministic split/sample assignment.  Every stage is a
+pure DataFrame plan; the one JSON summary line reports what each stage
+removed so a production run is auditable end-to-end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+# local runs (python jobs/X.py) see the repo root like --py-files would
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _parse_weights(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        k, v = part.split("=")
+        out[k.strip()] = float(v)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="extracted table (parquet dir; url + text columns)")
+    ap.add_argument("--output", required=True, help="curated parquet dir")
+    ap.add_argument("--blocklist", default=None,
+                    help="file of blocked domains, one per line")
+    ap.add_argument("--min-quality", type=float, default=None,
+                    help="composite quality threshold (enables the gate)")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher rule gate")
+    ap.add_argument("--c4-hard-drops", action="store_true",
+                    help="drop curly-brace/lorem-ipsum documents")
+    ap.add_argument("--near-dup", action="store_true",
+                    help="MinHash-LSH near-duplicate removal")
+    ap.add_argument("--max-bucket", type=int, default=10_000,
+                    help="LSH hot-bucket cap (audited; see summary)")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="corpus-global duplicate-line removal")
+    ap.add_argument("--pii", action="store_true",
+                    help="redact emails/IPs/phones")
+    ap.add_argument("--split", default=None,
+                    help="label=weight,... deterministic split assignment")
+    ap.add_argument("--sample", type=float, default=None,
+                    help="deterministic corpus sample fraction")
+    ap.add_argument("--salt", default="v1",
+                    help="hash salt for split/sample assignment")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = SparkSession.builder.appName("ocr-spark-curate").getOrCreate()
+    t0 = time.time()
+    summary: dict = {}
+
+    docs = spark.read.parquet(args.input)
+    if "status" in docs.columns:
+        docs = docs.filter(F.col("status") == "COMPLETED")
+    docs = docs.select("url", "text").withColumn(
+        "doc_id", F.xxhash64("url")
+    )
+    summary["input_docs"] = docs.count()
+
+    if args.blocklist:
+        from ocr_spark.operators.urls import filter_blocked_domains
+
+        with open(args.blocklist) as f:
+            blocked = [ln.strip() for ln in f if ln.strip()]
+        docs = filter_blocked_domains(docs, blocked)
+        summary["after_blocklist"] = docs.count()
+
+    if args.gopher or args.min_quality is not None or args.c4_hard_drops:
+        from ocr_spark.operators.text_analysis import (
+            c4_rules,
+            gopher_rules,
+            quality_score,
+        )
+
+        scored = c4_rules(quality_score(gopher_rules(docs)))
+        cond = F.lit(True)
+        if args.gopher:
+            cond = cond & F.col("g_keep")
+        if args.min_quality is not None:
+            cond = cond & (F.col("quality") >= args.min_quality)
+        if args.c4_hard_drops:
+            cond = cond & ~F.col("c4_has_curly") & ~F.col("c4_has_lorem")
+        docs = scored.filter(cond).select("doc_id", "url", "text")
+        summary["after_quality"] = docs.count()
+
+    # exact dedup on (canonical url, content digest) always runs
+    from ocr_spark.operators.dedup import exact_dedup
+    from ocr_spark.operators.urls import canonicalize
+
+    docs = docs.withColumn("canonical_url", canonicalize(F.col("url")))
+    reps = exact_dedup(docs, text_col="text").select(
+        F.col("representative").alias("doc_id")
+    )
+    docs = docs.join(reps, "doc_id", "left_semi").cache()
+    summary["after_exact_dedup"] = docs.count()
+
+    if args.near_dup:
+        from ocr_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            lsh_hot_buckets,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(docs, num_perm=8).cache()
+        losers = (
+            lsh_candidate_pairs(sigs, num_perm=8, max_bucket=args.max_bucket)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        summary["lsh_capped_buckets"] = lsh_hot_buckets(
+            sigs, num_perm=8, max_bucket=args.max_bucket
+        ).count()
+        docs = docs.join(losers, "doc_id", "left_anti").cache()
+        summary["after_near_dup"] = docs.count()
+
+    if args.line_dedup:
+        from ocr_spark.operators.dedup import corpus_line_dedup
+
+        ld = corpus_line_dedup(docs).cache()
+        summary["dup_lines_removed"] = int(
+            ld.agg(
+                F.sum(F.col("n_lines") - F.col("n_lines_kept"))
+            ).collect()[0][0]
+            or 0
+        )
+        docs = docs.drop("text").join(
+            ld.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+        )
+
+    if args.pii:
+        from ocr_spark.operators.pii import scrub_pii
+
+        docs = (
+            scrub_pii(docs)
+            .drop("text")
+            .withColumnRenamed("clean_text", "text")
+        )
+
+    if args.sample is not None:
+        from ocr_spark.operators.splits import deterministic_sample
+
+        docs = deterministic_sample(docs, args.sample, salt=args.salt)
+
+    if args.split:
+        from ocr_spark.operators.splits import assign_split
+
+        docs = assign_split(docs, _parse_weights(args.split), salt=args.salt)
+
+    docs.write.mode("overwrite").parquet(args.output)
+    summary["output_docs"] = spark.read.parquet(args.output).count()
+    summary["seconds"] = round(time.time() - t0, 1)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,6 +29,10 @@ import argparse
 import json
 import sys
 import time
+from pathlib import Path
+
+# local runs (python jobs/X.py) see the repo root like --py-files would
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> int:

@@ -1,0 +1,85 @@
+"""spark-submit entrypoints (jobs/): run as real subprocesses — the
+deployment surface a cluster operator actually invokes (`python job.py`
+locally ≡ `spark-submit job.py` with --py-files on a cluster)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _run(args):
+    out = subprocess.run(
+        [sys.executable, *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="module")
+def extracted_dir(spark, tmp_path_factory):
+    from ocr_spark.fixtures import write_pages_parquet
+
+    base = tmp_path_factory.mktemp("jobs")
+    pages = base / "pages.parquet"
+    write_pages_parquet(pages, 30)
+    out = base / "extracted"
+    summary = _run(
+        [
+            "jobs/extract_job.py",
+            "--input", str(pages),
+            "--output", str(out),
+        ]
+    )
+    assert summary["docs_attempted_this_pass"] == 30
+    assert summary["docs_in_output"] == 30
+    return out
+
+
+class TestJobs:
+    def test_extract_job_resume_is_noop(self, extracted_dir, tmp_path):
+        # second pass over the same output: everything already COMPLETED
+        summary = _run(
+            [
+                "jobs/extract_job.py",
+                "--input", str(extracted_dir.parent / "pages.parquet"),
+                "--output", str(extracted_dir),
+            ]
+        )
+        assert summary["docs_attempted_this_pass"] == 0
+        assert summary["docs_in_output"] == 30
+
+    def test_curate_job_full_chain(self, extracted_dir, tmp_path):
+        blocklist = tmp_path / "blocked.txt"
+        blocklist.write_text("blocked.example\n")
+        out = tmp_path / "curated"
+        summary = _run(
+            [
+                "jobs/curate_job.py",
+                "--input", str(extracted_dir),
+                "--output", str(out),
+                "--blocklist", str(blocklist),
+                "--gopher",
+                "--c4-hard-drops",
+                "--near-dup",
+                "--line-dedup",
+                "--pii",
+                "--split", "train=0.9,val=0.05,test=0.05",
+            ]
+        )
+        assert summary["input_docs"] == 30
+        assert summary["lsh_capped_buckets"] == 0  # audit always reported
+        assert summary["output_docs"] > 0
+        # the curated table is readable and split-labeled
+        import pyarrow.parquet as pq
+
+        cols = set(pq.read_schema(next(out.glob("*.parquet"))).names)
+        assert {"doc_id", "url", "text", "split"} <= cols
