@@ -350,28 +350,33 @@ def ivf_topk(
             .select(id_col, vec_col)
             .collect()
         ]
-    cents = F.broadcast(
-        df.sparkSession.createDataFrame(
-            cents_local, "cid bigint, cvec array<double>"
-        )
-    )
 
     def assign_queries(x: DataFrame, probe: int) -> DataFrame:
-        scored = x.crossJoin(cents).withColumn(
-            "ccos",
-            F.expr(
-                f"{_dot(vec_col, 'cvec')} / ({_norm(vec_col)} * {_norm('cvec')})"
-            ),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cid"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= probe)
-            .select(
-                F.col(id_col).alias("q_id"),
-                F.col(vec_col).alias("q_vec"),
-                F.col("cid").alias("cell"),
+        # same shuffle-free projection shape as the corpus side, extended
+        # to top-``probe``: sort the (−cos, cid) struct array and slice —
+        # no crossJoin row blowup, no Window, no exchange.  Ordering is
+        # identical to the previous row_number() over (cos DESC, cid ASC)
+        # and the scores are the same bound-norm fold, so the probed cell
+        # set (and thus the oracle-checked result) is bit-identical.
+        tmp = "_qnorm"
+        while tmp in x.columns:
+            tmp += "_"
+        bound = x.withColumn(tmp, F.expr(_norm(vec_col)))
+        structs = []
+        for cid, cvec in cents_local:
+            lit = _vec_literal(cvec)
+            ccos = f"({_dot(vec_col, lit)}) / (`{tmp}` * {_norm(lit)})"
+            structs.append(
+                f"named_struct('nccos', -({ccos}), 'cid', {int(cid)}L)"
             )
+        cells = (
+            f"transform(slice(array_sort(array({', '.join(structs)})), "
+            f"1, {probe}), s -> s.cid)"
+        )
+        return bound.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(F.expr(cells)).alias("cell"),
         )
 
     corpus_cells = assign_cells(
