@@ -677,6 +677,58 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# int8-quantized exact top-k: quantization uses floor(x+0.5) (round()'s
+# tie rule differs between the engines: HALF_UP vs HALF_EVEN), so every
+# int matches bit-for-bit; dots are then exact integer arithmetic and
+# the one double division at the end is deterministic.
+_QUANT_CTE = """
+qv AS (SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS s
+       FROM embeddings),
+qz AS (SELECT vec_id,
+         CASE WHEN s > 0 THEN list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / s * 127.0 + 0.5)
+                     AS INTEGER))
+         ELSE list_transform(embedding, x -> 0) END AS q
+       FROM qv)
+"""
+
+
+def _dot_int_duck(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"z -> CAST(z[1] AS BIGINT) * z[2])) AS DOUBLE)"
+    )
+
+
+_QUANT_TOPK_SQL = f"""
+WITH {_QUANT_CTE},
+qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 5),
+scored AS (
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+    {_dot_int_duck('c.q', 'qs.qq')} /
+    (sqrt({_dot_int_duck('c.q', 'c.q')}) *
+     sqrt({_dot_int_duck('qs.qq', 'qs.qq')})) AS cos
+  FROM qz c CROSS JOIN qs WHERE c.vec_id <> qs.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cos, 6) AS cos_r
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= 10
+"""
+
+
+def _q_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    res = similarity.cosine_topk_quantized(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    )
+    return res.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
+    )
+
+
 # Trained-IVF oracle: ONE deterministic Lloyd round unrolled in SQL.  The
 # centroid means must be BIT-identical across engines, so both sides run
 # the same sorted sequential fold — Spark: array_sort(collect_list) +
@@ -1648,6 +1700,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "sim_lsh_topk": (_q_lsh_topk, _LSH_TOPK_SQL),
     "sim_ivf_topk": (_q_ivf_topk, _IVF_SQL),
     "sim_ivf_trained": (_q_ivf_trained, _IVF_TRAINED_SQL),
+    "sim_quantized_topk": (_q_quant_topk, _QUANT_TOPK_SQL),
     "sim_near_dup": (_q_near_dup, _NEAR_DUP_SQL),
     # text analysis
     "text_language_id": (_q_language_id, _lang_sql()),

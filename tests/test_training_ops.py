@@ -1119,3 +1119,45 @@ class TestDeterministicSampling:
             deterministic_sample(docs, 1.2)
         with pytest.raises(ValueError, match=r"\[0, 1\]"):
             stratified_sample(docs, {"src1": -0.1})
+
+
+class TestQuantizedSimilarity:
+    def test_int8_topk_recall_vs_float(self, embs):
+        """Quantized cosine must track the float cosine closely on
+        unit-norm embeddings: high top-k overlap, small score error."""
+        from ocr_spark.operators.similarity import (
+            cosine_topk_bruteforce,
+            cosine_topk_quantized,
+        )
+
+        queries = embs.filter("vec_id < 5")
+        exact = cosine_topk_bruteforce(embs, queries, k=10).collect()
+        quant = cosine_topk_quantized(embs, queries, k=10).collect()
+        es, qs = {}, {}
+        for r in exact:
+            es.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for r in quant:
+            qs.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hit = sum(len(es[q] & qs.get(q, set())) for q in es)
+        assert hit / sum(len(v) for v in es.values()) >= 0.8
+        # score agreement at matching (query, neighbor) pairs
+        ex = {(r.query_id, r.neighbor_id): r.cos for r in exact}
+        for r in quant:
+            key = (r.query_id, r.neighbor_id)
+            if key in ex:
+                assert abs(r.cos - ex[key]) < 0.05, key
+
+    def test_quantization_shape_and_range(self, spark):
+        from ocr_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [
+                (1, [0.5, -1.0, 0.25, 0.0]),
+                (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale-0 guard
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+        assert list(got[1].q) == [64, -127, 32, 0]  # floor(x/1*127+0.5)
+        assert got[1].scale == 1.0
+        assert list(got[2].q) == [0, 0, 0, 0] and got[2].scale == 0.0
