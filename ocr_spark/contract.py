@@ -1621,6 +1621,36 @@ def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequence-packing manifest (concat-and-chunk, seq_len=512): one global
+# integer running sum + per-doc chunk explode; all integer arithmetic.
+_PACK_SQL = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+o AS (SELECT doc_id, n_tok,
+        COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t),
+c AS (SELECT doc_id, n_tok, off,
+        unnest(generate_series(CAST(floor(off / 512) AS BIGINT),
+                               CAST(floor((off + n_tok - 1) / 512)
+                                    AS BIGINT))) AS chunk_id
+      FROM o)
+SELECT chunk_id, doc_id,
+       greatest(chunk_id * 512 - off, 0) AS doc_start,
+       least((chunk_id + 1) * 512 - off, n_tok) AS doc_end,
+       CAST(n_tok AS INTEGER) AS n_tok
+FROM c
+"""
+
+
+def _q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=512
+    )
+
+
 # Hour-bucketed event rollup — the batch twin of the watermarked
 # streaming window (streaming.stream_crawl_metrics): same tumbling
 # hour-on-event-time semantics over the `events` table.  Buckets are the
@@ -1721,6 +1751,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "corpus_split": (_q_assign_split, _SPLIT_SQL),
     "corpus_sample": (_q_sample, _SAMPLE_SQL),
     "corpus_stratified_sample": (_q_stratified, _STRATIFIED_SQL),
+    "corpus_pack_manifest": (_q_pack, _PACK_SQL),
     # PII scrubbing + duplicate-line stats
     "pii_scrub": (_q_pii_scrub, _pii_sql()),
     "text_dup_lines": (_q_dup_lines, _DUP_LINES_SQL),

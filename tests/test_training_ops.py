@@ -1161,3 +1161,37 @@ class TestQuantizedSimilarity:
         assert list(got[1].q) == [64, -127, 32, 0]  # floor(x/1*127+0.5)
         assert got[1].scale == 1.0
         assert list(got[2].q) == [0, 0, 0, 0] and got[2].scale == 0.0
+
+
+class TestSequencePacking:
+    def test_manifest_covers_every_token_once(self, spark):
+        from ocr_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, " ".join(f"t{i}_{j}" for j in range(7 + i * 3)))
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        rows = pack_sequences(df, seq_len=16).collect()
+        # every document's slices tile [0, n_tok) exactly
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for d, rs in by_doc.items():
+            rs = sorted(rs, key=lambda r: r.doc_start)
+            assert rs[0].doc_start == 0
+            assert rs[-1].doc_end == rs[0].n_tok
+            for a, b in zip(rs, rs[1:]):
+                assert a.doc_end == b.doc_start
+        # every chunk except the last is exactly seq_len tokens
+        by_chunk = {}
+        for r in rows:
+            by_chunk[r.chunk_id] = by_chunk.get(r.chunk_id, 0) + (
+                r.doc_end - r.doc_start
+            )
+        last = max(by_chunk)
+        for cid, width in by_chunk.items():
+            assert width == (16 if cid < last else width), cid
+            assert width <= 16
+        total = sum(by_chunk.values())
+        assert total == sum(7 + i * 3 for i in range(20))
