@@ -147,3 +147,51 @@ class TestPlans:
         )
         for op in ("Exchange", "Window", "Join"):
             assert op not in plan, (op, plan)
+
+class TestNewOperatorPlans:
+    def test_line_dedup_has_no_quadratic_join(self, spark):
+        """corpus_line_dedup must plan hash equi-joins on the line digest —
+        never a cartesian/broadcast-nested-loop product."""
+        from ocr_spark.operators.dedup import corpus_line_dedup
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            corpus_line_dedup(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_pack_manifest_single_global_sort(self, spark):
+        """The packing manifest's only wide operation is the one
+        range-partitioned sort behind the global running sum."""
+        from ocr_spark.operators.packing import pack_sequences
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            pack_sequences(docs, seq_len=512)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        plan = plan.split("== Initial Plan ==", 1)[0]
+        assert plan.count("Exchange") <= 2, plan  # range + single-part window
+        assert "CartesianProduct" not in plan
+
+    def test_quantized_corpus_side_never_shuffles(self, spark):
+        """Quantization is a pure projection; the quantized top-k corpus
+        side must stay shuffle-free up to the final rank window (same
+        guarantee as the float brute-force path)."""
+        from ocr_spark.operators.similarity import quantize_embeddings
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        plan = (
+            quantize_embeddings(emb)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for op in ("Exchange", "Join", "Window"):
+            assert op not in plan, op

@@ -215,3 +215,61 @@ class TestHtmlParserFuzz:
         b = extract_document(html)
         assert a == b
         assert a["n_pages"] in (0, 1)
+
+
+class TestLineDedupProperties:
+    """corpus_line_dedup vs an independent pure-Python reference: winner
+    selection, short-line immunity, and text reconstruction, over random
+    corpora with engineered line collisions."""
+
+    @staticmethod
+    def _ref(docs: dict[int, str], min_chars: int = 15):
+        lines = [
+            (d, i, ln)
+            for d, t in docs.items()
+            for i, ln in enumerate(t.split("\n"))
+        ]
+        first: dict[str, tuple[int, int]] = {}
+        for d, i, ln in sorted(lines):
+            if len(ln) >= min_chars and ln not in first:
+                first[ln] = (d, i)
+        out = {}
+        for d, t in docs.items():
+            kept = [
+                ln
+                for i, ln in enumerate(t.split("\n"))
+                if len(ln) < min_chars or first[ln] == (d, i)
+            ]
+            out[d] = "\n".join(kept)
+        return out
+
+    _line = st.one_of(
+        st.sampled_from(
+            [
+                "the shared boilerplate footer line",
+                "subscribe to the newsletter today",
+                "ok",
+                "",
+            ]
+        ),
+        st.text(alphabet="abcd ", min_size=0, max_size=25),
+    )
+    _docs = st.dictionaries(
+        st.integers(0, 20),
+        st.lists(_line, min_size=1, max_size=6).map("\n".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    @given(docs=_docs)
+    @settings(max_examples=10, deadline=None)
+    def test_matches_pure_python_reference(self, spark, docs):
+        from ocr_spark.operators.dedup import corpus_line_dedup
+
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.clean_text for r in corpus_line_dedup(df).collect()
+        }
+        assert got == self._ref(docs)
