@@ -1583,7 +1583,12 @@ def _q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", F.col("_host").alias("host"))
 
 
-_HB = portable_hash_sql_duckdb("concat('v1:', CAST(doc_id AS VARCHAR))")
+# sampling hashes an operation-prefixed domain ("sample:<salt>") so a
+# sample-then-split chain at the same salt stays independent (see
+# splits.deterministic_sample)
+_HB = portable_hash_sql_duckdb(
+    "concat('sample:v1:', CAST(doc_id AS VARCHAR))"
+)
 
 _SAMPLE_SQL = f"""
 SELECT doc_id FROM (SELECT doc_id, {_HB} % 1000000 AS b FROM documents)

@@ -47,11 +47,21 @@ def deterministic_sample(
     ``df.sample(fraction)``).  Stable under corpus appends (a doc's fate
     never changes), NESTED across fractions (a 1% sample is a subset of
     the 10% sample at the same salt — bucket ranges are prefixes), and
-    re-dealable via ``salt``."""
+    re-dealable via ``salt``.
+
+    The hash domain is PREFIXED with the operation name ("sample:"), so
+    sampling is statistically independent of :func:`assign_split` at the
+    same salt — without the prefix a 37% sample would occupy exactly the
+    split function's LOW buckets, and a later train/val/test assignment
+    over the sample would find its val/test ranges EMPTY (both are
+    bucket-prefix filters over the same hash).  Pinned by
+    tests/test_training_ops.py::TestDeterministicSampling."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     edge = round(fraction * BUCKETS)
-    return df.filter(_bucket(id_col, salt, hash_mode) < F.lit(edge))
+    return df.filter(
+        _bucket(id_col, f"sample:{salt}", hash_mode) < F.lit(edge)
+    )
 
 
 def stratified_sample(
@@ -85,7 +95,10 @@ def stratified_sample(
         if edge is None
         else edge.otherwise(F.lit(round(default_rate * BUCKETS)))
     )
-    return df.filter(_bucket(id_col, salt, hash_mode) < edge)
+    # same operation-prefixed hash domain as deterministic_sample (and
+    # nested/consistent with it: a stratum at rate r keeps exactly the
+    # docs a plain sample at fraction r would)
+    return df.filter(_bucket(id_col, f"sample:{salt}", hash_mode) < edge)
 
 
 def assign_split(

@@ -1109,6 +1109,30 @@ class TestDeterministicSampling:
         frac7 = by_src.get("src7", 0) / totals["src7"]
         assert 0.05 < frac7 < 0.5                         # ~0.25
 
+    def test_sample_then_split_stays_independent(self, spark, docs):
+        """A sampled corpus must still split into ALL labels: sampling and
+        splitting hash DIFFERENT domains (operation-prefixed salts), so
+        the 37% sample is not simply the split function's low buckets —
+        which would leave val/test empty."""
+        from ocr_spark.operators.splits import (
+            assign_split,
+            deterministic_sample,
+        )
+
+        sampled = deterministic_sample(docs, 0.37)
+        counts = {
+            r.split: r["count"]
+            for r in assign_split(
+                sampled, {"train": 0.8, "val": 0.1, "test": 0.1}
+            )
+            .groupBy("split")
+            .count()
+            .collect()
+        }
+        assert set(counts) == {"train", "val", "test"}, counts
+        total = sum(counts.values())
+        assert abs(counts["train"] / total - 0.8) < 0.15
+
     def test_bad_rates_rejected(self, spark, docs):
         from ocr_spark.operators.splits import (
             deterministic_sample,
