@@ -96,6 +96,11 @@ def filter_blocked_domains(
         df.join(F.broadcast(blocked_df.withColumnRenamed('domain','_b')),
                 on=host_of(F.col('url')) == F.col('_b'), how='left_anti')
     """
+    if not blocked:
+        # an empty array() literal is array<null>: the exists() lambda
+        # would null-propagate and the filter would drop EVERY row — an
+        # empty blocklist must block nothing
+        return df
     tmp = "_host"
     while tmp in df.columns:
         tmp += "_"

@@ -1038,6 +1038,17 @@ class TestCorpusCuration:
             "fineweb.org", "notexample.com",
         ]
 
+    def test_empty_blocklist_blocks_nothing(self, spark):
+        """Regression: an empty array() literal is array<null>, whose
+        exists() null-propagates — an empty blocklist must keep all rows,
+        not drop them."""
+        from ocr_spark.operators.urls import filter_blocked_domains
+
+        df = spark.createDataFrame(
+            [(1, "https://a.example.com/x")], "doc_id long, url string"
+        )
+        assert filter_blocked_domains(df, []).count() == 1
+
     def test_blocked_domains_is_pure_filter_no_join(self, spark, docs):
         """A literal blocklist must stay a projection-side filter (no
         join, no exchange) so Catalyst can push it toward the scan."""
