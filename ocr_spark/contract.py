@@ -1626,14 +1626,20 @@ def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Sequence-packing manifest (concat-and-chunk, seq_len=512): one global
-# integer running sum + per-doc chunk explode; all integer arithmetic.
+# Sequence-packing manifest (concat-and-chunk, seq_len=512): a global
+# integer running sum (two-phase distributed prefix on the Spark side)
+# + per-doc chunk explode; all integer arithmetic.  The window sum is
+# CAST to BIGINT — DuckDB widens sum(BIGINT) to HUGEINT (arrow
+# decimal128(38,0)) which would propagate through greatest/least into
+# doc_start/doc_end and fail the driver's typed value hash (the r3 red
+# row; CLAUDE.md "DuckDB HUGEINT sums" trap).
 _PACK_SQL = """
 WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
            FROM documents),
 o AS (SELECT doc_id, n_tok,
-        COALESCE(sum(n_tok) OVER (ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS off
       FROM t),
 c AS (SELECT doc_id, n_tok, off,
         unnest(generate_series(CAST(floor(off / 512) AS BIGINT),
@@ -1641,8 +1647,8 @@ c AS (SELECT doc_id, n_tok, off,
                                     AS BIGINT))) AS chunk_id
       FROM o)
 SELECT chunk_id, doc_id,
-       greatest(chunk_id * 512 - off, 0) AS doc_start,
-       least((chunk_id + 1) * 512 - off, n_tok) AS doc_end,
+       CAST(greatest(chunk_id * 512 - off, 0) AS BIGINT) AS doc_start,
+       CAST(least((chunk_id + 1) * 512 - off, n_tok) AS BIGINT) AS doc_end,
        CAST(n_tok AS INTEGER) AS n_tok
 FROM c
 """
@@ -1651,9 +1657,48 @@ FROM c
 def _q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.packing import pack_sequences
 
+    # bucket_size=64 so even sf0.01's 500 dense ids exercise the real
+    # two-phase prefix (8 buckets), not a degenerate single bucket
     return pack_sequences(
-        _t(spark, sf_dir, "documents"), seq_len=512
+        _t(spark, sf_dir, "documents"), seq_len=512, bucket_size=64
     )
+
+
+# Tokenizer-export join: manifest slices → per-chunk token stream.  The
+# oracle re-derives the manifest inline (same casts as _PACK_SQL) and
+# concatenates slices in doc_id order via list(... ORDER BY doc_id).
+_PACK_EXPORT_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+o AS (SELECT doc_id, toks, n_tok,
+        CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS off
+      FROM t),
+c AS (SELECT doc_id, toks, n_tok, off,
+        unnest(generate_series(CAST(floor(off / 512) AS BIGINT),
+                               CAST(floor((off + n_tok - 1) / 512)
+                                    AS BIGINT))) AS chunk_id
+      FROM o),
+s AS (SELECT chunk_id, doc_id,
+        toks[CAST(greatest(chunk_id * 512 - off, 0) + 1 AS BIGINT):
+             CAST(least((chunk_id + 1) * 512 - off, n_tok) AS BIGINT)]
+          AS piece
+      FROM c)
+SELECT chunk_id,
+       flatten(list(piece ORDER BY doc_id)) AS token_ids,
+       CAST(len(flatten(list(piece ORDER BY doc_id))) AS INTEGER) AS n_tok
+FROM s GROUP BY chunk_id
+"""
+
+
+def _q_pack_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import pack_export, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    manifest = pack_sequences(docs, seq_len=512, bucket_size=64)
+    return pack_export(manifest, docs)
 
 
 # Hour-bucketed event rollup — the batch twin of the watermarked
@@ -1757,6 +1802,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "corpus_sample": (_q_sample, _SAMPLE_SQL),
     "corpus_stratified_sample": (_q_stratified, _STRATIFIED_SQL),
     "corpus_pack_manifest": (_q_pack, _PACK_SQL),
+    "corpus_pack_export": (_q_pack_export, _PACK_EXPORT_SQL),
     # PII scrubbing + duplicate-line stats
     "pii_scrub": (_q_pii_scrub, _pii_sql()),
     "text_dup_lines": (_q_dup_lines, _DUP_LINES_SQL),

@@ -1230,3 +1230,59 @@ class TestSequencePacking:
             assert width <= 16
         total = sum(by_chunk.values())
         assert total == sum(7 + i * 3 for i in range(20))
+
+    def test_manifest_invariant_to_bucket_size(self, spark):
+        """The two-phase prefix sum (phase1 local window + phase2 driver
+        cumsum of bucket totals) must produce the identical manifest for
+        ANY bucket granularity — including sparse, non-dense ids."""
+        from ocr_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i * 13 + 5, " ".join(f"t{i}_{j}" for j in range(3 + i * 5)))
+             for i in range(25)],
+            "doc_id long, text string",
+        )
+        expect = None
+        for bs in (1, 3, 7, 1 << 22):
+            rows = sorted(
+                tuple(r) for r in pack_sequences(
+                    df, seq_len=32, bucket_size=bs
+                ).collect()
+            )
+            if expect is None:
+                expect = rows
+            assert rows == expect, f"bucket_size={bs}"
+
+    def test_manifest_rejects_non_numeric_ids(self, spark):
+        from ocr_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [("a", "x y z")], "doc_id string, text string"
+        )
+        with pytest.raises(TypeError, match="numeric"):
+            pack_sequences(df, seq_len=8)
+
+    def test_export_chunks_exact_and_roundtrip(self, spark):
+        """Every chunk except the stream's last is exactly seq_len tokens,
+        and concatenating chunks in chunk_id order round-trips the
+        concatenation of all documents' tokens in doc_id order."""
+        from ocr_spark.operators.packing import pack_export, pack_sequences
+
+        texts = [
+            (i, " ".join(f"w{i}_{j}" for j in range(1 + (i * 7) % 40)))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        manifest = pack_sequences(df, seq_len=16, bucket_size=8)
+        chunks = {
+            r.chunk_id: list(r.token_ids)
+            for r in pack_export(manifest, df).collect()
+        }
+        assert sorted(chunks) == list(range(len(chunks)))
+        last = max(chunks)
+        for cid, toks in chunks.items():
+            n = len(toks)
+            assert n == 16 if cid < last else 0 < n <= 16, cid
+        stream = [t for cid in sorted(chunks) for t in chunks[cid]]
+        want = [t for _, text in texts for t in text.split(" ")]
+        assert stream == want

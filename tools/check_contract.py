@@ -1,7 +1,13 @@
 """Local mimic of the driver's correctness gate: run every queries() entry
 on Spark and its oracle_sql() twin on DuckDB at the same sf, compare
-row-count + column names + order-insensitive values (columns sorted by
-name, exact equality — the hash analogue).
+row-count + column names + COLUMN TYPES + order-insensitive values
+(columns sorted by name, exact equality — the hash analogue).
+
+The type check goes through Arrow on BOTH engines (`DataFrame.toArrow()`
+vs `fetch_arrow_table()`): Python-value equality alone cannot see a
+DuckDB HUGEINT (arrow decimal128(38,0)) masquerading as a Spark BIGINT
+(arrow int64) — exactly how the r3 `corpus_pack_manifest` red row
+shipped while this gate was green (VERDICT r3 "Next round" #2).
 
 Usage: python tools/check_contract.py [sf_dir] [name ...]
 """
@@ -21,6 +27,35 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+
+def arrow_type(t) -> str:
+    """Normalized type tag for an Arrow type: insensitive to large_
+    variants, nullability, and timestamp unit/zone; every width-bearing
+    distinction (int32 vs int64 vs decimal) survives — those are the
+    distinctions the driver's typed value hash sees."""
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{arrow_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def type_map(table) -> dict[str, str]:
+    return {f.name: arrow_type(f.type) for f in table.schema}
 
 
 def norm(v):
@@ -68,6 +103,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            s_types = type_map(sdf.limit(0).toArrow())
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -79,9 +115,12 @@ def main() -> int:
             )
             continue
         try:
-            cur = con.execute(oracles[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            d_tab = con.execute(oracles[name]).fetch_arrow_table()
+            d_cols = d_tab.column_names
+            d_rows = [
+                tuple(d[c] for c in d_cols) for d in d_tab.to_pylist()
+            ]
+            d_types = type_map(d_tab)
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -91,6 +130,14 @@ def main() -> int:
             ok = False
             print(f"FAIL  {name}: cols spark={sorted(s_cols)} "
                   f"duck={sorted(d_cols)}")
+        elif s_types != d_types:
+            ok = False
+            bad = {
+                c: (s_types.get(c), d_types.get(c))
+                for c in s_types
+                if s_types.get(c) != d_types.get(c)
+            }
+            print(f"FAIL  {name}: type mismatch (spark, duck): {bad}")
         elif len(s_rows) != len(d_rows):
             ok = False
             print(f"FAIL  {name}: rows spark={len(s_rows)} "
