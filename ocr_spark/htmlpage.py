@@ -586,12 +586,23 @@ def html_page(
     when no content blocks survive the boilerplate strip.  Giant inputs
     are truncated (see ``MAX_HTML_BYTES``); the page dict then carries
     ``"truncated": True`` for lineage."""
+    return _page_and_truncated(data, max_bytes)[0]
+
+
+def _page_and_truncated(
+    data: bytes, max_bytes: int | None
+) -> tuple[dict | None, bool]:
+    """(page-or-None, truncated) — the truncated flag reflects BOTH decode
+    guards (byte cap, block cap) even when zero blocks survive the
+    boilerplate strip, so ``html_doc`` can report guard hits on zero-page
+    documents (the r3 ADVICE fix: a giant page whose surviving blocks
+    were all boilerplate used to report ``truncated=False``)."""
     blocks, truncated = _parse_blocks(data, max_bytes=max_bytes)
     if len(blocks) > MAX_HTML_BLOCKS:
         blocks = blocks[:MAX_HTML_BLOCKS]
         truncated = True
     if not blocks:
-        return None
+        return None, truncated
     layout: list[dict] = []
     native: list[dict] = []
     y = 72.0
@@ -616,18 +627,18 @@ def html_page(
         "native_lines": native,
         "ocr_lines": [],
         "truncated": truncated,
-    }
+    }, truncated
 
 
 def html_doc(data: bytes, max_bytes: int | None = MAX_HTML_BYTES) -> dict:
     """HTML bytes → doc dict (decode_doc shape): one virtual page, or zero
     pages when the document is pure boilerplate.  ``"truncated"`` is True
-    when the decode guard cut the input (lineage — never silent); the
-    stored ``page_bytes`` are the TRUNCATED bytes, so the paged plan's
-    re-parse reproduces the same blocks bit-for-bit and never ships the
-    unbounded payload through its shuffle."""
-    page = html_page(data, max_bytes=max_bytes)
-    truncated = bool(page and page.get("truncated"))
+    when a decode guard cut the input — INCLUDING when zero pages survive
+    the boilerplate strip (lineage — never silent); the stored
+    ``page_bytes`` are the TRUNCATED bytes, so the paged plan's re-parse
+    reproduces the same blocks bit-for-bit and never ships the unbounded
+    payload through its shuffle."""
+    page, truncated = _page_and_truncated(data, max_bytes)
     if max_bytes is not None and len(data) > max_bytes:
         # ship only the decoded prefix downstream (paged-plan page_bytes);
         # a page flagged for the BLOCK cap alone keeps its full (bounded)

@@ -390,16 +390,25 @@ def simhash(
     BIT — the CLAUDE.md inlined-array-build trap.  The fix references the
     arrays only as fold INPUTS (never inside a lambda body), so even
     CollapseProject inlining them into one projection leaves them
-    evaluated once per row."""
+    evaluated once per row.
+
+    NULL text coalesces to ``''`` BEFORE the split in both strategies
+    (the r3 ADVICE fix: the explode path used to drop NULL-text rows
+    entirely while hof kept them with a NULL signature, so 'auto' changed
+    output cardinality with ``bits``).  A NULL-text document therefore
+    gets the empty-string signature in every strategy and every row
+    survives."""
     if strategy == "auto":
         strategy = "explode" if bits > 16 else "hof"
     if hash_mode == "portable":
         th = "CAST(conv(substr(md5(t), 1, 12), 16, 10) AS BIGINT)"
     else:
         th = "xxhash64(t)"
+    text = f"coalesce({text_col}, '')"
     if strategy == "explode":
         tok = df.select(
-            id_col, F.explode(F.split(F.col(text_col), " ")).alias("t")
+            id_col,
+            F.explode(F.split(F.expr(text), " ")).alias("t"),
         )
         h = tok.select(id_col, F.expr(th).alias("h"))
         aggs = [
@@ -412,7 +421,7 @@ def simhash(
             for j in range(bits)
         )
         return sums.select(id_col, F.expr(sig).alias("simhash"))
-    hashes = f"transform(split({text_col}, ' '), t -> {th})"
+    hashes = f"transform(split({text}, ' '), t -> {th})"
     bit_sum = (
         f"aggregate({hashes}, array_repeat(0L, {bits}), (acc, hv) -> "
         f"zip_with(acc, sequence(0, {bits - 1}), (c, j) -> "

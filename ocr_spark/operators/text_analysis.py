@@ -269,9 +269,14 @@ def c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.expr(f"contains(lower({text_col}), 'lorem ipsum')").alias(
             "c4_has_lorem"
         ),
+        # array_intersect keeps DISTINCT stop words present — identical
+        # count to the old per-stopword filter, but the lowered word
+        # array is built ONCE as a plain function argument (never inside
+        # a lambda body, where CollapseProject's inlining would
+        # re-evaluate the split per stopword — the r3 ADVICE finding)
         F.expr(
-            f"size(filter(array({stop8}), "
-            f"w -> array_contains(split(lower({text_col}), ' '), w)))"
+            f"size(array_intersect(array({stop8}), "
+            f"split(lower({text_col}), ' ')))"
         ).alias("c4_n_stop8"),
     ).drop(tmp)
     return out.select(

@@ -574,6 +574,22 @@ class TestGiantHtmlGuard:
             assert g.text == oracle["text"], mode
             assert oracle["truncated_pages"] == 1
 
+    def test_zero_page_giant_doc_still_reports_truncated(self):
+        """A giant document cut by the byte cap whose SURVIVING blocks are
+        all boilerplate (zero pages) must still report truncated=True —
+        guard hits are never silent, even when no content survives (the
+        r4 ADVICE fix: the flag used to derive from the page dict, which
+        is None here)."""
+        filler = "<nav>" + "menu item " * 200 + "</nav>"  # boilerplate-only
+        html = ("<html><body>" + filler * 12000 + "</body></html>").encode()
+        assert len(html) > htmlpage.MAX_HTML_BYTES
+        assert htmlpage.html_page(html) is None  # nothing survives
+        doc = htmlpage.html_doc(html)
+        assert doc["pages"] == []
+        assert doc["truncated"] is True
+        oracle = extract_document(html, "en")
+        assert oracle["truncated_pages"] == 1
+
     def test_block_count_cap_bounds_dense_listings(self):
         """Thousands of tiny blocks under the byte limit are still a
         kernel straggler (the probe/consolidate loops are O(blocks x
