@@ -1740,27 +1740,25 @@ def _q_events_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # registry
 
+#
+# ORDERING MATTERS: the driver checks a finite prefix of this registry
+# (~50 entries in r3, which left the then-last four oracle-checked rows
+# unrecorded — VERDICT r3 "Next round" #3).  Entries are therefore ranked
+# by evidence value: (1) the newest / previously-unchecked rows first,
+# (2) every operator whose Spark implementation is an independent plan
+# checked against a hand-written DuckDB oracle, (3) the six shared-SQL
+# engine-parity twins (the SAME SQL string runs on both engines — they
+# prove engine parity only; the kernels' real gate is the golden pytest
+# suite), and (4) the two rows-only non-SQL-expressible checks last.
 _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # extraction-semantic analogues (SURVEY.md §2: J1-J3, A1-A4, O1, P1-P5,
-    # F3/F7, S6)
-    "ext_overlap_join": (
-        _run_shared_sql(["part", "supplier"], _OVERLAP_SQL), _OVERLAP_SQL),
-    "ext_coverage_agg": (
-        _run_shared_sql(["part", "supplier"], _COVERAGE_SQL), _COVERAGE_SQL),
-    "ext_bbox_union": (
-        _run_shared_sql(["lineitem"], _BBOX_UNION_SQL), _BBOX_UNION_SQL),
-    "ext_block_sort": (
-        _run_shared_sql(["events"], _BLOCK_SORT_SQL), _BLOCK_SORT_SQL),
-    "ext_scalar_funcs": (
-        _run_shared_sql(["events"], _SCALAR_SQL), _SCALAR_SQL),
-    "ext_raster_cap": (
-        _run_shared_sql(["lineitem"], _RASTER_CAP_SQL), _RASTER_CAP_SQL),
-    "ext_ignore_predicates": (_q_ignore_predicates, _IGNORE_SQL),
-    "ext_text_assembly": (_q_text_assembly, _ASSEMBLY_SQL),
-    "ext_resume_anti_join": (_q_resume_anti_join, _RESUME_SQL),
-    "ext_status_counts": (_q_status_counts, _STATUS_SQL),
-    "ext_empty_line_filter": (_q_empty_line_filter, _EMPTY_SQL),
-    # training-data dedup
+    # (1) newest + previously-unchecked oracle rows
+    "corpus_pack_manifest": (_q_pack, _PACK_SQL),
+    "corpus_pack_export": (_q_pack_export, _PACK_EXPORT_SQL),
+    "extract_html": (_q_extract_html, _HTML_SQL),
+    "decontam_overlap": (_q_decontam_overlap, _DECONTAM_SQL),
+    "decontam_clean_corpus": (_q_decontam_clean, _DECONTAM_CLEAN_SQL),
+    "corpus_domain_stats": (_q_domain_stats, _DOMAIN_SQL),
+    # (2) independent-plan oracle rows — training-data dedup
     "dedup_exact": (_q_exact_dedup, _EXACT_DEDUP_SQL),
     "dedup_filtered_corpus": (_q_dedup_filtered_corpus, _DEDUP_FILTER_SQL),
     "dedup_url_canonical": (_q_url_dedup, _URL_DEDUP_SQL),
@@ -1797,22 +1795,34 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "mm_media_meta": (_q_media_meta, _MEDIA_SQL),
     "mm_features": (_q_media_features, _FEATURES_SQL),
     "mm_sample_frames": (_q_sample_frames, _FRAMES_SQL),
-    # deterministic dataset split
+    # deterministic dataset split + PII + duplicate-line stats
     "corpus_split": (_q_assign_split, _SPLIT_SQL),
     "corpus_sample": (_q_sample, _SAMPLE_SQL),
     "corpus_stratified_sample": (_q_stratified, _STRATIFIED_SQL),
-    "corpus_pack_manifest": (_q_pack, _PACK_SQL),
-    "corpus_pack_export": (_q_pack_export, _PACK_EXPORT_SQL),
-    # PII scrubbing + duplicate-line stats
     "pii_scrub": (_q_pii_scrub, _pii_sql()),
     "text_dup_lines": (_q_dup_lines, _DUP_LINES_SQL),
-    # benchmark decontamination + per-domain rollup
-    "decontam_overlap": (_q_decontam_overlap, _DECONTAM_SQL),
-    "decontam_clean_corpus": (_q_decontam_clean, _DECONTAM_CLEAN_SQL),
-    "corpus_domain_stats": (_q_domain_stats, _DOMAIN_SQL),
-    # HTML extraction roundtrip (oracle-checked end-to-end)
-    "extract_html": (_q_extract_html, _HTML_SQL),
-    # extraction pipeline (non-SQL-expressible: rows-only checks)
+    # extraction-semantic analogues with independent Spark plans
+    # (SURVEY.md §2: P1-P5, F3/F7, S6, A2, A4)
+    "ext_ignore_predicates": (_q_ignore_predicates, _IGNORE_SQL),
+    "ext_text_assembly": (_q_text_assembly, _ASSEMBLY_SQL),
+    "ext_resume_anti_join": (_q_resume_anti_join, _RESUME_SQL),
+    "ext_status_counts": (_q_status_counts, _STATUS_SQL),
+    "ext_empty_line_filter": (_q_empty_line_filter, _EMPTY_SQL),
+    # (3) shared-SQL engine-parity twins (SURVEY.md §2: J1-J3, A1, A3, O1,
+    # S7)
+    "ext_overlap_join": (
+        _run_shared_sql(["part", "supplier"], _OVERLAP_SQL), _OVERLAP_SQL),
+    "ext_coverage_agg": (
+        _run_shared_sql(["part", "supplier"], _COVERAGE_SQL), _COVERAGE_SQL),
+    "ext_bbox_union": (
+        _run_shared_sql(["lineitem"], _BBOX_UNION_SQL), _BBOX_UNION_SQL),
+    "ext_block_sort": (
+        _run_shared_sql(["events"], _BLOCK_SORT_SQL), _BLOCK_SORT_SQL),
+    "ext_scalar_funcs": (
+        _run_shared_sql(["events"], _SCALAR_SQL), _SCALAR_SQL),
+    "ext_raster_cap": (
+        _run_shared_sql(["lineitem"], _RASTER_CAP_SQL), _RASTER_CAP_SQL),
+    # (4) extraction pipeline (non-SQL-expressible: rows-only checks)
     "extract_flagship": (_q_extract_flagship, None),
     "extract_metrics": (_q_extract_metrics, None),
 }
