@@ -82,13 +82,24 @@ def main() -> int:
     t0 = time.time()
     summary: dict = {}
 
-    docs = spark.read.parquet(args.input)
-    if "status" in docs.columns:
-        docs = docs.filter(F.col("status") == "COMPLETED")
-    docs = docs.select("url", "text").withColumn(
+    raw = spark.read.parquet(args.input)
+    if "status" in raw.columns:
+        raw = raw.filter(F.col("status") == "COMPLETED")
+    docs = raw.select("url", "text").withColumn(
         "doc_id", F.xxhash64("url")
     )
-    summary["input_docs"] = docs.count()
+    if "truncated_pages" in raw.columns:
+        # decode-guard hits travel with the corpus: surface the total in
+        # the summary so a curator sees truncated extractions even if
+        # they never look at the column (never-silent policy)
+        row = raw.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("truncated_pages"), F.lit(0)).alias("trunc"),
+        ).collect()[0]
+        summary["input_docs"] = row["n"]
+        summary["input_truncated_pages"] = int(row["trunc"])
+    else:
+        summary["input_docs"] = docs.count()
 
     if args.blocklist:
         from ocr_spark.operators.urls import filter_blocked_domains

@@ -35,6 +35,27 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def _summarize_output(extracted, result: dict) -> None:
+    """One aggregation pass over the output table: doc count, the
+    decode-guard `truncated_pages` total, and the FAILED count.  Guard
+    hits must reach the job's final JSON line — the never-silent policy
+    has to survive operators who never read the column docs (r3 VERDICT
+    "Next round" #7)."""
+    from pyspark.sql import functions as F
+
+    row = extracted.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("truncated_pages"), F.lit(0)).alias("trunc"),
+        F.coalesce(
+            F.sum(F.when(F.col("status") == "FAILED", 1).otherwise(0)),
+            F.lit(0),
+        ).alias("failed"),
+    ).collect()[0]
+    result["docs_in_output"] = row["n"]
+    result["truncated_pages_total"] = int(row["trunc"])
+    result["failed_docs"] = int(row["failed"])
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
@@ -84,7 +105,7 @@ def main() -> int:
             )
         extracted = extract_from_path(spark, args.input, cfg)
         extracted.write.mode("overwrite").parquet(args.output)
-        result["docs_in_output"] = spark.read.parquet(args.output).count()
+        _summarize_output(spark.read.parquet(args.output), result)
     else:
         pages = (
             spark.read.table(args.input)
@@ -99,10 +120,8 @@ def main() -> int:
         result["docs_attempted_this_pass"] = run_resumable(
             pages, args.output, cfg, max_attempts=args.max_attempts
         )
-        result["docs_in_output"] = (
-            read_extracted(spark, args.output, latest_only=True)
-            .select("url")
-            .count()
+        _summarize_output(
+            read_extracted(spark, args.output, latest_only=True), result
         )
     result["seconds"] = round(time.time() - t0, 1)
     print(json.dumps(result))

@@ -41,6 +41,10 @@ def extracted_dir(spark, tmp_path_factory):
     )
     assert summary["docs_attempted_this_pass"] == 30
     assert summary["docs_in_output"] == 30
+    # cap-audit / guard totals always appear in the final JSON line —
+    # the never-silent policy must survive operators who don't read docs
+    assert summary["truncated_pages_total"] == 0
+    assert summary["failed_docs"] == 0
     return out
 
 
@@ -56,6 +60,32 @@ class TestJobs:
         )
         assert summary["docs_attempted_this_pass"] == 0
         assert summary["docs_in_output"] == 30
+
+    def test_extract_job_surfaces_guard_hits(self, tmp_path):
+        """A giant HTML document cut by the decode guards must surface as
+        a nonzero truncated_pages_total in the job's final JSON line —
+        the never-silent policy at the deployment surface."""
+        from ocr_spark import htmlpage
+        from ocr_spark.fixtures import generate_html_rows, write_rows_parquet
+
+        rows = generate_html_rows(3)
+        block = "<p>" + "word " * 120 + "</p>"
+        giant = "<html><body>" + block * 8000 + "</body></html>"
+        assert len(giant) > htmlpage.MAX_HTML_BYTES
+        rows[0]["html"] = giant.encode()
+        pages = tmp_path / "giant_pages.parquet"
+        write_rows_parquet(pages, rows)
+        out = tmp_path / "extracted_giant"
+        summary = _run(
+            [
+                "jobs/extract_job.py",
+                "--input", str(pages),
+                "--output", str(out),
+            ]
+        )
+        assert summary["docs_in_output"] == 3
+        assert summary["truncated_pages_total"] >= 1
+        assert summary["failed_docs"] == 0
 
     def test_curate_job_full_chain(self, extracted_dir, tmp_path):
         blocklist = tmp_path / "blocked.txt"
@@ -76,6 +106,7 @@ class TestJobs:
             ]
         )
         assert summary["input_docs"] == 30
+        assert summary["input_truncated_pages"] == 0  # guard total surfaced
         assert summary["lsh_capped_buckets"] == 0  # audit always reported
         assert summary["output_docs"] > 0
         # the curated table is readable and split-labeled
