@@ -295,16 +295,49 @@ sig AS (SELECT doc_id, {_MINHASH_COLS} FROM h GROUP BY doc_id)
 
 _MINHASH_SQL = f"WITH {_MINHASH_CTE} SELECT * FROM sig"
 
-_LSH_SQL = f"""
-WITH {_MINHASH_CTE},
+_LSH_PAIRS_CTE = f"""
+{_MINHASH_CTE},
 bands AS (
   SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS key FROM sig
   UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
   UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
-  UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig),
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+"""
+
+_LSH_SQL = f"WITH {_LSH_PAIRS_CTE} SELECT doc_a, doc_b FROM prs"
+
+# Connected components of the LSH pair graph: the oracle computes the
+# full transitive closure with a recursive CTE (fine at oracle scale;
+# the Spark operator is iterative min-label propagation instead —
+# closure materialization is quadratic per component and would not
+# scale).  cluster_id = min doc id of the component on both engines.
+_REACH_CTE = """
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION SELECT doc_b, doc_a FROM prs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+"""
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_LSH_PAIRS_CTE},
+{_REACH_CTE}
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+_CLUSTER_CORPUS_SQL = f"""
+WITH RECURSIVE {_LSH_PAIRS_CTE},
+{_REACH_CTE}
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (
+  SELECT src FROM reach GROUP BY src HAVING least(src, min(dst)) <> src)
 """
 
 _JACCARD_SQL = f"""
@@ -503,6 +536,25 @@ def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_mode="portable",
     )
     return dedup.lsh_candidate_pairs(sigs, "doc_id", num_perm=8, bands=4)
+
+
+def _lsh_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, num_perm=8,
+        hash_mode="portable",
+    )
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", num_perm=8, bands=4)
+
+
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.connected_components(_lsh_pairs_portable(spark, sf_dir))
+
+
+def _q_cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_by_clusters(
+        _t(spark, sf_dir, "documents"),
+        _lsh_pairs_portable(spark, sf_dir),
+    ).select("doc_id", "n_chars")
 
 
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1758,6 +1810,8 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "decontam_overlap": (_q_decontam_overlap, _DECONTAM_SQL),
     "decontam_clean_corpus": (_q_decontam_clean, _DECONTAM_CLEAN_SQL),
     "corpus_domain_stats": (_q_domain_stats, _DOMAIN_SQL),
+    "dedup_clusters": (_q_dup_clusters, _CLUSTERS_SQL),
+    "dedup_cluster_corpus": (_q_cluster_corpus, _CLUSTER_CORPUS_SQL),
     # (2) independent-plan oracle rows — training-data dedup
     "dedup_exact": (_q_exact_dedup, _EXACT_DEDUP_SQL),
     "dedup_filtered_corpus": (_q_dedup_filtered_corpus, _DEDUP_FILTER_SQL),

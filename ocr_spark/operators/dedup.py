@@ -547,3 +547,117 @@ def embedding_near_dup(
     from .similarity import cosine_pairs
 
     return cosine_pairs(df, vec_col, id_col, threshold, max_bucket=max_bucket)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: near-dup PAIRS → (doc_id, cluster_id)
+    where ``cluster_id`` is the smallest doc id in the connected
+    component.  The missing last stage of the near-dup pipeline — LSH /
+    simhash / Jaccard emit pairs, but dedup decisions are per CLUSTER
+    (keep one representative per component, not one per pair: with pairs
+    alone, A~B and B~C can each keep a different winner and the corpus
+    retains two near-copies of the same content).
+
+    Algorithm: iterative min-label propagation.  Every node starts with
+    its own id as label; each round every node takes the minimum of its
+    label and its neighbors' labels.  One round = one equi-join
+    (edges ⋈ labels, hash-partitioned on the id) + one map-side-combined
+    min aggregate — no cross joins, no windows.  Labels flow one hop per
+    round, so rounds = component diameter; near-dup graphs are
+    bucket-generated (every LSH band bucket contributes a clique), so
+    real diameters are tiny — chains only arise from overlapping buckets.
+    Lineage is truncated every round with ``localCheckpoint`` (on a
+    cluster prefer ``spark.sparkContext.setCheckpointDir`` + reliable
+    ``checkpoint`` so a lost executor doesn't recompute the whole
+    history).
+
+    Convergence is CHECKED, not assumed: if labels are still moving after
+    ``max_iterations`` rounds the operator raises rather than returning a
+    silently-partial clustering (the never-silent policy).  Output is
+    deterministic — min over int64 ids — and partitioning-invariant.
+
+    Scale posture: per-round cost is O(|edges|) shuffle on high-cardinality
+    ids (no skew beyond what a degenerate bucket already put in the pair
+    list — cap those at pair generation with ``max_bucket``).  At 10^12
+    docs the edge list, not the corpus, is the working set; components of
+    deduplicated web corpora are overwhelmingly size ≤ tens, so rounds
+    stay in single digits.
+    """
+    edges = (
+        pairs.select(
+            F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(
+            F.col("label") != F.col("old_label")
+        ).count()
+        labels = stepped.drop("old_label")
+        if changed == 0:
+            return labels.select(
+                F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        f"rounds — the pair graph has a component with diameter > "
+        f"{max_iterations}; raise max_iterations (or cap degenerate "
+        f"buckets at pair generation)"
+    )
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Cluster-aware near-dup removal: keep the min-id representative of
+    every connected component of the pair graph, keep all unpaired docs.
+    The end-to-end operator a curation pipeline calls after
+    :func:`lsh_candidate_pairs` / :func:`simhash_near_dup_pairs` —
+    transitive closure means A~B~C keeps exactly one of the three even
+    though (A,C) was never emitted as a pair.
+
+    One anti-join against the (small) loser list: members of a component
+    whose id is not the component minimum."""
+    losers = (
+        connected_components(pairs, a_col, b_col)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -184,6 +184,29 @@ class TestNewOperatorPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_cluster_dedup_anti_join_shape(self, spark):
+        """dedup_by_clusters: the corpus-side anti-join against the loser
+        list must be a hash/broadcast anti-join (never a nested-loop),
+        and the eager component rounds inside are equi-joins by
+        construction — the lazy tail is the part a 100-TB corpus scan
+        flows through."""
+        from ocr_spark.operators.dedup import dedup_by_clusters
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 9)], "doc_a long, doc_b long"
+        )
+        plan = (
+            dedup_by_clusters(docs, pairs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        plan = plan.split("== Initial Plan ==", 1)[0]
+        assert "LeftAnti" in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_cosine_bruteforce_two_stage_window(self, spark):
         """The exact brute-force rank must pre-reduce per (query, salt)
         before the per-query window, so the final window's input is

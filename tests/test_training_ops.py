@@ -1286,3 +1286,93 @@ class TestSequencePacking:
         stream = [t for cid in sorted(chunks) for t in chunks[cid]]
         want = [t for _, text in texts for t in text.split(" ")]
         assert stream == want
+
+
+class TestConnectedComponents:
+    """Duplicate-cluster assignment: min-label propagation vs a pure-
+    Python union-find ground truth, convergence audit, and the
+    end-to-end cluster-aware dedup."""
+
+    @staticmethod
+    def _union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical: every node -> min id of its component
+        comp = {}
+        for n in parent:
+            comp.setdefault(find(n), []).append(n)
+        return {
+            n: min(members)
+            for members in comp.values()
+            for n in members
+        }
+
+    def test_matches_union_find_on_random_graphs(self, spark):
+        import random
+
+        from ocr_spark.operators.dedup import connected_components
+
+        for seed in (7, 41, 1337):
+            rng = random.Random(seed)
+            nodes = list(range(200))
+            edges = [
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            expected = self._union_find(edges)
+            pairs = spark.createDataFrame(
+                edges, "doc_a long, doc_b long"
+            )
+            got = {
+                r.doc_id: r.cluster_id
+                for r in connected_components(pairs).collect()
+            }
+            assert got == expected, seed
+
+    def test_long_chain_converges(self, spark):
+        """A pure path graph (worst-case diameter) must still converge
+        within the iteration budget — labels flow one hop per round."""
+        from ocr_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
+        )
+        out = connected_components(pairs, max_iterations=25).collect()
+        assert {r.cluster_id for r in out} == {0}
+        assert len(out) == 21
+
+    def test_nonconvergence_raises_never_silent(self, spark):
+        from ocr_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iterations=2)
+
+    def test_dedup_by_clusters_transitive(self, spark):
+        """A~B and B~C must keep exactly ONE of the three (pairwise
+        winner-per-pair would keep two near-copies)."""
+        from ocr_spark.operators.dedup import dedup_by_clusters
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in (1, 2, 3, 50)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_a long, doc_b long"
+        )
+        kept = sorted(
+            r.doc_id for r in dedup_by_clusters(docs, pairs).collect()
+        )
+        assert kept == [1, 50]
