@@ -20,8 +20,10 @@ Local smoke::
 
 Stage order is fixed (cheapest-filter-first): URL blocklist → quality
 gates (Gopher + composite + C4 hard drops) → canonical-url + exact
-dedup → MinHash-LSH near-dup (EXPLICIT cap, audit count logged in the
-summary — the never-cap-silently contract) → corpus-global line dedup →
+dedup → MinHash-LSH near-dup with cluster-aware removal (connected
+components of the pair graph keep ONE representative per duplicate
+cluster; EXPLICIT cap, audit count logged in the summary — the
+never-cap-silently contract) → corpus-global line dedup →
 PII scrub → deterministic split/sample assignment.  Every stage is a
 pure DataFrame plan; the one JSON summary line reports what each stage
 removed so a production run is auditable end-to-end.
@@ -140,16 +142,25 @@ def main() -> int:
 
     if args.near_dup:
         from ocr_spark.operators.dedup import (
+            connected_components,
             lsh_candidate_pairs,
             lsh_hot_buckets,
             minhash_signatures,
         )
 
         sigs = minhash_signatures(docs, num_perm=8).cache()
-        losers = (
-            lsh_candidate_pairs(sigs, num_perm=8, max_bucket=args.max_bucket)
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
+        pairs = lsh_candidate_pairs(
+            sigs, num_perm=8, max_bucket=args.max_bucket
+        )
+        # cluster-aware removal: A~B~C keeps exactly one representative
+        # (pairwise doc_b removal could keep two near-copies of the same
+        # transitively-linked content)
+        components = connected_components(pairs)
+        losers = components.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+        summary["dup_clusters"] = (
+            components.select("cluster_id").distinct().count()
         )
         summary["lsh_capped_buckets"] = lsh_hot_buckets(
             sigs, num_perm=8, max_bucket=args.max_bucket

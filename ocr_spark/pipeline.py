@@ -53,19 +53,25 @@ _DIGITS_SQL_LITERAL = _DIGITS_SQL_PATTERN.replace("\\", "\\\\")
 
 # P3-P5 postprocess predicates (document.py:630-639) as one SQL rewrite of
 # the nested blocks column; `should_ignore` in kernels/postprocess.py is the
-# oracle twin.
+# oracle twin.  The block text is joined ONCE per block by the inner
+# transform (the struct field ``txt``) — inlining {_BLOCK_TEXT} directly
+# would rebuild the joined string for every RLIKE (the CLAUDE.md
+# inlined-array-build-in-lambda rule; cost bounded by lines-per-block,
+# but two joins per block is still one too many).
 POSTPROCESS_BLOCKS_EXPR = f"""
-transform(blocks, b ->
-  named_struct(
-    'i', b.i,
-    'bbox', b.bbox,
-    'type',
-      CASE WHEN {_BLOCK_TEXT} RLIKE '{_HEADING_SQL_LITERAL}'
-             OR {_BLOCK_TEXT} RLIKE '{_DIGITS_SQL_LITERAL}'
-             OR (b.type = 'abandon'
-                 AND NOT exists(b.lines, l -> length(l.content) > 4))
-           THEN 'ignore' ELSE b.type END,
-    'lines', b.lines))
+transform(
+  transform(blocks, b -> named_struct('b', b, 'txt', {_BLOCK_TEXT})),
+  x ->
+    named_struct(
+      'i', x.b.i,
+      'bbox', x.b.bbox,
+      'type',
+        CASE WHEN x.txt RLIKE '{_HEADING_SQL_LITERAL}'
+               OR x.txt RLIKE '{_DIGITS_SQL_LITERAL}'
+               OR (x.b.type = 'abandon'
+                   AND NOT exists(x.b.lines, l -> length(l.content) > 4))
+             THEN 'ignore' ELSE x.b.type END,
+      'lines', x.b.lines))
 """
 
 # A2 — hierarchical text assembly (document.py:196-207, :328, :389, :150):

@@ -108,6 +108,7 @@ class TestJobs:
         assert summary["input_docs"] == 30
         assert summary["input_truncated_pages"] == 0  # guard total surfaced
         assert summary["lsh_capped_buckets"] == 0  # audit always reported
+        assert "dup_clusters" in summary  # cluster-aware near-dup ran
         assert summary["output_docs"] > 0
         # the curated table is readable and split-labeled
         import pyarrow.parquet as pq
