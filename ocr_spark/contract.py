@@ -1635,6 +1635,41 @@ def _q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", F.col("_host").alias("host"))
 
 
+def _q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.normalize_text(
+        _t(spark, sf_dir, "documents")
+    ).select("doc_id", "norm_text")
+
+
+_NORMALIZE_SQL = (
+    "SELECT doc_id, "
+    + text_analysis.normalize_text_sql_duckdb("text")
+    + " AS norm_text FROM documents"
+)
+
+# per-domain cap: same synthetic url shape as url_domain_filter
+_CAP_URL_EXPR = (
+    "concat('https://', CASE WHEN doc_id % 7 = 0 THEN 'ads.' "
+    "ELSE '' END, source, '.example.com/doc/', doc_id)"
+)
+
+
+def _q_cap_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_CAP_URL_EXPR).alias("url")
+    )
+    return text_analysis.cap_per_domain(docs, 5).select("doc_id", "url")
+
+
+_CAP_DOMAIN_SQL = f"""
+WITH u AS (SELECT doc_id, {_CAP_URL_EXPR} AS url FROM documents),
+r AS (SELECT doc_id, url, row_number() OVER (
+        PARTITION BY {urls.host_of_sql_duckdb("url")}
+        ORDER BY doc_id) AS rn FROM u)
+SELECT doc_id, url FROM r WHERE rn <= 5
+"""
+
+
 # sampling hashes an operation-prefixed domain ("sample:<salt>") so a
 # sample-then-split chain at the same salt stays independent (see
 # splits.deterministic_sample)
@@ -1812,6 +1847,8 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "corpus_domain_stats": (_q_domain_stats, _DOMAIN_SQL),
     "dedup_clusters": (_q_dup_clusters, _CLUSTERS_SQL),
     "dedup_cluster_corpus": (_q_cluster_corpus, _CLUSTER_CORPUS_SQL),
+    "text_normalize": (_q_normalize, _NORMALIZE_SQL),
+    "corpus_domain_cap": (_q_cap_domain, _CAP_DOMAIN_SQL),
     # (2) independent-plan oracle rows — training-data dedup
     "dedup_exact": (_q_exact_dedup, _EXACT_DEDUP_SQL),
     "dedup_filtered_corpus": (_q_dedup_filtered_corpus, _DEDUP_FILTER_SQL),

@@ -5,7 +5,7 @@ UDFs, no shuffles except the aggregations a caller asks for.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Tiny deterministic stopword profiles for the n-gram/stopword language vote.
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -436,4 +436,75 @@ def duplicate_line_stats(
             "round((total_chars - _uniq_chars) / total_chars, 6) "
             "ELSE 0.0 END"
         ).alias("dup_char_frac"),
+    )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dedup-preprocessing normalization (the C4/RefinedWeb convention
+    before exact/near-dup hashing): lowercase, ASCII punctuation → space,
+    whitespace runs collapsed to one space, ends trimmed.  Adds
+    ``norm_text``; pure codegen expressions — no UDFs, no shuffle.
+
+    Engine-parity notes (the CLAUDE.md regex traps): the punctuation
+    class is spelled as an EXPLICIT ASCII set (Java ``\\p{Punct}`` and
+    RE2 ``[[:punct:]]`` happen to agree, but an explicit class can't
+    drift), and the whitespace class is explicit because Java ``\\s``
+    includes ``\\x0B`` while RE2's does not — the one character the two
+    engines disagree on."""
+    punct = r"[!-/:-@\[-`{-~]"  # ASCII !..~ minus alnum: the \p{Punct} set
+    ws = r"[ \t\n\x0B\f\r]+"
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), F.lit(punct), F.lit(" ")),
+        F.lit(ws),
+        F.lit(" "),
+    )
+    return df.withColumn("norm_text", F.trim(norm))
+
+
+def normalize_text_sql_duckdb(text_expr: str) -> str:
+    """The DuckDB twin of :func:`normalize_text`'s expression."""
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({text_expr}), "
+        f"'[!-/:-@\\[-`{{-~]', ' ', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    n: int,
+    url_col: str = "url",
+    order_col: str = "doc_id",
+    salts: int = 16,
+) -> DataFrame:
+    """Per-domain document cap (the FineWeb-style domain balancer): keep
+    at most ``n`` documents per registrable host, chosen as the ``n``
+    smallest ``order_col`` values — a deterministic, append-unstable-free
+    choice (re-running on a grown corpus keeps the same winners until
+    they are displaced by smaller keys, never by partitioning).
+
+    Plan shape: the rank is the same salted two-stage top-k as the
+    similarity module — stage 1 row_numbers within ``(domain, salt)``
+    shards and keeps ≤ n each, stage 2 ranks the ≤ n·salts survivors per
+    domain.  A mega-domain (the exact skew a domain cap exists to tame)
+    therefore never funnels through one task; the final per-domain
+    window sees at most n·salts rows.  ``salts=1`` recovers the single
+    window."""
+    from .urls import host_of
+
+    d = df.withColumn("_domain", host_of(F.col(url_col)))
+    if salts > 1:
+        w1 = Window.partitionBy("_domain", "_salt").orderBy(order_col)
+        d = (
+            d.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salts))
+            )
+            .withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= n)
+            .drop("_r1", "_salt")
+        )
+    w = Window.partitionBy("_domain").orderBy(order_col)
+    return (
+        d.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n)
+        .drop("_rank", "_domain")
     )

@@ -207,6 +207,30 @@ class TestNewOperatorPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_domain_cap_two_stage_window(self, spark):
+        """cap_per_domain exists to tame mega-domains, so it must never
+        funnel one domain's whole row set through a single task: stage 1
+        ranks within (domain, salt) shards, the final per-domain window
+        sees at most n*salts rows."""
+        from ocr_spark.operators.text_analysis import cap_per_domain
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("https://x.example.com/"), F.col("id")).alias(
+                "url"
+            ),
+        )
+        plan = (
+            cap_per_domain(df, 5, salts=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        plan = plan.split("== Initial Plan ==", 1)[0]
+        nodes = plan.split("Window [row_number()")
+        assert len(nodes) == 3, plan
+        final_spec, stage1_spec = nodes[1], nodes[2]
+        assert "_salt" not in final_spec.split("\n", 1)[0], plan
+        assert "_salt" in stage1_spec.split("\n", 1)[0], plan
+
     def test_cosine_bruteforce_two_stage_window(self, spark):
         """The exact brute-force rank must pre-reduce per (query, salt)
         before the per-query window, so the final window's input is

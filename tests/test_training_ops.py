@@ -1376,3 +1376,51 @@ class TestConnectedComponents:
             r.doc_id for r in dedup_by_clusters(docs, pairs).collect()
         )
         assert kept == [1, 50]
+
+
+class TestNormalizeAndDomainCap:
+    def test_normalize_semantics(self, spark):
+        from ocr_spark.operators.text_analysis import normalize_text
+
+        df = spark.createDataFrame(
+            [
+                (1, "Hello,  World! (x)\tnew\nline"),
+                (2, "  already clean  "),
+                (3, "a_b-c.d"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.norm_text for r in normalize_text(df).collect()}
+        assert got[1] == "hello world x new line"
+        assert got[2] == "already clean"
+        assert got[3] == "a b c d"
+
+    def test_normalize_idempotent(self, docs, spark):
+        from ocr_spark.operators.text_analysis import normalize_text
+
+        once = normalize_text(docs).select(
+            "doc_id", F.col("norm_text").alias("text")
+        )
+        twice = normalize_text(once).select("doc_id", "norm_text")
+        diff = (
+            once.join(twice, "doc_id")
+            .filter(F.col("text") != F.col("norm_text"))
+            .count()
+        )
+        assert diff == 0
+
+    def test_domain_cap_keeps_n_smallest_per_host(self, spark):
+        from ocr_spark.operators.text_analysis import cap_per_domain
+
+        rows = [(i, f"https://big.example.com/{i}") for i in range(50)]
+        rows += [(100 + i, f"https://small.example.com/{i}") for i in range(2)]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        kept = sorted(
+            r.doc_id for r in cap_per_domain(df, 3).collect()
+        )
+        assert kept == [0, 1, 2, 100, 101]
+        # salted and unsalted agree exactly
+        kept1 = sorted(
+            r.doc_id for r in cap_per_domain(df, 3, salts=1).collect()
+        )
+        assert kept1 == kept
