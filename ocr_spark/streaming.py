@@ -209,3 +209,51 @@ def stream_host_quota(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Ingest-time exact dedup over the ARRIVING crawl: the first page
+    carrying a given payload digest is admitted, later copies within the
+    watermark horizon are dropped — the streaming twin of
+    ``dedup.exact_dedup`` (mirror bursts and recrawl storms are
+    short-horizon phenomena; copies arriving further apart than the
+    watermark are the BATCH operator's job, which remains the
+    corpus-global ground truth).
+
+    Built on ``dropDuplicatesWithinWatermark`` — the engine keeps one
+    16-byte digest per admitted page, and the watermark bounds that
+    state, so the stream runs forever without growing.  The payload is
+    projected DOWN to its digest before the dedup shuffle (same
+    principle as :func:`stream_host_quota`): the binary column never
+    rides a shuffle.  Emitted rows are admitted page keys
+    ``(url, digest, warc_ts)`` — join back to the payload for
+    extraction."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(in_dir)
+    )
+    keyed = (
+        pages.select(
+            "url", F.md5("html").alias("digest"), "warc_ts"
+        )
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+    writer = (
+        keyed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

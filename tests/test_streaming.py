@@ -223,3 +223,60 @@ class TestStatefulHostQuota:
             ("https://b.example.com/p2", 40, 80),
             ("https://b.example.com/p3", 40, 120),
         ]
+
+
+class TestStreamExactDedup:
+    def test_first_digest_wins_across_batches(self, spark, dirs, tmp_path):
+        """Identical payloads arriving in LATER micro-batches are dropped
+        (cross-batch state), distinct payloads all pass, and the winner
+        is the earliest-arriving copy."""
+        import datetime as dt
+        import os
+        import time
+
+        from ocr_spark.fixtures import write_rows_parquet
+        from ocr_spark.streaming import stream_exact_dedup
+
+        day = dt.datetime(2025, 1, 1)
+        m = dt.timedelta(minutes=1)
+
+        def row(url, payload, ts):
+            return {
+                "url": url, "warc_ts": ts, "html": payload,
+                "text": "", "lang": "en",
+            }
+
+        a = b"<html><body><p>alpha</p></body></html>"
+        b_ = b"<html><body><p>beta</p></body></html>"
+        c = b"<html><body><p>gamma</p></body></html>"
+        # batch 1: two distinct payloads (+ an intra-batch dup of a)
+        write_rows_parquet(
+            dirs["in"] / "f1.parquet",
+            [
+                row("u://1/a", a, day),
+                row("u://1/a2", a, day + m),
+                row("u://1/b", b_, day + 2 * m),
+            ],
+        )
+        # batch 2: re-crawl of both + one new payload
+        write_rows_parquet(
+            dirs["in"] / "f2.parquet",
+            [
+                row("u://2/a", a, day + 10 * m),
+                row("u://2/b", b_, day + 11 * m),
+                row("u://2/c", c, day + 12 * m),
+            ],
+        )
+        for i, name in enumerate(["f1.parquet", "f2.parquet"]):
+            t = time.time() + i
+            os.utime(dirs["in"] / name, (t, t))
+
+        out_dir = str(tmp_path / "dedup_out")
+        q = stream_exact_dedup(
+            spark, str(dirs["in"]), out_dir, dirs["ckpt"],
+            watermark="2 hours",
+        )
+        q.awaitTermination(120)
+
+        got = sorted(r.url for r in spark.read.parquet(out_dir).collect())
+        assert got == ["u://1/a", "u://1/b", "u://2/c"]
