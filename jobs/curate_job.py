@@ -23,8 +23,9 @@ gates (Gopher + composite + C4 hard drops) → canonical-url + exact
 dedup → MinHash-LSH near-dup with cluster-aware removal (connected
 components of the pair graph keep ONE representative per duplicate
 cluster; EXPLICIT cap, audit count logged in the summary — the
-never-cap-silently contract) → corpus-global line dedup →
-PII scrub → deterministic split/sample assignment.  Every stage is a
+never-cap-silently contract) → per-domain doc cap (optional) →
+corpus-global line dedup → PII scrub → deterministic split/sample
+assignment.  Every stage is a
 pure DataFrame plan; the one JSON summary line reports what each stage
 removed so a production run is auditable end-to-end.
 """
@@ -68,6 +69,10 @@ def main() -> int:
                     help="LSH hot-bucket cap (audited; see summary)")
     ap.add_argument("--line-dedup", action="store_true",
                     help="corpus-global duplicate-line removal")
+    ap.add_argument("--max-per-domain", type=int, default=None,
+                    help="keep at most N docs per host (FineWeb-style "
+                         "domain balancer; deterministic smallest-id "
+                         "winners)")
     ap.add_argument("--pii", action="store_true",
                     help="redact emails/IPs/phones")
     ap.add_argument("--split", default=None,
@@ -167,6 +172,12 @@ def main() -> int:
         ).count()
         docs = docs.join(losers, "doc_id", "left_anti").cache()
         summary["after_near_dup"] = docs.count()
+
+    if args.max_per_domain is not None:
+        from ocr_spark.operators.text_analysis import cap_per_domain
+
+        docs = cap_per_domain(docs, args.max_per_domain).cache()
+        summary["after_domain_cap"] = docs.count()
 
     if args.line_dedup:
         from ocr_spark.operators.dedup import corpus_line_dedup

@@ -100,6 +100,7 @@ class TestJobs:
                 "--gopher",
                 "--c4-hard-drops",
                 "--near-dup",
+                "--max-per-domain", "50",
                 "--line-dedup",
                 "--pii",
                 "--split", "train=0.9,val=0.05,test=0.05",
@@ -109,6 +110,7 @@ class TestJobs:
         assert summary["input_truncated_pages"] == 0  # guard total surfaced
         assert summary["lsh_capped_buckets"] == 0  # audit always reported
         assert "dup_clusters" in summary  # cluster-aware near-dup ran
+        assert summary["after_domain_cap"] > 0
         assert summary["output_docs"] > 0
         # the curated table is readable and split-labeled
         import pyarrow.parquet as pq
