@@ -109,8 +109,12 @@ def main() -> int:
 
     # 3b. near-dup pass: banded MinHash LSH with an EXPLICIT hot-bucket
     # cap, paired with its audit view — the cap bounds recall, so a real
-    # run must log what it dropped (the never-cap-silently contract)
+    # run must log what it dropped (the never-cap-silently contract).
+    # Removal is CLUSTER-aware: connected components of the pair graph
+    # keep one representative per component (pairwise doc_b removal can
+    # keep two transitively-linked near-copies)
     from ocr_spark.operators.dedup import (
+        connected_components,
         lsh_candidate_pairs,
         lsh_hot_buckets,
         minhash_signatures,
@@ -118,10 +122,11 @@ def main() -> int:
 
     max_bucket = 10_000
     sigs = minhash_signatures(unique, num_perm=8).cache()
+    pairs = lsh_candidate_pairs(sigs, num_perm=8, max_bucket=max_bucket)
     near = (
-        lsh_candidate_pairs(sigs, num_perm=8, max_bucket=max_bucket)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+        connected_components(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
     )
     capped_buckets = lsh_hot_buckets(
         sigs, num_perm=8, max_bucket=max_bucket
