@@ -1788,6 +1788,109 @@ def _q_pack_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_export(manifest, docs)
 
 
+# Substring-granularity dedup (Lee et al. 2022 semantics, windowed-digest
+# re-expression — operators/dedup.py corpus_span_dedup).  Same hard
+# exercise as dedup_line_corpus: the corpus unioned with a full copy of
+# itself (ids + 1e6) makes every >= WIDTH-token document a cross-document
+# duplicate — originals (lower ids) must keep everything, copies must
+# lose exactly their windowed region [0, n_tokens); natural within-corpus
+# repetition is exercised on top.  Loser = any window occurrence that is
+# not the lexicographic-min (doc_id, pos) for its digest — expressed in
+# SQL as row_number() >= 2 over (digest ORDER BY doc_id, pos).
+_SPAN_W = 20
+_SPAN_DEDUP_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL SELECT doc_id + 1000000, coalesce(text, '') FROM documents),
+t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+o0 AS (SELECT doc_id, unnest(range(0, len(tk) - {_SPAN_W - 1})) AS pos, tk
+       FROM t WHERE len(tk) >= {_SPAN_W}),
+occ AS (SELECT doc_id, pos,
+          md5(array_to_string(list_slice(tk, pos + 1, pos + {_SPAN_W}),
+                              ' ')) AS dg
+        FROM o0),
+rn AS (SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY dg ORDER BY doc_id, pos) AS rn
+       FROM occ),
+losers AS (SELECT doc_id, pos FROM rn WHERE rn >= 2),
+brk AS (SELECT doc_id, pos,
+          CASE WHEN pos > coalesce(max(pos + {_SPAN_W}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS b
+        FROM losers),
+isl AS (SELECT doc_id, pos, sum(b) OVER (
+          PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+          AS island
+        FROM brk),
+spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + {_SPAN_W} AS e
+          FROM isl GROUP BY doc_id, island),
+sp_doc AS (SELECT doc_id, count(*) AS n_spans, sum(e - s) AS removed
+           FROM spans GROUP BY doc_id),
+tok0 AS (SELECT doc_id, unnest(range(0, len(tk))) AS i, tk FROM t),
+tok AS (SELECT doc_id, i, tk[i + 1] AS w FROM tok0),
+kept AS (SELECT tok.doc_id, tok.i, tok.w FROM tok
+         LEFT JOIN spans ON spans.doc_id = tok.doc_id
+                        AND tok.i >= spans.s AND tok.i < spans.e
+         WHERE spans.s IS NULL),
+agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+  coalesce(agg.clean_text, '') AS clean_text,
+  CAST(len(t.tk) AS INTEGER) AS n_tokens,
+  CAST(len(t.tk) - coalesce(sp_doc.removed, 0) AS INTEGER)
+    AS n_tokens_kept,
+  CAST(coalesce(sp_doc.n_spans, 0) AS INTEGER) AS n_dup_spans
+FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN sp_doc USING (doc_id)
+"""
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup.corpus_span_dedup(corpus, width=_SPAN_W)
+
+
+# The span view itself (plain corpus — its natural window repetition):
+# (doc_id, span_start, span_end) merged half-open loser intervals.
+_DUP_SPANS_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
+           FROM documents),
+o0 AS (SELECT doc_id, unnest(range(0, len(tk) - {_SPAN_W - 1})) AS pos, tk
+       FROM t WHERE len(tk) >= {_SPAN_W}),
+occ AS (SELECT doc_id, pos,
+          md5(array_to_string(list_slice(tk, pos + 1, pos + {_SPAN_W}),
+                              ' ')) AS dg
+        FROM o0),
+rn AS (SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY dg ORDER BY doc_id, pos) AS rn
+       FROM occ),
+losers AS (SELECT doc_id, pos FROM rn WHERE rn >= 2),
+brk AS (SELECT doc_id, pos,
+          CASE WHEN pos > coalesce(max(pos + {_SPAN_W}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS b
+        FROM losers),
+isl AS (SELECT doc_id, pos, sum(b) OVER (
+          PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+          AS island
+        FROM brk)
+SELECT doc_id,
+       CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) + {_SPAN_W} AS INTEGER) AS span_end
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicate_spans(
+        _t(spark, sf_dir, "documents"), width=_SPAN_W
+    )
+
+
 # Hour-bucketed event rollup — the batch twin of the watermarked
 # streaming window (streaming.stream_crawl_metrics): same tumbling
 # hour-on-event-time semantics over the `events` table.  Buckets are the
@@ -1839,6 +1942,8 @@ def _q_events_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # suite), and (4) the two rows-only non-SQL-expressible checks last.
 _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # (1) newest + previously-unchecked oracle rows
+    "dedup_span_corpus": (_q_span_dedup, _SPAN_DEDUP_SQL),
+    "dedup_dup_spans": (_q_dup_spans, _DUP_SPANS_SQL),
     "corpus_pack_manifest": (_q_pack, _PACK_SQL),
     "corpus_pack_export": (_q_pack_export, _PACK_EXPORT_SQL),
     "extract_html": (_q_extract_html, _HTML_SQL),

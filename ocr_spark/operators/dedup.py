@@ -21,7 +21,7 @@ faster JVM xxhash64.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .hashing import (
     MERSENNE,
@@ -334,6 +334,177 @@ def corpus_line_dedup(
         ),
         F.col("n_lines").cast("int").alias("n_lines"),
         F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
+    )
+
+
+def _bind_tokens(df: DataFrame, text_col: str) -> tuple[DataFrame, str]:
+    """Bind the whitespace token array to a collision-free column (the
+    CLAUDE.md rule: never inline an array build into a lambda body)."""
+    tmp = "_tk"
+    while tmp in df.columns:
+        tmp += "_"
+    return (
+        df.withColumn(
+            tmp, F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ),
+        tmp,
+    )
+
+
+def _span_losers(
+    toks: DataFrame, tk: str, id_col: str, width: int
+) -> DataFrame:
+    """(id, pos) of every W-token window occurrence that is NOT the
+    corpus-first occurrence of its content — the spans substring dedup
+    removes.  Window content is keyed by md5 of the joined tokens (128
+    bits: corpus-scale collision probability is negligible, and the digest
+    is reproducible in DuckDB for the oracle twin)."""
+    windows = (
+        f"CASE WHEN size(`{tk}`) >= {width} THEN "
+        f"transform(sequence(0, size(`{tk}`) - {width}), "
+        f"i -> md5(array_join(slice(`{tk}`, i + 1, {width}), ' '))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    occ = toks.select(
+        id_col, F.posexplode(F.expr(windows)).alias("pos", "dg")
+    )
+    winners = (
+        occ.groupBy("dg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("w"),
+        )
+        .filter(F.col("n") >= 2)
+        .select("dg", "w")
+    )
+    return (
+        occ.join(winners, "dg")
+        .filter(
+            ~(
+                (F.col("w.d") == F.col(id_col))
+                & (F.col("w.p") == F.col("pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 50,
+) -> DataFrame:
+    """Corpus-global duplicate token SPANS: every maximal token interval
+    covered by ``width``-token windows whose exact content occurs more
+    than once in the corpus, excluding each window's corpus-first
+    occurrence (winner = lexicographic min ``(doc_id, pos)``, a total
+    order, so the result is deterministic under any partitioning).
+
+    This is the substring-granularity dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"):
+    document- and line-level dedup miss long verbatim quotes, mirrored
+    article bodies and licence boilerplate embedded in otherwise-unique
+    pages.  The published implementation builds a corpus suffix array on
+    one big machine; the Spark re-expression is windowed digests — a
+    bucket-shaped plan with no driver-side state:
+
+    - digest build: ``transform`` over the bound token array, O(T·W)
+      string work per doc (the cost of substring granularity — W× the
+      text bytes, embarrassingly parallel, whole-stage codegen);
+    - one groupBy on the 16-byte digest (map-side combined min/count);
+    - one equi-join back on the digest (losing occurrences only);
+    - per-doc interval merge: two ``Window.partitionBy(doc)`` functions —
+      partitioned by document, never a SinglePartition exchange.
+
+    Returns ``(id_col, span_start, span_end)`` — half-open token
+    intervals, overlapping windows merged (classic gaps-and-islands).
+
+    Semantics notes (documented, not hidden): a window repeated WITHIN one
+    document loses to its own first occurrence, so self-overlapping
+    periodic text (``"a a a ..."``) keeps only its first window — the
+    standard degenerate case of greedy substring dedup; and a winner
+    document keeps a window's tokens only while no OTHER duplicated
+    window covering those tokens lost — cross-interactions are inherent
+    to greedy span removal.  Both cases are deterministic.
+    """
+    toks, tk = _bind_tokens(df, text_col)
+    losers = _span_losers(toks, tk, id_col, width)
+    wo = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = (
+        F.max(F.col("pos") + width)
+        .over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    brk = F.when(
+        F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1
+    ).otherwise(0)
+    isl = losers.withColumn("_b", brk).withColumn(
+        "island",
+        F.sum("_b").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + width).alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def corpus_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 50,
+) -> DataFrame:
+    """Remove corpus-global duplicate spans (:func:`duplicate_spans`) from
+    every document: tokens covered by a losing span are dropped, the rest
+    are rejoined in original order.
+
+    Returns ``(id_col, clean_text, n_tokens, n_tokens_kept,
+    n_dup_spans)``.  Documents with no losing span (including every doc
+    shorter than ``width`` tokens) pass through with their token-joined
+    text and ``n_dup_spans = 0``; NULL text behaves as ``''``.
+
+    Plan shape: :func:`duplicate_spans` + one per-doc groupBy collecting
+    the (few) merged spans, one join back to the token-bound corpus, and
+    a codegen ``filter((t, i) -> no span covers i)`` rebuild — O(T·S) per
+    doc where S is the merged-span count."""
+    toks, tk = _bind_tokens(df, text_col)
+    spans = duplicate_spans(df, text_col, id_col, width)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans"),
+        F.count(F.lit(1)).alias("_n_spans"),
+    )
+    out = toks.join(per_doc, id_col, "left")
+    removed = F.coalesce(
+        F.expr(
+            "aggregate(_spans, 0, "
+            "(a, sp) -> a + sp.span_end - sp.span_start)"
+        ),
+        F.lit(0),
+    )
+    clean = F.when(
+        F.col("_spans").isNull(), F.array_join(F.col(tk), " ")
+    ).otherwise(
+        F.expr(
+            f"array_join(filter(`{tk}`, (t, i) -> NOT exists(_spans, "
+            f"sp -> i >= sp.span_start AND i < sp.span_end)), ' ')"
+        )
+    )
+    return out.select(
+        id_col,
+        clean.alias("clean_text"),
+        F.size(tk).cast("int").alias("n_tokens"),
+        (F.size(tk) - removed).cast("int").alias("n_tokens_kept"),
+        F.coalesce(F.col("_n_spans"), F.lit(0))
+        .cast("int")
+        .alias("n_dup_spans"),
     )
 
 

@@ -184,6 +184,24 @@ class TestNewOperatorPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_span_dedup_plan_shape(self, spark):
+        """corpus_span_dedup: digest equi-joins + doc-partitioned windows
+        only — no SinglePartition exchange (the interval merge partitions
+        by doc_id), no cartesian/nested-loop join anywhere."""
+        from ocr_spark.operators.dedup import corpus_span_dedup
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            corpus_span_dedup(docs, width=20)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        plan = plan.split("== Initial Plan ==", 1)[0]
+        assert "SinglePartition" not in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_cluster_dedup_anti_join_shape(self, spark):
         """dedup_by_clusters: the corpus-side anti-join against the loser
         list must be a hash/broadcast anti-join (never a nested-loop),

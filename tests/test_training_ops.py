@@ -1378,6 +1378,120 @@ class TestConnectedComponents:
         assert kept == [1, 50]
 
 
+class TestSpanDedup:
+    """Substring-granularity dedup (operators/dedup.py corpus_span_dedup):
+    the Lee et al. 2022 exact-substring semantics over windowed digests."""
+
+    def _corpus(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        return spark.createDataFrame(
+            [
+                (1, "intro one two " + shared + " tail xx"),
+                (2, "other prefix words " + shared + " different end here"),
+                (3, "no duplication in this document at all whatsoever"),
+                (4, None),
+                (5, "short doc"),
+                (6, "rep rep rep rep rep rep rep rep rep rep"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_winner_keeps_loser_drops(self, spark):
+        from ocr_spark.operators.dedup import corpus_span_dedup
+
+        out = {
+            r.doc_id: r
+            for r in corpus_span_dedup(self._corpus(spark), width=5).collect()
+        }
+        # doc 1 (lexicographic-min occurrence) keeps the shared span intact
+        assert "alpha beta gamma delta epsilon" in out[1].clean_text
+        assert out[1].n_dup_spans == 0
+        # doc 2 loses exactly the 8 shared tokens (windows 3..6 → [3, 11))
+        assert out[2].clean_text == "other prefix words different end here"
+        assert out[2].n_tokens == 14
+        assert out[2].n_tokens_kept == 6
+        assert out[2].n_dup_spans == 1
+
+    def test_untouched_docs_pass_through(self, spark):
+        from ocr_spark.operators.dedup import corpus_span_dedup
+
+        out = {
+            r.doc_id: r
+            for r in corpus_span_dedup(self._corpus(spark), width=5).collect()
+        }
+        assert out[3].clean_text.startswith("no duplication")
+        assert out[3].n_tokens == out[3].n_tokens_kept
+        # shorter than width → no windows → untouched
+        assert out[5].clean_text == "short doc"
+        # NULL text behaves as '' and the row SURVIVES (simhash r3 lesson)
+        assert out[4].clean_text == ""
+        assert out[4].n_dup_spans == 0
+
+    def test_periodic_text_degenerate_case_pinned(self, spark):
+        """Self-overlapping repeated text keeps only the first window
+        winner's head token — documented greedy-substring-dedup behavior;
+        pin it so a change is a deliberate semantics change."""
+        from ocr_spark.operators.dedup import corpus_span_dedup
+
+        out = {
+            r.doc_id: r
+            for r in corpus_span_dedup(self._corpus(spark), width=5).collect()
+        }
+        assert out[6].clean_text == "rep"
+        assert out[6].n_tokens_kept == 1
+
+    def test_spans_merge_overlapping_windows(self, spark):
+        from ocr_spark.operators.dedup import duplicate_spans
+
+        spans = duplicate_spans(self._corpus(spark), width=5).collect()
+        by_doc = {}
+        for s in spans:
+            by_doc.setdefault(s.doc_id, []).append(
+                (s.span_start, s.span_end)
+            )
+        # doc 2: four overlapping loser windows merged into ONE span
+        assert by_doc[2] == [(3, 11)]
+        # half-open, in-bounds, disjoint everywhere
+        for rows in by_doc.values():
+            rows.sort()
+            for (s1, e1), (s2, _) in zip(rows, rows[1:]):
+                assert e1 < s2 or (e1 <= s2)
+            assert all(s < e for s, e in rows)
+
+    def test_full_copy_corpus_loses_entire_window_region(self, spark, docs):
+        """The contract exercise in miniature: corpus ∪ copy → every
+        >=width-token copy loses its whole windowed region; originals
+        keep everything they kept before."""
+        from ocr_spark.operators.dedup import corpus_span_dedup
+
+        base = docs.select("doc_id", "text").limit(40)
+        corpus = base.unionByName(
+            base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        out = {r.doc_id: r for r in corpus_span_dedup(corpus, width=20).collect()}
+        for did, r in out.items():
+            if did < 1000000:
+                continue
+            if r.n_tokens >= 20:
+                # the copy's windows all lose to the original
+                assert r.n_dup_spans >= 1
+                assert r.n_tokens_kept < r.n_tokens
+            else:
+                assert r.clean_text != "" or r.n_tokens_kept == r.n_tokens
+
+    def test_determinism_across_partitionings(self, spark):
+        from ocr_spark.operators.dedup import corpus_span_dedup
+
+        c = self._corpus(spark)
+        a = sorted(
+            map(tuple, corpus_span_dedup(c.repartition(1), width=5).collect())
+        )
+        b = sorted(
+            map(tuple, corpus_span_dedup(c.repartition(7), width=5).collect())
+        )
+        assert a == b
+
+
 class TestNormalizeAndDomainCap:
     def test_normalize_semantics(self, spark):
         from ocr_spark.operators.text_analysis import normalize_text
