@@ -149,6 +149,11 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
     timed("text_langid", text_analysis.language_id(docs))
     timed("text_c4_rules", text_analysis.c4_rules(docs))
     timed("dedup_line_corpus", dedup.corpus_line_dedup(docs))
+    timed("dedup_span_corpus", dedup.corpus_span_dedup(docs, width=50))
+    from ocr_spark.operators import lm
+
+    counts = lm.unigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    timed("text_lm_score", lm.lm_score(docs, counts))
     # cluster assignment is EAGER (iterative label propagation with
     # per-round checkpoints), so wrap the whole call — pairs through
     # converged components — in the timer; best-of-1 (each run pays the

@@ -24,8 +24,10 @@ dedup → MinHash-LSH near-dup with cluster-aware removal (connected
 components of the pair graph keep ONE representative per duplicate
 cluster; EXPLICIT cap, audit count logged in the summary — the
 never-cap-silently contract) → per-domain doc cap (optional) →
-corpus-global line dedup → PII scrub → deterministic split/sample
-assignment.  Every stage is a
+corpus-global line dedup → duplicate-SPAN dedup (optional; Lee et al.
+2022 substring granularity) → CCNet-style LM head cut (optional;
+self-trained unigram, threshold reported) → PII scrub → deterministic
+split/sample assignment.  Every stage is a
 pure DataFrame plan; the one JSON summary line reports what each stage
 removed so a production run is auditable end-to-end.
 """
@@ -69,6 +71,15 @@ def main() -> int:
                     help="LSH hot-bucket cap (audited; see summary)")
     ap.add_argument("--line-dedup", action="store_true",
                     help="corpus-global duplicate-line removal")
+    ap.add_argument("--span-dedup", type=int, default=None, metavar="W",
+                    help="corpus-global duplicate-SPAN removal at window "
+                         "width W tokens (Lee et al. 2022 exact-substring "
+                         "dedup; 50 is the published setting)")
+    ap.add_argument("--lm-head", type=float, default=None, metavar="FRAC",
+                    help="CCNet-style LM gate: self-train a unigram model "
+                         "on the surviving corpus and keep the top FRAC "
+                         "by mean log-probability (the cut threshold is "
+                         "reported in the summary)")
     ap.add_argument("--max-per-domain", type=int, default=None,
                     help="keep at most N docs per host (FineWeb-style "
                          "domain balancer; deterministic smallest-id "
@@ -192,6 +203,40 @@ def main() -> int:
         docs = docs.drop("text").join(
             ld.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
         )
+
+    if args.span_dedup is not None:
+        from ocr_spark.operators.dedup import corpus_span_dedup
+
+        sd = corpus_span_dedup(docs, width=args.span_dedup).cache()
+        summary["dup_span_tokens_removed"] = int(
+            sd.agg(
+                F.sum(F.col("n_tokens") - F.col("n_tokens_kept"))
+            ).collect()[0][0]
+            or 0
+        )
+        docs = docs.drop("text").join(
+            sd.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+        )
+
+    if args.lm_head is not None:
+        from ocr_spark.operators.lm import lm_score, unigram_counts
+
+        scores = lm_score(docs, unigram_counts(docs)).select(
+            "doc_id", "mean_logprob"
+        )
+        # approx_percentile keeps the cut scale-safe (an exact percentile
+        # materializes every score in one aggregation buffer); the
+        # threshold actually applied is REPORTED, never silent
+        thr = scores.agg(
+            F.expr(
+                f"approx_percentile(mean_logprob, "
+                f"{1.0 - args.lm_head}, 10000)"
+            )
+        ).collect()[0][0]
+        keep = scores.filter(F.col("mean_logprob") >= thr).select("doc_id")
+        docs = docs.join(keep, "doc_id", "left_semi").cache()
+        summary["lm_threshold"] = thr
+        summary["after_lm_head"] = docs.count()
 
     if args.pii:
         from ocr_spark.operators.pii import scrub_pii

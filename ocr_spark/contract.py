@@ -1891,6 +1891,51 @@ def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CCNet-style LM quality gate (operators/lm.py): Laplace-smoothed unigram
+# trained on HALF the corpus (doc_id % 2 = 0 — the "clean reference"),
+# every document scored, so odd docs exercise real out-of-vocab tokens.
+# Determinism contract: integer-exact division operands, ln() verified
+# bit-identical across JVM/glibc/DuckDB, per-doc sum = sorted sequential
+# fold (list_reduce over list(lp ORDER BY pos); Spark's extra 0.0 init is
+# exact because 0.0 + x == x for every x != -0.0, and smoothing makes
+# every logprob strictly negative).  The HUGEINT sum is CAST to BIGINT
+# (the CLAUDE.md driver-parity trap).
+_LM_SCORE_SQL = """
+WITH t AS (SELECT doc_id,
+                  string_split(lower(coalesce(text, '')), ' ') AS tk
+           FROM documents),
+tok0 AS (SELECT doc_id, unnest(range(0, len(tk))) AS pos, tk FROM t),
+tok AS (SELECT doc_id, pos, tk[pos + 1] AS w FROM tok0),
+train AS (SELECT w, count(*) AS c FROM tok
+          WHERE doc_id % 2 = 0 GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM train),
+j AS (SELECT tok.doc_id, tok.pos,
+        ln((coalesce(train.c, 0) + 1) / (tot.n + tot.v + 1)) AS lp,
+        (train.c IS NULL) AS oov
+      FROM tok LEFT JOIN train ON tok.w = train.w CROSS JOIN tot),
+agg AS (SELECT doc_id,
+          list(lp ORDER BY pos) AS lps,
+          count(*) AS n_tokens,
+          count(*) FILTER (WHERE oov) AS n_oov
+        FROM j GROUP BY doc_id)
+SELECT doc_id,
+  CAST(n_tokens AS INTEGER) AS n_tokens,
+  CAST(n_oov AS INTEGER) AS n_oov,
+  list_reduce(lps, (a, x) -> a + x) / n_tokens AS mean_logprob
+FROM agg
+"""
+
+
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = lm.unigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
+    return lm.lm_score(docs, counts).select(
+        "doc_id", "n_tokens", "n_oov", "mean_logprob"
+    )
+
+
 # Hour-bucketed event rollup — the batch twin of the watermarked
 # streaming window (streaming.stream_crawl_metrics): same tumbling
 # hour-on-event-time semantics over the `events` table.  Buckets are the
@@ -1944,6 +1989,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # (1) newest + previously-unchecked oracle rows
     "dedup_span_corpus": (_q_span_dedup, _SPAN_DEDUP_SQL),
     "dedup_dup_spans": (_q_dup_spans, _DUP_SPANS_SQL),
+    "text_lm_score": (_q_lm_score, _LM_SCORE_SQL),
     "corpus_pack_manifest": (_q_pack, _PACK_SQL),
     "corpus_pack_export": (_q_pack_export, _PACK_EXPORT_SQL),
     "extract_html": (_q_extract_html, _HTML_SQL),

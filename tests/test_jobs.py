@@ -102,6 +102,8 @@ class TestJobs:
                 "--near-dup",
                 "--max-per-domain", "50",
                 "--line-dedup",
+                "--span-dedup", "20",
+                "--lm-head", "0.95",
                 "--pii",
                 "--split", "train=0.9,val=0.05,test=0.05",
             ]
@@ -111,6 +113,9 @@ class TestJobs:
         assert summary["lsh_capped_buckets"] == 0  # audit always reported
         assert "dup_clusters" in summary  # cluster-aware near-dup ran
         assert summary["after_domain_cap"] > 0
+        assert "dup_span_tokens_removed" in summary  # span dedup ran
+        assert summary["lm_threshold"] < 0  # LM cut reported, never silent
+        assert summary["after_lm_head"] > 0
         assert summary["output_docs"] > 0
         # the curated table is readable and split-labeled
         import pyarrow.parquet as pq

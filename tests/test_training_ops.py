@@ -1378,6 +1378,93 @@ class TestConnectedComponents:
         assert kept == [1, 50]
 
 
+class TestLmScore:
+    """CCNet-style unigram LM gate (operators/lm.py): train counts on a
+    reference, score documents by smoothed mean log-probability."""
+
+    def test_hand_computed_logprobs(self, spark):
+        import math
+
+        from ocr_spark.operators.lm import lm_score, unigram_counts
+
+        ref = spark.createDataFrame(
+            [(0, "a a b")], "doc_id long, text string"
+        )
+        score = spark.createDataFrame(
+            [(1, "a c")], "doc_id long, text string"
+        )
+        counts = unigram_counts(ref)
+        row = lm_score(score, counts).collect()[0]
+        # N=3 tokens, V=2 vocab → denom 6; lp(a)=ln(3/6), lp(c OOV)=ln(1/6)
+        expected = (math.log(3 / 6) + math.log(1 / 6)) / 2
+        assert row.mean_logprob == expected
+        assert row.n_tokens == 2
+        assert row.n_oov == 1
+        # exp() is NOT bit-identical across JVM/glibc (measured 1-ulp
+        # spread) — the reason ppl is a convenience column excluded from
+        # the oracle twin, while mean_logprob above compares EXACTLY.
+        assert math.isclose(row.ppl, math.exp(-expected), rel_tol=1e-12)
+
+    def test_reference_like_text_outranks_gibberish(self, spark, docs):
+        from ocr_spark.operators.lm import lm_score, unigram_counts
+
+        counts = unigram_counts(docs)
+        probe = spark.createDataFrame(
+            [
+                (1, "the and of to in is that for the and"),
+                (2, "zqxj vvkw pplm qqrs ttuv wwxy zzab cdef ghij klmn"),
+            ],
+            "doc_id long, text string",
+        )
+        by_id = {r.doc_id: r for r in lm_score(probe, counts).collect()}
+        assert by_id[1].mean_logprob > by_id[2].mean_logprob
+        assert by_id[1].ppl < by_id[2].ppl
+        assert by_id[2].n_oov == 10
+
+    def test_null_and_empty_text_score(self, spark):
+        from ocr_spark.operators.lm import lm_score, unigram_counts
+
+        ref = spark.createDataFrame(
+            [(0, "a b c")], "doc_id long, text string"
+        )
+        probe = spark.createDataFrame(
+            [(1, None), (2, "")], "doc_id long, text string"
+        )
+        rows = {
+            r.doc_id: r
+            for r in lm_score(probe, unigram_counts(ref)).collect()
+        }
+        # NULL behaves as '' — one empty-string token, OOV, finite score
+        for r in rows.values():
+            assert r.n_tokens == 1
+            assert r.n_oov == 1
+            assert r.mean_logprob < 0
+
+    def test_lowercase_fold_matches_training(self, spark):
+        from ocr_spark.operators.lm import lm_score, unigram_counts
+
+        ref = spark.createDataFrame(
+            [(0, "The THE the")], "doc_id long, text string"
+        )
+        probe = spark.createDataFrame(
+            [(1, "tHe")], "doc_id long, text string"
+        )
+        row = lm_score(probe, unigram_counts(ref)).collect()[0]
+        assert row.n_oov == 0
+
+    def test_determinism_across_partitionings(self, spark, docs):
+        from ocr_spark.operators.lm import lm_score, unigram_counts
+
+        counts = unigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
+        a = sorted(
+            map(tuple, lm_score(docs.repartition(1), counts).collect())
+        )
+        b = sorted(
+            map(tuple, lm_score(docs.repartition(13), counts).collect())
+        )
+        assert a == b
+
+
 class TestSpanDedup:
     """Substring-granularity dedup (operators/dedup.py corpus_span_dedup):
     the Lee et al. 2022 exact-substring semantics over windowed digests."""
