@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .geometry import box_overlap_pct, merge_boxes, overlap_pct_one_to_many
+from .geometry import box_overlap_pct, merge_boxes, overlap_pct_matrix
 
 MIN_COVERAGE = 0.5  # reference document.py:24 ``min_overlap=0.5``
 LINE_ABSORB_THRESHOLD = 0.5  # reference document.py:72 ``> 0.5``
@@ -34,24 +34,27 @@ def page_needs_ocr(
     A page with no layout blocks is routed to OCR (the reference would divide
     by zero; no-layout pages do not occur in its corpus).
     """
+    if not layout:
+        return True
     total_area = 0.0
     covered_area = 0.0
+    block_boxes = np.array([b["bbox"] for b in layout], dtype=np.float64)
     line_boxes = (
         np.array([ln["bbox"] for ln in lines], dtype=np.float64)
         if lines
         else np.zeros((0, 4), dtype=np.float64)
     )
-    for block in layout:
+    # ONE numpy dispatch for the whole page (B×L matrix, block area as
+    # denominator) — each lane bit-identical to the scalar kernel
+    pct_rows = overlap_pct_matrix(block_boxes, line_boxes).tolist()
+    for block, pcts in zip(layout, pct_rows):
         x1_min, y1_min, x1_max, y1_max = block["bbox"]
         block_area = (x1_max - x1_min) * (y1_max - y1_min)
-        pcts = overlap_pct_one_to_many(
-            block["bbox"], line_boxes, use_first_as_denominator=True
-        )
         block_coverage = 0.0
-        # tolist() → Python floats; the += fold stays strictly sequential
-        # (same rounding as document.py:46-51 — numpy's pairwise sum would
+        # the += fold stays strictly sequential over Python floats (same
+        # rounding as document.py:46-51 — numpy's pairwise sum would
         # round differently, so no np.sum here)
-        for p in pcts.tolist():
+        for p in pcts:
             block_coverage += p
         block_coverage = min(block_coverage, 1.0)
         total_area += block_area

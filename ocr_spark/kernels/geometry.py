@@ -51,6 +51,36 @@ def merge_boxes(box1: Box, box2: Box) -> Box:
     )
 
 
+def overlap_pct_matrix(
+    blocks: np.ndarray, boxes: np.ndarray
+) -> np.ndarray:
+    """Vectorized ``box_overlap_pct(blocks[i], boxes[j],
+    use_first_as_denominator=True)`` for (B,4) × (L,4) arrays → (B,L).
+
+    One numpy dispatch for the whole page instead of one per block (the
+    per-call overhead dominated on realistic 5-block pages — measured in
+    the page_needs_ocr profile).  Broadcasting applies the same scalar
+    IEEE-754 float64 op per lane, so every cell is bit-identical to the
+    scalar kernel and to :func:`overlap_pct_one_to_many` row by row.
+    """
+    blocks = np.asarray(blocks, dtype=np.float64)
+    boxes = np.asarray(boxes, dtype=np.float64)
+    nb = blocks.shape[0] if blocks.ndim == 2 else 0
+    if nb == 0 or boxes.size == 0:
+        return np.zeros((nb, 0), dtype=np.float64)
+    b = blocks[:, :, None]  # (B, 4, 1)
+    area1 = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])  # (B, 1)
+    xo_min = np.maximum(b[:, 0], boxes[None, :, 0])  # (B, L)
+    xo_max = np.minimum(b[:, 2], boxes[None, :, 2])
+    yo_min = np.maximum(b[:, 1], boxes[None, :, 1])
+    yo_max = np.minimum(b[:, 3], boxes[None, :, 3])
+    inter = (xo_max - xo_min) * (yo_max - yo_min)
+    pct = inter / area1
+    empty = (xo_max <= xo_min) | (yo_max <= yo_min)
+    pct[empty] = 0.0
+    return pct
+
+
 def overlap_pct_one_to_many(
     box: Box, boxes: np.ndarray, use_first_as_denominator: bool = False
 ) -> np.ndarray:

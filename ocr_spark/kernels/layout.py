@@ -70,7 +70,22 @@ def merge_overlapping_blocks(blocks: list[dict]) -> list[dict]:
             i = 0
             while i < len(unprocessed):
                 other = unprocessed[i]
-                if box_overlap_pct(current_bbox, other["bbox"]) > 0.5:
+                ob = other["bbox"]
+                # inline disjointness pre-test: exactly the kernel's own
+                # empty-intersection condition (touching edges count as
+                # empty → pct 0.0, which can never pass the > 0.5 gate),
+                # so skipped pairs are bit-identically non-merges — same
+                # trick as consolidate_blocks (r3), measured on the same
+                # profile
+                if (
+                    ob[0] >= current_bbox[2]
+                    or ob[2] <= current_bbox[0]
+                    or ob[1] >= current_bbox[3]
+                    or ob[3] <= current_bbox[1]
+                ):
+                    i += 1
+                    continue
+                if box_overlap_pct(current_bbox, ob) > 0.5:
                     if TYPE_PRIORITY[other["type"]] < TYPE_PRIORITY[current["type"]]:
                         current["type"] = other["type"]
                     current_bbox = merge_boxes(current_bbox, other["bbox"])

@@ -51,6 +51,36 @@ class TestBoxOverlap:
                 scalar = box_overlap_pct(base, tuple(boxes[i]), flag)
                 assert vec[i] == scalar  # bit-identical, not approx
 
+    def test_matrix_matches_one_to_many_and_scalar_bitwise(self):
+        """The page-level (B×L) matrix kernel (one numpy dispatch per
+        page, the r4 page_needs_ocr speedup) must be bit-identical to
+        both the per-block vectorized kernel and the scalar kernel —
+        300 random trials including empty B and empty L."""
+        from ocr_spark.kernels.geometry import overlap_pct_matrix
+
+        rng = np.random.RandomState(42)
+        for _ in range(300):
+            nb, nl = rng.randint(0, 7), rng.randint(0, 25)
+            def rboxes(n):
+                pts = rng.uniform(0, 500, size=(n, 2))
+                return np.hstack(
+                    [pts, pts + rng.uniform(0.01, 300, size=(n, 2))]
+                ) if n else np.zeros((0, 4))
+            blocks, lines = rboxes(nb), rboxes(nl)
+            m = overlap_pct_matrix(blocks, lines)
+            assert m.shape == (nb, nl if nb else 0) or m.shape == (nb, 0)
+            for bi in range(nb):
+                row = overlap_pct_one_to_many(
+                    tuple(blocks[bi]), lines, use_first_as_denominator=True
+                )
+                assert m[bi].tobytes() == row.tobytes()
+                for li in range(nl):
+                    sc = box_overlap_pct(
+                        tuple(blocks[bi]), tuple(lines[li]),
+                        use_first_as_denominator=True,
+                    )
+                    assert m[bi, li] == sc
+
 
 class TestMergeBoxes:
     def test_union(self):
