@@ -928,7 +928,12 @@ def _lang_sql(source: str = "documents") -> str:
     great = ", ".join(f"v_{lg}" for lg in langs)
     return f"""
 WITH v AS (SELECT doc_id, text, {scripts}, {votes} FROM {source})
-SELECT doc_id, {case} AS lang_pred, greatest({great}) AS lang_votes FROM v
+SELECT doc_id, {case} AS lang_pred,
+       -- DuckDB's greatest() promotes INTEGER args to BIGINT; Spark's
+       -- greatest(size(...)) stays INT — cast back so the driver's
+       -- type-sensitive hash sees matching widths (same trap family as
+       -- the _PACK_SQL HUGEINT cast)
+       CAST(greatest({great}) AS INTEGER) AS lang_votes FROM v
 """
 
 
