@@ -154,6 +154,14 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
 
     counts = lm.unigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
     timed("text_lm_score", lm.lm_score(docs, counts))
+    from ocr_spark.operators import embed
+
+    # hashed-embedding near-dup: the model-free SemDeDup pipeline (auto
+    # strategy → codegen explode at dim=64)
+    timed(
+        "sim_hashed_near_dup",
+        embed.semantic_near_dup(docs, dim=64, threshold=0.99),
+    )
     # cluster assignment is EAGER (iterative label propagation with
     # per-round checkpoints), so wrap the whole call — pairs through
     # converged components — in the timer; best-of-1 (each run pays the

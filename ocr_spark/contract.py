@@ -1978,6 +1978,114 @@ def _q_events_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# hashed document embeddings (operators/embed.py): feature-hashing TF
+# vectors, L2-normalized.  Parity contract: bucket counts are exact small
+# integers in float64, the norm is a sequential index-order fold (DuckDB
+# list_reduce == Spark aggregate(0D, +) because 0.0 + x == x), and
+# sqrt/division are correctly rounded — the double vectors hash
+# bit-identically.  dim=16 keeps the O(dim·n_tokens) oracle lambda cheap
+# at sf0.01 (and exercises the 'hof' side of the auto flip).
+
+_EMB_DIM = 16
+
+
+def _emb_bucket_duck() -> str:
+    return f"({portable_hash_sql_duckdb(chr(39) + 'emb:' + chr(39) + ' || t')} % {_EMB_DIM})"
+
+
+_EMBED_CTE = f"""
+t AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS tk
+      FROM documents),
+hb AS (SELECT doc_id, len(tk) AS n_tokens,
+              list_transform(tk, t -> {_emb_bucket_duck()}) AS hs FROM t),
+c AS (SELECT doc_id, n_tokens,
+             list_transform(range(0, {_EMB_DIM}),
+               i -> CAST(len(list_filter(hs, h -> h = i)) AS DOUBLE)) AS cnt
+      FROM hb),
+nn AS (SELECT doc_id, n_tokens, cnt,
+              sqrt(list_reduce(list_transform(cnt, v -> v * v),
+                   (a, x) -> a + x)) AS nrm FROM c),
+emb AS (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, nrm AS norm,
+               CASE WHEN nrm = 0 THEN cnt
+                    ELSE list_transform(cnt, v -> v / nrm) END AS embedding
+        FROM nn)
+"""
+
+_EMBED_SQL = f"""
+WITH {_EMBED_CTE}
+SELECT doc_id, n_tokens, norm, embedding FROM emb
+"""
+
+
+def _q_hashed_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import embed
+
+    return embed.hashed_embedding(
+        _t(spark, sf_dir, "documents"),
+        dim=_EMB_DIM,
+        hash_mode="portable",
+        strategy="hof",
+    )
+
+
+# Composed SemDeDup-shaped pipeline: hashed embeddings → hyperplane-bucket
+# cosine pairs (the sim_near_dup plan over text instead of a shipped
+# embeddings table).  Threshold 0.99 sits in a measured gap of the sf0.01
+# cosine distribution (nearest pair 0.9903), so the ≥-filter can't flip on
+# engine float noise; cos_r is rounded to 6 like every sim_* pair row.
+_EMB_PLANES = 16
+_EMB_SIGNS = similarity.plane_signs(_EMB_PLANES, _EMB_DIM)
+_EMB_W_LIT = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(f"{s}" for s in row) + "]" for row in _EMB_SIGNS
+    )
+    + "]"
+)
+
+_EMB_SIG_EXPR = f"""
+CAST(list_aggregate(list_transform(generate_series(1, {_EMB_PLANES}), j ->
+  CASE WHEN list_aggregate(list_transform(generate_series(1, {_EMB_DIM}),
+    i -> embedding[i]::DOUBLE * W[j][i]), 'sum') > 0
+  THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE CAST(0 AS BIGINT) END),
+  'sum') AS BIGINT)
+"""
+
+_SEM_PAIRS_SQL = f"""
+WITH {_EMBED_CTE},
+wm AS (SELECT {_EMB_W_LIT} AS W),
+sig AS (SELECT doc_id, embedding, {_EMB_SIG_EXPR} AS sig
+        FROM emb CROSS JOIN wm),
+banded AS (
+  SELECT doc_id, embedding, 0 AS band, sig & 255 AS key FROM sig
+  UNION ALL SELECT doc_id, embedding, 1, sig >> 8 FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, round(cos, 6) AS cos_r
+FROM (SELECT doc_a, doc_b, {_cos_duck('va', 'vb')} AS cos FROM pairs)
+WHERE cos >= 0.99
+"""
+
+
+def _q_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import embed
+
+    res = embed.semantic_near_dup(
+        _t(spark, sf_dir, "documents"),
+        dim=_EMB_DIM,
+        threshold=0.99,
+        planes=_EMB_PLANES,
+        signs=_EMB_SIGNS,
+        hash_mode="portable",
+        strategy="hof",
+    )
+    return res.select("doc_a", "doc_b", F.round("cos", 6).alias("cos_r"))
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 #
@@ -1992,6 +2100,8 @@ def _q_events_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # suite), and (4) the two rows-only non-SQL-expressible checks last.
 _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # (1) newest + previously-unchecked oracle rows
+    "sim_hashed_embed": (_q_hashed_embed, _EMBED_SQL),
+    "sim_semantic_pairs": (_q_semantic_pairs, _SEM_PAIRS_SQL),
     "dedup_span_corpus": (_q_span_dedup, _SPAN_DEDUP_SQL),
     "dedup_dup_spans": (_q_dup_spans, _DUP_SPANS_SQL),
     "text_lm_score": (_q_lm_score, _LM_SCORE_SQL),

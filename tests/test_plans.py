@@ -308,3 +308,43 @@ class TestNewOperatorPlans:
         )
         for op in ("Exchange", "Join", "Window"):
             assert op not in plan, op
+
+
+class TestHashedEmbeddingPlans:
+    def test_hof_embedding_is_shuffle_free(self, spark):
+        """The 'hof' hashed-embedding strategy must be a pure projection:
+        no Exchange, no Window, no Join — a 10^12-doc corpus gets its
+        vectors in the scan stage."""
+        from ocr_spark.operators.embed import hashed_embedding
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            hashed_embedding(docs, dim=16, strategy="hof")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for op in ("Exchange", "Window", "Join"):
+            assert op not in plan, (op, plan)
+
+    def test_explode_embedding_exchanges_are_bucket_bounded(self, spark):
+        """The 'explode' strategy pays exactly its two documented
+        map-side-combined aggregations — partial counts per (doc,
+        bucket), then the per-doc rebuild — and nothing else (no Window,
+        no Join, no extra shuffle)."""
+        from ocr_spark.operators.embed import hashed_embedding
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            hashed_embedding(docs, dim=64, strategy="explode")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        for op in ("Window", "Join", "CartesianProduct"):
+            assert op not in plan, (op, plan)

@@ -1625,3 +1625,114 @@ class TestNormalizeAndDomainCap:
             r.doc_id for r in cap_per_domain(df, 3, salts=1).collect()
         )
         assert kept1 == kept
+
+
+class TestHashedEmbedding:
+    """Feature-hashed document embeddings (operators/embed.py) — the
+    model-free text→vector bridge into the similarity operators."""
+
+    ROWS = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),  # exact dup
+        (2, "the dog sat on the mat today"),  # near dup
+        (3, "quantum flux capacitors engage warp drive"),  # distinct
+        (4, None),  # NULL text → [''] (one empty token, never dropped)
+        (5, ""),  # empty text → same vector as NULL
+    ]
+
+    @staticmethod
+    def _py_ref(text, dim):
+        """Pure-Python reference: portable hash, sequential folds."""
+        import hashlib
+
+        toks = (text or "").lower().split(" ")
+        cnt = [0.0] * dim
+        for t in toks:
+            h = int(
+                hashlib.md5(("emb:" + t).encode()).hexdigest()[:12], 16
+            ) % dim
+            cnt[h] += 1.0
+        ss = 0.0
+        for v in cnt:
+            ss += v * v
+        nrm = math.sqrt(ss)
+        vec = cnt if nrm == 0 else [v / nrm for v in cnt]
+        return len(toks), nrm, vec
+
+    @pytest.mark.parametrize("strategy", ["hof", "explode"])
+    def test_bit_identical_to_python_reference(self, spark, strategy):
+        from ocr_spark.operators.embed import hashed_embedding
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in hashed_embedding(
+                df, dim=16, hash_mode="portable", strategy=strategy
+            ).collect()
+        }
+        assert len(out) == len(self.ROWS)  # NULL/empty rows never dropped
+        for i, text in self.ROWS:
+            n, nrm, vec = self._py_ref(text, 16)
+            r = out[i]
+            assert r.n_tokens == n
+            assert r.norm == nrm  # bit-identical, not approx
+            assert list(r.embedding) == vec
+
+    @pytest.mark.parametrize("hash_mode", ["portable", "xxhash64"])
+    def test_strategies_bit_identical(self, docs, hash_mode):
+        """'hof' and 'explode' are physical strategies only — same
+        vectors, bit for bit, on the real documents table."""
+        from ocr_spark.operators.embed import hashed_embedding
+
+        a = sorted(
+            hashed_embedding(
+                docs, dim=16, hash_mode=hash_mode, strategy="hof"
+            ).collect()
+        )
+        b = sorted(
+            hashed_embedding(
+                docs, dim=16, hash_mode=hash_mode, strategy="explode"
+            ).collect()
+        )
+        assert a == b
+
+    def test_partitioning_invariant(self, docs):
+        from ocr_spark.operators.embed import hashed_embedding
+
+        a = sorted(
+            hashed_embedding(docs.repartition(1), dim=8).collect()
+        )
+        b = sorted(
+            hashed_embedding(docs.repartition(7), dim=8).collect()
+        )
+        assert a == b
+
+    def test_normalized_vectors_unit_norm(self, docs):
+        from ocr_spark.operators.embed import hashed_embedding
+
+        rows = hashed_embedding(docs, dim=16).collect()
+        for r in rows:
+            assert r.norm > 0
+            assert abs(
+                math.sqrt(sum(v * v for v in r.embedding)) - 1.0
+            ) < 1e-12
+
+    def test_semantic_near_dup_finds_planted_duplicate(self, spark, docs):
+        """Text in, pairs out: a planted copy must surface as a cos=1
+        pair through the bucketed cosine join; the composed pipeline
+        (hashed_embedding → cosine_pairs) never sees a model."""
+        from ocr_spark.operators.embed import semantic_near_dup
+
+        planted = docs.limit(2).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+        pairs = semantic_near_dup(
+            docs.unionByName(planted), dim=16, threshold=0.999
+        ).collect()
+        found = {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)) for r in pairs
+        }
+        for r in docs.limit(2).collect():
+            assert (r.doc_id, r.doc_id + 1_000_000) in found
+        for r in pairs:
+            assert r.cos >= 0.999
