@@ -154,6 +154,13 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
 
     counts = lm.unigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
     timed("text_lm_score", lm.lm_score(docs, counts))
+    from ocr_spark.operators import classifier
+
+    cls_counts = classifier.class_token_counts(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 == 1),
+    )
+    timed("text_classifier", classifier.classifier_score(docs, cls_counts))
     from ocr_spark.operators import embed
 
     # hashed-embedding near-dup: the model-free SemDeDup pipeline (auto

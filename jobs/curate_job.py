@@ -80,6 +80,18 @@ def main() -> int:
                          "on the surviving corpus and keep the top FRAC "
                          "by mean log-probability (the cut threshold is "
                          "reported in the summary)")
+    ap.add_argument("--classifier-ref", default=None, metavar="PATH",
+                    help="parquet of positive reference documents (text "
+                         "column) for the FineWeb-Edu-style log-odds "
+                         "classifier gate (required with "
+                         "--classifier-head)")
+    ap.add_argument("--classifier-head", type=float, default=None,
+                    metavar="FRAC",
+                    help="train the token log-odds classifier on "
+                         "--classifier-ref (positives) vs the surviving "
+                         "corpus (negatives) and keep the top FRAC by "
+                         "mean log-odds (the cut threshold is reported "
+                         "in the summary)")
     ap.add_argument("--max-per-domain", type=int, default=None,
                     help="keep at most N docs per host (FineWeb-style "
                          "domain balancer; deterministic smallest-id "
@@ -237,6 +249,49 @@ def main() -> int:
         docs = docs.join(keep, "doc_id", "left_semi").cache()
         summary["lm_threshold"] = thr
         summary["after_lm_head"] = docs.count()
+
+    if args.classifier_head is not None:
+        if not args.classifier_ref:
+            ap.error("--classifier-head requires --classifier-ref")
+        from ocr_spark.operators.classifier import (
+            class_token_counts,
+            classifier_score,
+        )
+
+        # The classifier references the surviving corpus THREE times
+        # (negative counts, scoring, and the semi-join back); stacked on
+        # the dedup stages' self-referencing rewrites the logical plan
+        # grows multiplicatively — large enough that merely RENDERING it
+        # (AQE's plan-update string) OOMs the driver.  Cut lineage once
+        # here; at cluster scale this is also where you'd checkpoint to
+        # reliable storage before the most re-referenced stage.
+        docs = docs.localCheckpoint()
+        # positives = the reference corpus, negatives = the surviving
+        # corpus itself (the FineWeb-Edu train-on-reference shape); the
+        # ref table only contributes tokens, so any deterministic id does
+        ref = (
+            spark.read.parquet(args.classifier_ref)
+            .select("text")
+            .withColumn("doc_id", F.xxhash64("text"))
+        )
+        counts = class_token_counts(ref, docs)
+        scores = classifier_score(docs, counts).select(
+            "doc_id", "mean_log_odds"
+        )
+        # same scale-safe approx_percentile cut as --lm-head; the
+        # threshold actually applied is REPORTED, never silent
+        cthr = scores.agg(
+            F.expr(
+                f"approx_percentile(mean_log_odds, "
+                f"{1.0 - args.classifier_head}, 10000)"
+            )
+        ).collect()[0][0]
+        keep = scores.filter(F.col("mean_log_odds") >= cthr).select(
+            "doc_id"
+        )
+        docs = docs.join(keep, "doc_id", "left_semi").cache()
+        summary["classifier_threshold"] = cthr
+        summary["after_classifier_head"] = docs.count()
 
     if args.pii:
         from ocr_spark.operators.pii import scrub_pii

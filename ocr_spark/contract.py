@@ -1899,12 +1899,16 @@ def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CCNet-style LM quality gate (operators/lm.py): Laplace-smoothed unigram
 # trained on HALF the corpus (doc_id % 2 = 0 — the "clean reference"),
 # every document scored, so odd docs exercise real out-of-vocab tokens.
-# Determinism contract: integer-exact division operands, ln() verified
-# bit-identical across JVM/glibc/DuckDB, per-doc sum = sorted sequential
-# fold (list_reduce over list(lp ORDER BY pos); Spark's extra 0.0 init is
-# exact because 0.0 + x == x for every x != -0.0, and smoothing makes
-# every logprob strictly negative).  The HUGEINT sum is CAST to BIGINT
-# (the CLAUDE.md driver-parity trap).
+# Determinism contract: integer-exact division operands, per-doc sum =
+# sorted sequential fold (list_reduce over list(lp ORDER BY pos); Spark's
+# extra 0.0 init is exact because 0.0 + x == x for every x != -0.0, and
+# smoothing makes every logprob strictly negative).  The HUGEINT sum is
+# CAST to BIGINT (the CLAUDE.md driver-parity trap).  mean_logprob is
+# rounded to 9 decimals on BOTH engines: the JVM's ln() intrinsic
+# disagrees with glibc/DuckDB by 1 ulp on ~5% of operands (measured r4 —
+# the r3 "ln bit-identical" claim was an artifact of this corpus's tiny
+# 31-token vocabulary), and per-token 1-ulp noise absorbs to ~1e-16 in
+# the mean, seven orders below the rounding grain.
 _LM_SCORE_SQL = """
 WITH t AS (SELECT doc_id,
                   string_split(lower(coalesce(text, '')), ' ') AS tk
@@ -1926,7 +1930,7 @@ agg AS (SELECT doc_id,
 SELECT doc_id,
   CAST(n_tokens AS INTEGER) AS n_tokens,
   CAST(n_oov AS INTEGER) AS n_oov,
-  list_reduce(lps, (a, x) -> a + x) / n_tokens AS mean_logprob
+  round(list_reduce(lps, (a, x) -> a + x) / n_tokens, 9) AS mean_logprob_r
 FROM agg
 """
 
@@ -1937,7 +1941,64 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     counts = lm.unigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
     return lm.lm_score(docs, counts).select(
-        "doc_id", "n_tokens", "n_oov", "mean_logprob"
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round("mean_logprob", 9).alias("mean_logprob_r"),
+    )
+
+
+# Supervised log-odds quality classifier (operators/classifier.py, the
+# FineWeb-Edu gate shape): positives = doc_id % 3 = 0, negatives =
+# doc_id % 3 = 1, every document scored — the % 3 = 2 docs exercise real
+# out-of-vocab tokens.  Same fold-determinism contract as the LM gate;
+# mean_log_odds rounded to 9 decimals on both engines (the ln() 1-ulp
+# trap above; per-token w = lnA − lnB can carry 2 ulps, still ~1e-16
+# after the mean).
+_CLS_SCORE_SQL = """
+WITH t AS (SELECT doc_id,
+                  string_split(lower(coalesce(text, '')), ' ') AS tk
+           FROM documents),
+tok0 AS (SELECT doc_id, unnest(range(0, len(tk))) AS pos, tk FROM t),
+tok AS (SELECT doc_id, pos, tk[pos + 1] AS w FROM tok0),
+cpos AS (SELECT w, count(*) AS c FROM tok WHERE doc_id % 3 = 0 GROUP BY w),
+cneg AS (SELECT w, count(*) AS c FROM tok WHERE doc_id % 3 = 1 GROUP BY w),
+counts AS (SELECT coalesce(cpos.w, cneg.w) AS w,
+                  coalesce(cpos.c, 0) AS cp, coalesce(cneg.c, 0) AS cn
+           FROM cpos FULL OUTER JOIN cneg ON cpos.w = cneg.w),
+tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+               CAST(sum(cn) AS BIGINT) AS nn, count(*) AS v FROM counts),
+j AS (SELECT tok.doc_id, tok.pos,
+        ln((coalesce(counts.cp, 0) + 1) / (tot.np + tot.v + 1))
+      - ln((coalesce(counts.cn, 0) + 1) / (tot.nn + tot.v + 1)) AS lo,
+        (counts.w IS NULL) AS oov
+      FROM tok LEFT JOIN counts ON tok.w = counts.w CROSS JOIN tot),
+agg AS (SELECT doc_id,
+          list(lo ORDER BY pos) AS los,
+          count(*) AS n_tokens,
+          count(*) FILTER (WHERE oov) AS n_oov
+        FROM j GROUP BY doc_id)
+SELECT doc_id,
+  CAST(n_tokens AS INTEGER) AS n_tokens,
+  CAST(n_oov AS INTEGER) AS n_oov,
+  round(list_reduce(los, (a, x) -> a + x) / n_tokens, 9) AS mean_log_odds_r
+FROM agg
+"""
+
+
+def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = classifier.class_token_counts(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 == 1),
+    )
+    return classifier.classifier_score(docs, counts).select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round("mean_log_odds", 9).alias("mean_log_odds_r"),
     )
 
 
@@ -2102,6 +2163,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # (1) newest + previously-unchecked oracle rows
     "sim_hashed_embed": (_q_hashed_embed, _EMBED_SQL),
     "sim_semantic_pairs": (_q_semantic_pairs, _SEM_PAIRS_SQL),
+    "text_classifier_score": (_q_classifier_score, _CLS_SCORE_SQL),
     "dedup_span_corpus": (_q_span_dedup, _SPAN_DEDUP_SQL),
     "dedup_dup_spans": (_q_dup_spans, _DUP_SPANS_SQL),
     "text_lm_score": (_q_lm_score, _LM_SCORE_SQL),

@@ -80,14 +80,18 @@ def lm_score(
     ``ppl = exp(-mean_logprob)`` is the conventional perplexity rendering
     of the same number.  NULL text scores as ``''``.
 
-    Determinism: the division operands are exact integers < 2^53, `ln`
-    is bit-identical across the JVM, glibc and DuckDB (verified on this
-    stack), and the per-document sum is a sorted sequential fold — so
-    ``mean_logprob`` is reproducible bit-for-bit under any partitioning
-    and across engines.  ``ppl`` is a convenience rendering only:
-    ``exp()`` differs by 1 ulp between the JVM and glibc (measured), so
-    it is deterministic within Spark but not parity-grade across engines
-    — rank and filter on ``mean_logprob``.
+    Determinism: the division operands are exact integers < 2^53 and the
+    per-document sum is a sorted sequential fold, so ``mean_logprob`` is
+    reproducible bit-for-bit under any partitioning WITHIN Spark (the
+    JVM's ``ln`` intrinsic is JIT-state-independent — probed cold vs
+    hot).  Across engines it is reproducible to ~1e-16 but not to the
+    last bit: the JVM's ``ln`` disagrees with glibc/CPython/DuckDB by
+    1 ulp on ~5% of operands (measured r4; the earlier "bit-identical"
+    claim sampled a range where they agree), so oracle twins compare a
+    ``round(mean_logprob, 9)`` column — seven orders of margin over the
+    absorbed per-token noise.  ``exp()`` likewise differs by 1 ulp
+    between the JVM and glibc, so ``ppl`` is a convenience rendering
+    only — rank and filter on ``mean_logprob``.
     """
     tok = _tokens(df, text_col, id_col, lowercase)
     vocab = counts.select(F.col("token").alias("_tok"), "c")

@@ -90,6 +90,21 @@ class TestJobs:
     def test_curate_job_full_chain(self, extracted_dir, tmp_path):
         blocklist = tmp_path / "blocked.txt"
         blocklist.write_text("blocked.example\n")
+        import pyarrow as pa
+        import pyarrow.parquet as pq_w
+
+        ref = tmp_path / "edu_ref.parquet"
+        pq_w.write_table(
+            pa.table(
+                {
+                    "text": [
+                        "the study of science and careful analysis",
+                        "education research methods and learning outcomes",
+                    ]
+                }
+            ),
+            ref,
+        )
         out = tmp_path / "curated"
         summary = _run(
             [
@@ -104,6 +119,8 @@ class TestJobs:
                 "--line-dedup",
                 "--span-dedup", "20",
                 "--lm-head", "0.95",
+                "--classifier-ref", str(ref),
+                "--classifier-head", "0.9",
                 "--pii",
                 "--split", "train=0.9,val=0.05,test=0.05",
             ]
@@ -116,6 +133,8 @@ class TestJobs:
         assert "dup_span_tokens_removed" in summary  # span dedup ran
         assert summary["lm_threshold"] < 0  # LM cut reported, never silent
         assert summary["after_lm_head"] > 0
+        assert "classifier_threshold" in summary  # cut reported, never silent
+        assert summary["after_classifier_head"] > 0
         assert summary["output_docs"] > 0
         # the curated table is readable and split-labeled
         import pyarrow.parquet as pq

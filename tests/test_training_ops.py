@@ -1736,3 +1736,109 @@ class TestHashedEmbedding:
             assert (r.doc_id, r.doc_id + 1_000_000) in found
         for r in pairs:
             assert r.cos >= 0.999
+
+
+class TestClassifierScore:
+    """Supervised token log-odds classifier (operators/classifier.py) —
+    the FineWeb-Edu quality-gate shape, trained by plain aggregation."""
+
+    POS = [(0, "the study of science and learning"),
+           (1, "education research and analysis")]
+    NEG = [(10, "click here buy now cheap deals"),
+           (11, "win free money now")]
+
+    def _fixture(self, spark):
+        from ocr_spark.operators.classifier import class_token_counts
+
+        pos = spark.createDataFrame(self.POS, "doc_id long, text string")
+        neg = spark.createDataFrame(self.NEG, "doc_id long, text string")
+        return pos, neg, class_token_counts(pos, neg)
+
+    def test_matches_python_reference(self, spark):
+        """Exact integer outputs match a pure-Python model exactly; the
+        float score matches to ~1e-12 (the JVM's ln intrinsic differs
+        from CPython's glibc log by 1 ulp on some operands — measured —
+        so bitwise equality to a CPython reference is NOT the contract;
+        within-Spark bitwise determinism is, see the next test)."""
+        from collections import Counter
+
+        from ocr_spark.operators.classifier import classifier_score
+
+        pos, neg, counts = self._fixture(spark)
+        rows = self.POS + self.NEG + [(20, "science learning zebra"),
+                                      (21, None)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in classifier_score(docs, counts).collect()}
+        assert len(out) == len(rows)  # NULL text never dropped
+
+        cp, cn = Counter(), Counter()
+        for _, t in self.POS:
+            cp.update(t.lower().split(" "))
+        for _, t in self.NEG:
+            cn.update(t.lower().split(" "))
+        vocab = set(cp) | set(cn)
+        np_, nn_, v = sum(cp.values()), sum(cn.values()), len(vocab)
+        for i, t in rows:
+            toks = (t or "").lower().split(" ")
+            s, oov = 0.0, 0
+            for w in toks:
+                if w not in vocab:
+                    oov += 1
+                s += math.log((cp.get(w, 0) + 1) / (np_ + v + 1)) - math.log(
+                    (cn.get(w, 0) + 1) / (nn_ + v + 1)
+                )
+            r = out[i]
+            assert r.n_tokens == len(toks)
+            assert r.n_oov == oov
+            assert abs(r.mean_log_odds - s / len(toks)) < 1e-12
+
+    def test_discriminates_and_oov_is_constant(self, spark):
+        from ocr_spark.operators.classifier import classifier_score
+
+        pos, neg, counts = self._fixture(spark)
+        docs = pos.unionByName(neg).unionByName(
+            spark.createDataFrame(
+                [(30, "zzz qqq xxx")], "doc_id long, text string"
+            )
+        )
+        out = {r.doc_id: r for r in classifier_score(docs, counts).collect()}
+        for i, _ in self.POS:
+            assert out[i].mean_log_odds > 0
+        for i, _ in self.NEG:
+            assert out[i].mean_log_odds < 0
+        # an all-OOV doc scores the constant ln((Nn+V+1)/(Np+V+1))
+        r = out[30]
+        assert r.n_oov == r.n_tokens == 3
+
+    def test_partitioning_invariant_bitwise(self, docs, spark):
+        """Within Spark the score is bit-reproducible under any
+        partitioning (sorted sequential fold; the JVM ln intrinsic is
+        JIT-state-independent — probed)."""
+        from ocr_spark.operators.classifier import (
+            class_token_counts,
+            classifier_score,
+        )
+
+        counts = class_token_counts(
+            docs.filter(F.col("doc_id") % 3 == 0),
+            docs.filter(F.col("doc_id") % 3 == 1),
+        )
+        a = sorted(classifier_score(docs.repartition(1), counts).collect())
+        b = sorted(classifier_score(docs.repartition(7), counts).collect())
+        assert a == b
+
+    def test_broadcast_counts_identical(self, docs, spark):
+        from ocr_spark.operators.classifier import (
+            class_token_counts,
+            classifier_score,
+        )
+
+        counts = class_token_counts(
+            docs.filter(F.col("doc_id") % 3 == 0),
+            docs.filter(F.col("doc_id") % 3 == 1),
+        )
+        a = sorted(classifier_score(docs, counts).collect())
+        b = sorted(
+            classifier_score(docs, counts, broadcast_counts=True).collect()
+        )
+        assert a == b
