@@ -2039,6 +2039,47 @@ def _q_events_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# token-budget mixture (operators/splits.token_budget_sample): the
+# Dolma/Pile "N tokens per source" recipe.  Keep rule: a document
+# survives iff the token count of the docs hash-ranked before it in its
+# stratum is still under the stratum budget (boundary doc kept — ≤ 1 doc
+# overshoot, the documented contract).  Pure integer arithmetic, so the
+# kept set is engine-exact; the oracle states the rule as one per-source
+# window (the Spark side distributes it as the two-phase prefix sum) —
+# with the HUGEINT window sum CAST to BIGINT, the CLAUDE.md trap.
+_TOK_BUDGET = {"src0": 700, "src1": 100, "src2": 9999}
+
+_TOK_BUDGET_SQL = f"""
+WITH t AS (SELECT doc_id, source,
+                  len(string_split(coalesce(text, ''), ' ')) AS n_tok,
+                  {portable_hash_sql_duckdb(
+                      chr(39) + 'tokbudget:v1:' + chr(39)
+                      + " || CAST(doc_id AS VARCHAR)")} AS h
+           FROM documents),
+o AS (SELECT doc_id, source,
+        CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS off
+      FROM t)
+SELECT doc_id, source FROM o
+WHERE off < (CASE source {" ".join(
+    f"WHEN '{s}' THEN {b}" for s, b in _TOK_BUDGET.items())} ELSE 0 END)
+"""
+
+
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import splits
+
+    res = splits.token_budget_sample(
+        _t(spark, sf_dir, "documents"),
+        _TOK_BUDGET,
+        hash_mode="portable",
+        default_budget=0,
+    )
+    return res.select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
 # hashed document embeddings (operators/embed.py): feature-hashing TF
 # vectors, L2-normalized.  Parity contract: bucket counts are exact small
 # integers in float64, the norm is a sequential index-order fold (DuckDB
@@ -2164,6 +2205,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "sim_hashed_embed": (_q_hashed_embed, _EMBED_SQL),
     "sim_semantic_pairs": (_q_semantic_pairs, _SEM_PAIRS_SQL),
     "text_classifier_score": (_q_classifier_score, _CLS_SCORE_SQL),
+    "corpus_token_budget": (_q_token_budget, _TOK_BUDGET_SQL),
     "dedup_span_corpus": (_q_span_dedup, _SPAN_DEDUP_SQL),
     "dedup_dup_spans": (_q_dup_spans, _DUP_SPANS_SQL),
     "text_lm_score": (_q_lm_score, _LM_SCORE_SQL),

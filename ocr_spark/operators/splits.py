@@ -139,3 +139,118 @@ def assign_split(
         else expr.otherwise(F.lit(labels[-1]))
     )
     return df.withColumn(out, expr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    hash_mode: str = "xxhash64",
+    default_budget: int | None = 0,
+    n_buckets_log2: int = 10,
+) -> DataFrame:
+    """Mixture construction by TOKEN budget (the Dolma/Pile/Llama recipe:
+    "N tokens from source X"), where :func:`stratified_sample` mixes by
+    document FRACTION.  Documents within a stratum are ranked by salted
+    hash (a uniform draw, not crawl-order bias; ``id_col`` tie-breaks),
+    and a document is kept iff the whitespace-token count of the docs
+    ranked before it is still below the stratum's budget — so each
+    stratum overshoots by AT MOST ONE document (the boundary doc is
+    kept; deterministic, documented, never silent: the rule is the
+    contract).  Strata absent from ``budgets`` get ``default_budget``
+    (``None`` = unlimited, keep everything; ``0`` = drop — mirrors
+    ``stratified_sample``'s ``default_rate``).
+
+    Unlike fraction sampling this is inherently NOT append-stable: new
+    documents compete for the same budget and can displace old winners
+    near the boundary.  Re-deal with ``salt``.
+
+    Plan shape (the pack_sequences two-phase prefix sum, re-keyed): the
+    per-stratum running token sum would be one task per stratum as a
+    plain window — a mega-source is exactly the skew this op exists to
+    tame — so the hash's HIGH BITS form ``2^n_buckets_log2``
+    order-contiguous buckets per stratum; per-(stratum, bucket) local
+    window prefixes run in parallel, per-bucket totals (a bounded
+    ``n_strata × 2^n_buckets_log2`` rowset) are cumulated on the driver
+    and broadcast back as base offsets.  No SinglePartition exchange
+    (plan-tested).  Partially EAGER like pack_sequences: the totals
+    action runs at build time, exact and deterministic.
+    """
+    for k, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budgets must be >= 0: {k}={b}")
+    if default_budget is not None and default_budget < 0:
+        raise ValueError(f"default_budget must be >= 0 or None")
+    salted = F.concat(
+        F.lit(f"tokbudget:{salt}:"),
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+    )
+    if hash_mode == "portable":
+        h = portable_hash_col(salted)  # 48-bit nonneg
+        bucket = F.shiftright(h, 48 - n_buckets_log2)
+    else:
+        h = F.xxhash64(salted)  # signed 64-bit
+        # arithmetic shift keeps bucket order == signed hash order
+        bucket = F.shiftright(h, 64 - n_buckets_log2)
+    strat = F.coalesce(F.col(strata_col), F.lit(""))
+    toks = df.select(
+        "*",
+        F.expr(
+            f"size(split(coalesce({text_col}, ''), ' '))"
+        ).alias("_n_tok"),
+        h.alias("_h"),
+        bucket.cast("bigint").alias("_bkt"),
+        strat.alias("_strat"),
+    )
+
+    # phase 2: per-(stratum, bucket) totals -> cumulative base offsets
+    totals = (
+        toks.groupBy("_strat", "_bkt")
+        .agg(F.sum("_n_tok").cast("bigint").alias("_tot"))
+        .collect()
+    )
+    base_rows: list[tuple[str, int, int]] = []
+    running: dict[str, int] = {}
+    for r in sorted(totals, key=lambda r: (r["_strat"], r["_bkt"])):
+        s = r["_strat"]
+        base_rows.append((s, r["_bkt"], running.get(s, 0)))
+        running[s] = running.get(s, 0) + (r["_tot"] or 0)
+    spark = df.sparkSession
+    base = spark.createDataFrame(
+        base_rows, schema="_strat string, _bkt bigint, _base bigint"
+    )
+
+    # phase 1: local window prefix within (stratum, bucket) + base join
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_strat", "_bkt")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    edge = None
+    for s, b in budgets.items():
+        cond = F.col("_strat") == F.lit(s)
+        lit = F.lit(int(b)).cast("bigint")
+        edge = F.when(cond, lit) if edge is None else edge.when(cond, lit)
+    default_lit = (
+        F.lit(None).cast("bigint")
+        if default_budget is None
+        else F.lit(int(default_budget)).cast("bigint")
+    )
+    edge = default_lit if edge is None else edge.otherwise(default_lit)
+    off = toks.join(F.broadcast(base), ["_strat", "_bkt"]).select(
+        "*",
+        (F.col("_base") + F.coalesce(F.sum("_n_tok").over(w), F.lit(0)))
+        .cast("bigint")
+        .alias("_off"),
+        edge.alias("_budget"),
+    )
+    kept = off.filter(
+        F.col("_budget").isNull() | (F.col("_off") < F.col("_budget"))
+    )
+    return kept.drop("_n_tok", "_h", "_bkt", "_strat", "_base", "_off",
+                     "_budget")

@@ -348,3 +348,22 @@ class TestHashedEmbeddingPlans:
         assert plan.count("Exchange hashpartitioning") == 2, plan
         for op in ("Window", "Join", "CartesianProduct"):
             assert op not in plan, (op, plan)
+
+
+class TestTokenBudgetPlans:
+    def test_no_single_partition_exchange(self, spark):
+        """The per-stratum running token sum must be the two-phase
+        distributed prefix sum — a mega-source through one task is the
+        exact skew the operator exists to tame."""
+        from ocr_spark.operators.splits import token_budget_sample
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            token_budget_sample(docs, {"src0": 500})
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange SinglePartition" not in plan, plan

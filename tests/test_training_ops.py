@@ -1842,3 +1842,74 @@ class TestClassifierScore:
             classifier_score(docs, counts, broadcast_counts=True).collect()
         )
         assert a == b
+
+
+class TestTokenBudgetSample:
+    """Token-budget mixture (splits.token_budget_sample) — the Dolma/Pile
+    "N tokens per source" recipe as a deterministic two-phase prefix sum."""
+
+    BUDGETS = {"src0": 700, "src1": 100, "src2": 99999}
+
+    def _kept(self, docs, **kw):
+        from ocr_spark.operators.splits import token_budget_sample
+
+        return token_budget_sample(docs, self.BUDGETS, **kw)
+
+    def test_budget_rule_and_bounded_overshoot(self, docs):
+        kept = self._kept(docs).withColumn(
+            "_nt", F.expr("size(split(coalesce(text, ''), ' '))")
+        )
+        rows = kept.groupBy("source").agg(
+            F.sum("_nt").alias("tok"), F.max("_nt").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+        by_src = {r.source: r for r in rows}
+        all_counts = {
+            r["source"]: (r["n"], r["tok"])
+            for r in docs.withColumn(
+                "_nt", F.expr("size(split(coalesce(text, ''), ' '))")
+            ).groupBy("source").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("_nt").alias("tok")
+            ).collect()
+        }
+        # default_budget=0: unlisted sources fully dropped
+        assert set(by_src) <= set(self.BUDGETS)
+        for s, budget in self.BUDGETS.items():
+            n_all, tok_all = all_counts[s]
+            r = by_src.get(s)
+            if tok_all <= budget:
+                # under-budget stratum keeps every document
+                assert r is not None and r.n == n_all
+            else:
+                # kept tokens reach the budget but overshoot by < 1 doc
+                assert r is not None
+                assert r.tok >= budget  # boundary doc included
+                assert r.tok - r.mx < budget  # pre-offset rule
+
+    def test_default_none_keeps_unlisted(self, docs):
+        kept = self._kept(docs, default_budget=None)
+        unlisted = kept.filter(~F.col("source").isin(*self.BUDGETS))
+        total_unlisted = docs.filter(
+            ~F.col("source").isin(*self.BUDGETS)
+        ).count()
+        assert unlisted.count() == total_unlisted
+
+    @pytest.mark.parametrize("hash_mode", ["portable", "xxhash64"])
+    def test_partitioning_invariant(self, docs, hash_mode):
+        a = sorted(
+            r.doc_id
+            for r in self._kept(
+                docs.repartition(1), hash_mode=hash_mode
+            ).collect()
+        )
+        b = sorted(
+            r.doc_id
+            for r in self._kept(
+                docs.repartition(7), hash_mode=hash_mode
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_schema_passthrough(self, docs):
+        kept = self._kept(docs)
+        assert kept.columns == docs.columns  # internals dropped
