@@ -1566,16 +1566,18 @@ def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # must lose exactly their >= 15-char lines.  Winner = lexicographic min
 # (doc_id, li), expressed in SQL as a two-step min (min doc per digest,
 # then min li within that doc).
-_LINE_DEDUP_SQL = """
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL SELECT doc_id + 1000000, text FROM documents),
-ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+def _line_dedup_sql(source: str, delim: str) -> str:
+    """Line/paragraph corpus-dedup oracle, parameterized by the unit
+    delimiter (chr(10) = C4 lines, chr(10)||chr(10) = RefinedWeb
+    paragraphs) and the corpus CTE body."""
+    return f"""
+WITH corpus AS ({source}),
+ls AS (SELECT doc_id, string_split(text, {delim}) AS ls FROM corpus),
 lines AS (
   SELECT doc_id, s.li, s.line FROM (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, len(ls)),
-                                 i -> {'li': i - 1, 'line': ls[i]})) AS s
+                                 i -> {{'li': i - 1, 'line': ls[i]}})) AS s
     FROM ls)),
 dig AS (
   SELECT doc_id, li, line,
@@ -1591,12 +1593,19 @@ flagged AS (
          (w.digest IS NULL OR (w.d = dg.doc_id AND w.p = dg.li)) AS keep
   FROM dig dg LEFT JOIN w ON dg.digest = w.digest)
 SELECT doc_id,
-  COALESCE(string_agg(line, chr(10) ORDER BY li) FILTER (WHERE keep), '')
+  COALESCE(string_agg(line, {delim} ORDER BY li) FILTER (WHERE keep), '')
     AS clean_text,
   CAST(count(*) AS INTEGER) AS n_lines,
   CAST(count(*) FILTER (WHERE keep) AS INTEGER) AS n_lines_kept
 FROM flagged GROUP BY doc_id
 """
+
+
+_LINE_DEDUP_SQL = _line_dedup_sql(
+    """SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents""",
+    "chr(10)",
+)
 
 
 def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1605,6 +1614,36 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
     return dedup.corpus_line_dedup(corpus)
+
+
+# Paragraph-granularity twin (RefinedWeb/MassiveText duplicate-paragraph
+# removal): both engines inject paragraph breaks deterministically
+# (". " → "." + blank line) and dedup on the "\n\n" unit — same winner
+# rule, bigger blocks.  The corpus ∪ copy trick again makes every
+# eligible paragraph a cross-doc duplicate, exercising winners/losers.
+_PARA_INJECT_DUCK = (
+    "replace(text, '. ', '.' || chr(10) || chr(10))"
+)
+
+_PARA_DEDUP_SQL = _line_dedup_sql(
+    f"""SELECT doc_id, {_PARA_INJECT_DUCK} AS text FROM documents
+  UNION ALL SELECT doc_id + 1000000, {_PARA_INJECT_DUCK} AS text
+  FROM documents""",
+    "chr(10) || chr(10)",
+)
+
+
+def _q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "replace(text, '. ', concat('.', char(10), char(10)))"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup.corpus_line_dedup(corpus, delimiter="\n\n")
 
 
 _DOMAIN_FILTER_SQL = """
@@ -2206,6 +2245,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "sim_semantic_pairs": (_q_semantic_pairs, _SEM_PAIRS_SQL),
     "text_classifier_score": (_q_classifier_score, _CLS_SCORE_SQL),
     "corpus_token_budget": (_q_token_budget, _TOK_BUDGET_SQL),
+    "dedup_paragraph_corpus": (_q_para_dedup, _PARA_DEDUP_SQL),
     "dedup_span_corpus": (_q_span_dedup, _SPAN_DEDUP_SQL),
     "dedup_dup_spans": (_q_dup_spans, _DUP_SPANS_SQL),
     "text_lm_score": (_q_lm_score, _LM_SCORE_SQL),

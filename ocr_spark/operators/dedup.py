@@ -268,6 +268,7 @@ def corpus_line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_line_chars: int = 15,
+    delimiter: str = "\n",
 ) -> DataFrame:
     """CORPUS-global duplicate-line removal (the C4 §2.2 dedup step: "we
     discard all but one of any three-sentence span occurring more than
@@ -288,10 +289,23 @@ def corpus_line_dedup(
 
     Returns (id_col, clean_text, n_lines, n_lines_kept) — clean_text is
     the document with losing duplicate lines removed, preserving original
-    line order."""
+    line order.
+
+    ``delimiter`` selects the granularity: ``"\\n"`` (default) is the C4
+    line step; ``"\\n\\n"`` is the RefinedWeb/MassiveText duplicate-
+    PARAGRAPH removal — same winner rule, same plan, blocks simply get
+    bigger (raise ``min_line_chars`` accordingly).  The delimiter must be
+    a regex-free literal (it feeds ``split`` as a pattern and
+    ``array_join`` as a literal)."""
+    if any(c in delimiter for c in "\\^$.|?*+()[]{}"):
+        raise ValueError(
+            f"delimiter must be a regex-free literal, got {delimiter!r}"
+        )
     lines = df.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("li", "line"),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+            "li", "line"
+        ),
     )
     digested = lines.withColumn(
         "digest",
@@ -329,9 +343,9 @@ def corpus_line_dedup(
     )
     return agg.select(
         id_col,
-        F.expr("array_join(transform(_kl, s -> s.line), '\\n')").alias(
-            "clean_text"
-        ),
+        F.array_join(
+            F.transform(F.col("_kl"), lambda s: s["line"]), delimiter
+        ).alias("clean_text"),
         F.col("n_lines").cast("int").alias("n_lines"),
         F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
     )

@@ -1913,3 +1913,37 @@ class TestTokenBudgetSample:
     def test_schema_passthrough(self, docs):
         kept = self._kept(docs)
         assert kept.columns == docs.columns  # internals dropped
+
+
+class TestParagraphDedup:
+    """delimiter='\\n\\n' turns corpus_line_dedup into the RefinedWeb
+    duplicate-PARAGRAPH removal — same winner rule, bigger units."""
+
+    def test_paragraph_winner_rule(self, spark):
+        from ocr_spark.operators.dedup import corpus_line_dedup
+
+        para = "this is a shared boilerplate paragraph of real length"
+        rows = [
+            (1, f"unique one alpha beta gamma delta\n\n{para}"),
+            (2, f"{para}\n\nunique two epsilon zeta eta theta"),
+            (3, "only unique content in this document right here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in corpus_line_dedup(df, delimiter="\n\n").collect()
+        }
+        # doc 1 (lowest id) keeps the shared paragraph; doc 2 loses it
+        assert para in got[1].clean_text
+        assert para not in got[2].clean_text
+        assert got[2].clean_text == "unique two epsilon zeta eta theta"
+        assert got[3].clean_text == rows[2][1]
+        # "\n" inside other docs is NOT a paragraph boundary
+        assert got[1].n_lines == 2 and got[2].n_lines == 2
+
+    def test_delimiter_must_be_literal(self, spark):
+        from ocr_spark.operators.dedup import corpus_line_dedup
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            corpus_line_dedup(df, delimiter=".")
