@@ -199,6 +199,45 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def link_benches(spark, html_path: str) -> dict[str, float]:
+    """Web-graph surface: the outlink scan over the HTML corpus (the
+    per-page cost that dominates at crawl scale) and PageRank on a
+    synthetic Zipf host graph (fold='sum' — the 100 TB path; the graph is
+    JVM-generated so the row measures the iterative join machinery, not
+    the scan)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import links as links_ops
+
+    out: dict[str, float] = {}
+    html_pages = spark.read.parquet(html_path)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _noop_write(links_ops.extract_outlinks(html_pages))
+        best = min(best, time.time() - t0)
+    out["web_outlinks"] = round(best, 3)
+    # 200k edges over ~10k hosts with 2/5 of edges funneled into 100 hub
+    # hosts — the Zipf in-degree shape real host graphs have; weights 1-5
+    edges = spark.range(200_000).select(
+        F.concat(
+            F.lit("h"), F.pmod(F.xxhash64("id"), F.lit(10_000))
+        ).alias("src_host"),
+        F.concat(
+            F.lit("h"),
+            F.when(
+                F.col("id") % 5 < 2, F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100))
+            ).otherwise(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10_000))),
+        ).alias("dst_host"),
+        (F.lit(1) + F.col("id") % 5).cast("long").alias("w"),
+    ).groupBy("src_host", "dst_host").agg(F.sum("w").alias("w"))
+    edges = edges.localCheckpoint()  # time the iteration, not the generator
+    t0 = time.time()  # pagerank is eager (node count) — time the whole call
+    _noop_write(links_ops.pagerank(edges, iters=5, fold="sum"))
+    out["web_pagerank_10k_hosts_5it"] = round(time.time() - t0, 3)
+    return out
+
+
 def main_bench() -> None:
     from ocr_spark.session import get_spark
 
@@ -215,6 +254,7 @@ def main_bench() -> None:
         "extract_html_e2e": round(html_sec, 3),
     }
     queries.update(operator_benches(spark, SF_DIR))
+    queries.update(link_benches(spark, html_path))
     print(
         json.dumps(
             {
