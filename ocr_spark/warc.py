@@ -1,0 +1,209 @@
+"""WARC (ISO 28500) record parsing — the Common Crawl wire format.
+
+Crawl archives ship as ``.warc.gz`` files: CONCATENATED gzip members,
+one WARC record per member, so a reader can seek to any record without
+decompressing the file prefix.  Each record is::
+
+    WARC/1.0\\r\\n
+    WARC-Type: response\\r\\n
+    WARC-Target-URI: http://example.com/\\r\\n
+    WARC-Date: 2025-01-01T00:00:00Z\\r\\n
+    Content-Length: <n>\\r\\n
+    \\r\\n
+    <n payload bytes>\\r\\n\\r\\n
+
+For ``response`` records the payload is the raw HTTP response (status
+line + headers + body); the page bytes the extraction pipeline wants are
+the HTTP BODY.  ``conversion`` records (the ``.warc.wet`` flavour) carry
+the body directly.
+
+Everything here is stdlib-only (``zlib`` handles the multi-member gzip
+stream) and deterministic: a malformed record never raises — it is
+skipped and COUNTED, surfacing through the reader's ``warc_errors``
+audit column (the never-silent policy; a crawl file with a torn tail is
+routine, a parser that hides it is not).  The builder exists so tests
+and fixtures can round-trip: ``parse(build(records)) == records``
+byte-for-byte.
+
+Sizing note for the 100 TB deployment: one ``.warc.gz`` is ~1 GiB and is
+processed as ONE task (the Common Crawl convention — the gzip members
+give intra-file random access, but Spark's binaryFile source ships whole
+files; a listing of 100k files saturates any executor count long before
+per-file parallelism matters).  ``sources.read_pages_warc`` documents
+the partition math.
+"""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+
+_CRLF = b"\r\n"
+_SEP = b"\r\n\r\n"
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress a multi-member gzip stream (the .warc.gz layout).
+
+    Plain (non-gzip) input is returned unchanged — the reader handles
+    both flavours with one code path.  A torn final member yields the
+    bytes decoded so far (the record parser then counts the torn tail
+    as an error instead of raising here)."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    out: list[bytes] = []
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(data))
+        except zlib.error:
+            break
+        if not d.eof:  # torn final member — keep what decoded
+            break
+        data = d.unused_data
+        if data[:2] != b"\x1f\x8b":
+            break
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """Header block → {lower-name: value}; first occurrence wins;
+    malformed lines are ignored (crawl reality)."""
+    headers: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        name, sep, value = line.partition(b":")
+        if not sep or not name:
+            continue
+        key = name.strip().decode("ascii", "replace").lower()
+        if key not in headers:
+            headers[key] = value.strip().decode("utf-8", "replace")
+    return headers
+
+
+def split_http_payload(payload: bytes) -> bytes:
+    """HTTP response payload → body bytes (header block stripped).
+
+    Payloads that do not start with ``HTTP/`` are returned whole (a
+    ``conversion`` record, or a server that spoke garbage — the
+    extraction pipeline's payload sniff handles either)."""
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    idx = payload.find(_SEP)
+    return payload[idx + 4:] if idx >= 0 else b""
+
+
+def iter_warc_records(data: bytes):
+    """Yield ``(headers: dict, payload: bytes)`` per well-formed record;
+    sets ``headers['_error']`` and stops on a torn/malformed tail.
+
+    Walks by Content-Length (never scans payload bytes for markers — a
+    payload may legally contain ``WARC/1.0``)."""
+    raw_len = len(data)
+    data = gunzip_members(data)
+    if raw_len and not data:  # gzip stream decoded to nothing: not silence
+        yield {"_error": "torn-gzip"}, b""
+        return
+    pos, n = 0, len(data)
+    while pos < n:
+        # tolerate inter-record padding
+        while pos < n and data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        if not data.startswith(b"WARC/", pos):
+            yield {"_error": "bad-magic"}, b""
+            return
+        hdr_end = data.find(_SEP, pos)
+        if hdr_end < 0:
+            yield {"_error": "torn-header"}, b""
+            return
+        headers = _parse_headers(data[pos:hdr_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            yield {"_error": "bad-length"}, b""
+            return
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            yield {"_error": "torn-payload"}, b""
+            return
+        yield headers, data[body_start:body_start + length]
+        pos = body_start + length
+
+
+def parse_warc_date(value: str) -> datetime | None:
+    """WARC-Date (ISO 8601 ``...Z``) → aware UTC datetime, None if bad."""
+    try:
+        return datetime.strptime(value, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+    except ValueError:
+        return None
+
+
+_KEEP_TYPES = frozenset(("response", "conversion"))
+
+
+def extract_pages(data: bytes) -> tuple[list[dict], int]:
+    """One WARC file's bytes → (pages, n_errors).
+
+    Pages are dicts ``{"url", "warc_ts": datetime, "html": bytes}`` —
+    the input-table shape minus the constant columns.  Records that are
+    not response/conversion (warcinfo, request, metadata) are skipped
+    silently (they are structure, not content); records with a missing
+    URI/date or a torn tail are COUNTED as errors."""
+    pages: list[dict] = []
+    errors = 0
+    for headers, payload in iter_warc_records(data):
+        if "_error" in headers:
+            errors += 1
+            continue
+        if headers.get("warc-type") not in _KEEP_TYPES:
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts = parse_warc_date(headers.get("warc-date", ""))
+        if not url or ts is None:
+            errors += 1
+            continue
+        pages.append(
+            {"url": url, "warc_ts": ts, "html": split_http_payload(payload)}
+        )
+    return pages, errors
+
+
+# ---------------------------------------------------------------------------
+# builder (fixtures / tests / the round-trip oracle)
+
+def build_record(
+    url: str,
+    date: str,
+    body: bytes,
+    warc_type: str = "response",
+    http_headers: bytes = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n",
+) -> bytes:
+    """One WARC record, byte-exact per the spec grammar above."""
+    payload = (
+        http_headers + _CRLF + body if warc_type == "response" else body
+    )
+    head = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: " + warc_type.encode() + _CRLF
+        + b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"WARC-Date: " + date.encode() + _CRLF
+        + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+    )
+    return head + _CRLF + payload + _SEP
+
+
+def build_warc(records: list[bytes], gzip_members: bool = True) -> bytes:
+    """Records → one .warc(.gz) file's bytes (one gzip member per record
+    when ``gzip_members`` — the Common Crawl layout).  mtime is pinned to
+    0 and OS byte to 255 so the output is byte-deterministic."""
+    if not gzip_members:
+        return b"".join(records)
+    out = []
+    for rec in records:
+        c = zlib.compressobj(9, zlib.DEFLATED, 31)
+        # wbits=31 writes a gzip header with mtime=0, os=255 — stable
+        out.append(c.compress(rec) + c.flush())
+    return b"".join(out)

@@ -1,0 +1,136 @@
+"""WARC ingest (the Common Crawl wire format): parser round-trip,
+torn-tail accounting, and the Spark reader feeding the extraction
+pipeline with byte-identical text."""
+
+from datetime import datetime, timezone
+
+from ocr_spark.fixtures import make_doc, make_html_doc
+from ocr_spark.oracle import extract_document
+from ocr_spark.pipeline import extract
+from ocr_spark.sources import read_pages_warc
+from ocr_spark.warc import (
+    build_record,
+    build_warc,
+    extract_pages,
+    gunzip_members,
+    iter_warc_records,
+    split_http_payload,
+)
+
+DATE = "2025-01-01T00:00:00Z"
+
+
+def _file(bodies, gz=True):
+    recs = [
+        build_record(f"http://ex.com/{i}", DATE, b) for i, b in enumerate(bodies)
+    ]
+    return build_warc(recs, gzip_members=gz)
+
+
+class TestParser:
+    def test_round_trip_gzip_and_plain(self):
+        bodies = [b"<html>a</html>", b"", b"x" * 10_000]
+        for gz in (True, False):
+            pages, errors = extract_pages(_file(bodies, gz=gz))
+            assert errors == 0
+            assert [p["html"] for p in pages] == bodies
+            assert pages[0]["url"] == "http://ex.com/0"
+            assert pages[0]["warc_ts"] == datetime(
+                2025, 1, 1, tzinfo=timezone.utc
+            )
+
+    def test_payload_containing_warc_magic_not_split(self):
+        # length-walked, never marker-scanned: a body may contain WARC/1.0
+        body = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nfake"
+        pages, errors = extract_pages(_file([body]))
+        assert errors == 0 and len(pages) == 1
+        assert pages[0]["html"] == body
+
+    def test_non_content_records_skipped_silently(self):
+        recs = [
+            build_record("http://ex.com/i", DATE, b"crawl", warc_type="warcinfo"),
+            build_record("http://ex.com/q", DATE, b"GET /", warc_type="request"),
+            build_record("http://ex.com/r", DATE, b"<p>hi</p>"),
+            build_record("http://ex.com/w", DATE, b"plain text",
+                         warc_type="conversion"),
+        ]
+        pages, errors = extract_pages(build_warc(recs))
+        assert errors == 0
+        assert [(p["url"], p["html"]) for p in pages] == [
+            ("http://ex.com/r", b"<p>hi</p>"),
+            ("http://ex.com/w", b"plain text"),  # WET body kept whole
+        ]
+
+    def test_torn_tail_counted_never_raised(self):
+        good = _file([b"<p>ok</p>"], gz=False)
+        torn = good + build_record("http://ex.com/t", DATE, b"x" * 100)[:-60]
+        pages, errors = extract_pages(torn)
+        assert len(pages) == 1 and errors == 1
+        # torn FINAL gzip member: decoded prefix survives, tear counted
+        gz = _file([b"<p>a</p>", b"<p>b</p>"])
+        pages, errors = extract_pages(gz[:-20])
+        assert [p["html"] for p in pages] == [b"<p>a</p>"] and errors == 1
+
+    def test_missing_uri_or_bad_date_counted(self):
+        rec = build_record("", DATE, b"x")
+        bad_date = build_record("http://ex.com/d", "not-a-date", b"x")
+        pages, errors = extract_pages(build_warc([rec, bad_date]))
+        assert pages == [] and errors == 2
+
+    def test_http_header_strip(self):
+        assert split_http_payload(
+            b"HTTP/1.1 200 OK\r\nA: b\r\n\r\n<body>"
+        ) == b"<body>"
+        assert split_http_payload(b"no-status-line") == b"no-status-line"
+        assert split_http_payload(b"HTTP/1.1 200 OK\r\nA: b") == b""
+
+    def test_gunzip_passthrough_and_determinism(self):
+        assert gunzip_members(b"plain") == b"plain"
+        assert _file([b"abc"]) == _file([b"abc"])  # mtime pinned
+
+    def test_duplicate_headers_first_wins(self):
+        raw = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://ex.com/1\r\n"
+            b"WARC-Target-URI: http://ex.com/2\r\n"
+            b"WARC-Date: " + DATE.encode() + b"\r\n"
+            b"Content-Length: 0\r\n\r\n\r\n\r\n"
+        )
+        headers, _ = next(iter_warc_records(raw))
+        assert headers["warc-target-uri"] == "http://ex.com/1"
+
+
+class TestSparkReader:
+    def test_warc_directory_to_extraction(self, spark, tmp_path):
+        d = tmp_path / "crawl"
+        d.mkdir()
+        docs = {}
+        for f in range(2):  # two files, three docs each (pdf-ish + html)
+            recs = []
+            for k in range(3):
+                r = (make_doc if k % 2 else make_html_doc)(f * 3 + k)
+                url = f"http://crawl.test/{f}/{k}"
+                recs.append(build_record(url, DATE, r["html"]))
+                docs[url] = r["html"]
+            (d / f"part-{f}.warc.gz").write_bytes(build_warc(recs))
+        pages = read_pages_warc(spark, str(d), lang="en")
+        rows = extract(pages).collect()
+        assert len(rows) == 6
+        for row in rows:
+            assert row.text == extract_document(docs[row.url], "en")["text"]
+
+    def test_error_lineage_column(self, spark, tmp_path):
+        d = tmp_path / "crawl"
+        d.mkdir()
+        good = build_record("http://ex.com/ok", DATE, b"<p>fine</p>")
+        torn = build_record("http://ex.com/t", DATE, b"y" * 50)[:-30]
+        (d / "a.warc.gz").write_bytes(build_warc([good]) + build_warc([torn]))
+        (d / "b.warc.gz").write_bytes(b"\x1f\x8b garbage")
+        out = {
+            r.warc_file.rsplit("/", 1)[-1]: r
+            for r in read_pages_warc(spark, str(d)).collect()
+        }
+        assert out["a.warc.gz"].url == "http://ex.com/ok"
+        assert out["a.warc.gz"].warc_errors == 1
+        # all-error file surfaces as the url='' sentinel, never silence
+        assert out["b.warc.gz"].url == "" and out["b.warc.gz"].warc_errors == 1
