@@ -75,6 +75,11 @@ def main() -> int:
     ap.add_argument("--iceberg-table", action="store_true",
                     help="treat --input as a catalog table name instead "
                          "of a filesystem path")
+    ap.add_argument("--format", default="parquet",
+                    dest="input_format", choices=["parquet", "warc"],
+                    help="'warc': --input is a directory of .warc(.gz) "
+                         "crawl archives (sources.read_pages_warc); torn-"
+                         "record totals surface in the job JSON")
     ap.add_argument("--page-partitions", type=int, default=None)
     ap.add_argument("--max-attempts", type=int, default=3,
                     help="per-url FAILED retry budget before a url is "
@@ -97,21 +102,52 @@ def main() -> int:
     t0 = time.time()
     result: dict = {"mode": args.mode}
     if args.mode == "manifest":
-        if args.since or args.until or args.iceberg_table:
+        if args.since or args.until or args.iceberg_table \
+                or args.input_format != "parquet":
             ap.error(
-                "--mode manifest supports neither --since/--until nor "
-                "--iceberg-table (worker-side parquet splits only); use "
-                "the default mode for pruned/resumable runs"
+                "--mode manifest supports neither --since/--until, "
+                "--iceberg-table, nor --format warc (worker-side parquet "
+                "splits only); use the default mode for pruned/resumable "
+                "runs"
             )
         extracted = extract_from_path(spark, args.input, cfg)
         extracted.write.mode("overwrite").parquet(args.output)
         _summarize_output(spark.read.parquet(args.output), result)
     else:
-        pages = (
-            spark.read.table(args.input)
-            if args.iceberg_table
-            else spark.read.parquet(args.input)
-        )
+        if args.input_format == "warc":
+            if args.iceberg_table:
+                ap.error("--format warc and --iceberg-table are exclusive")
+            from ocr_spark.sources import read_pages_warc
+
+            raw = read_pages_warc(spark, args.input)
+            # Audit pass FIRST: per-file torn-record totals into the job
+            # JSON (never-silent policy).  This is a second decompress +
+            # record walk, but only zlib-speed — a small fraction of the
+            # extraction pass it precedes; at cluster scale it doubles as
+            # the listing sanity check before committing executors.
+            audit = (
+                raw.groupBy("warc_file")
+                .agg(F.max("warc_errors").alias("e"))
+                .agg(
+                    F.count(F.lit(1)).alias("files"),
+                    F.coalesce(F.sum("e"), F.lit(0)).alias("errs"),
+                )
+                .collect()[0]
+            )
+            result["warc_files"] = audit["files"]
+            result["warc_errors_total"] = int(audit["errs"])
+            # sentinel rows (url='' carriers for all-error files) are
+            # audit-only; lineage columns are dropped so the checkpoint
+            # schema matches the parquet/Iceberg paths
+            pages = raw.filter(F.col("url") != "").drop(
+                "warc_file", "warc_errors"
+            )
+        else:
+            pages = (
+                spark.read.table(args.input)
+                if args.iceberg_table
+                else spark.read.parquet(args.input)
+            )
         # partition pruning on the crawl-time axis (Iceberg days(warc_ts))
         if args.since:
             pages = pages.filter(F.col("warc_ts") >= F.lit(args.since))

@@ -87,6 +87,45 @@ class TestJobs:
         assert summary["truncated_pages_total"] >= 1
         assert summary["failed_docs"] == 0
 
+    def test_extract_job_warc_format(self, tmp_path):
+        """--format warc: a directory of crawl archives runs the same
+        resumable extraction, and torn-record totals reach the job's
+        final JSON line (never-silent at the deployment surface)."""
+        from ocr_spark.fixtures import make_doc, make_html_doc
+        from ocr_spark.warc import build_record, build_warc
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        recs = [
+            build_record(
+                f"http://crawl.test/{k}",
+                "2025-01-01T00:00:00Z",
+                (make_doc if k % 2 else make_html_doc)(k)["html"],
+            )
+            for k in range(4)
+        ]
+        (d / "a.warc.gz").write_bytes(build_warc(recs[:2]))
+        torn = build_record(
+            "http://crawl.test/torn", "2025-01-01T00:00:00Z", b"x" * 80
+        )[:-40]
+        (d / "b.warc.gz").write_bytes(
+            build_warc(recs[2:]) + build_warc([torn])
+        )
+        out = tmp_path / "extracted_warc"
+        summary = _run(
+            [
+                "jobs/extract_job.py",
+                "--input", str(d),
+                "--format", "warc",
+                "--output", str(out),
+            ]
+        )
+        assert summary["warc_files"] == 2
+        assert summary["warc_errors_total"] == 1
+        assert summary["docs_attempted_this_pass"] == 4
+        assert summary["docs_in_output"] == 4
+        assert summary["failed_docs"] == 0
+
     def test_curate_job_full_chain(self, extracted_dir, tmp_path):
         blocklist = tmp_path / "blocked.txt"
         blocklist.write_text("blocked.example\n")
