@@ -238,11 +238,75 @@ def link_benches(spark, html_path: str) -> dict[str, float]:
     return out
 
 
+def ensure_warc(html_path: str, n_files: int = 64) -> tuple[str, int]:
+    """Pack (once) the cached HTML corpus into ``n_files`` .warc.gz crawl
+    archives — the Common Crawl wire layout ``read_pages_warc`` ingests.
+    Returns (dir, total compressed bytes).  Built driver-side from the
+    already-generated parquet (gzip level 9, byte-deterministic) and
+    cached; the bench times the READ path, not this packer.  Reads the
+    parquet via pyarrow — no Spark session (so it is safe to call while
+    one is active, or before any exists)."""
+    import pyarrow.dataset as ds
+
+    from ocr_spark.warc import build_record, build_warc
+
+    out = CACHE / f"warc_{Path(html_path).name}_{n_files}"
+    done = out / "_DONE"
+    if not done.exists():
+        out.mkdir(parents=True, exist_ok=True)
+        t0 = time.time()
+        tab = ds.dataset(html_path, format="parquet").to_table(
+            columns=["url", "warc_ts", "html"]
+        )
+        rows = tab.to_pylist()
+        per = (len(rows) + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = rows[i * per:(i + 1) * per]
+            recs = [
+                build_record(
+                    r["url"],
+                    r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    r["html"],
+                )
+                for r in chunk
+            ]
+            (out / f"part-{i:05d}.warc.gz").write_bytes(build_warc(recs))
+        done.touch()
+        print(
+            f"# packed {len(rows)} docs into {n_files} .warc.gz in "
+            f"{time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    total = sum(f.stat().st_size for f in out.glob("*.warc.gz"))
+    return str(out), total
+
+
+def warc_benches(spark, warc_path: str, total_bytes: int) -> dict[str, float]:
+    """Crawl-archive ingest: the full Python-side path (multistream gunzip
+    + record walk + Arrow hand-back) over the packed HTML corpus.  This is
+    the ONE source format whose decode runs in Python, so its MB/s bounds
+    ingest at 100 TB — one ~1 GiB file per task, so cluster throughput is
+    (this per-core rate) × cores with no shuffle."""
+    from ocr_spark.sources import read_pages_warc
+
+    df = read_pages_warc(spark, warc_path)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _noop_write(df)
+        best = min(best, time.time() - t0)
+    return {
+        "warc_ingest": round(best, 3),
+        "warc_ingest_mb": round(total_bytes / 1e6, 1),
+    }
+
+
 def main_bench() -> None:
     from ocr_spark.session import get_spark
 
     pages_path = ensure_pages(BENCH_DOCS)
     html_path = ensure_pages(HTML_DOCS, kind="html")
+    warc_path, warc_bytes = ensure_warc(html_path)
     warm_path = ensure_pages(2000)
     spark = get_spark("bench", cores=CPUS)
     # warm-up (JIT + python worker pool), not counted
@@ -255,6 +319,7 @@ def main_bench() -> None:
     }
     queries.update(operator_benches(spark, SF_DIR))
     queries.update(link_benches(spark, html_path))
+    queries.update(warc_benches(spark, warc_path, warc_bytes))
     print(
         json.dumps(
             {

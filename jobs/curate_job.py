@@ -18,16 +18,18 @@ Local smoke::
     spark-submit --master 'local[8]' --py-files ocr_spark.zip \
       jobs/curate_job.py --input /tmp/extracted --output /tmp/curated
 
-Stage order is fixed (cheapest-filter-first): URL blocklist → quality
-gates (Gopher + composite + C4 hard drops) → canonical-url + exact
-dedup → MinHash-LSH near-dup with cluster-aware removal (connected
+Stage order is fixed (cheapest-filter-first): URL blocklist → language
+filter (optional; the CCNet order — languages split before quality) →
+quality gates (Gopher + composite + C4 hard drops) → canonical-url +
+exact dedup → MinHash-LSH near-dup with cluster-aware removal (connected
 components of the pair graph keep ONE representative per duplicate
 cluster; EXPLICIT cap, audit count logged in the summary — the
 never-cap-silently contract) → per-domain doc cap (optional) →
 corpus-global line dedup → duplicate-SPAN dedup (optional; Lee et al.
 2022 substring granularity) → CCNet-style LM head cut (optional;
-self-trained unigram, threshold reported) → PII scrub → deterministic
-split/sample assignment.  Every stage is a
+self-trained unigram, threshold reported) → benchmark decontamination
+(optional; word n-gram overlap vs a broadcast eval set) → PII scrub →
+deterministic split/sample assignment.  Every stage is a
 pure DataFrame plan; the one JSON summary line reports what each stage
 removed so a production run is auditable end-to-end.
 """
@@ -59,6 +61,10 @@ def main() -> int:
     ap.add_argument("--output", required=True, help="curated parquet dir")
     ap.add_argument("--blocklist", default=None,
                     help="file of blocked domains, one per line")
+    ap.add_argument("--lang", default=None, metavar="CODE",
+                    help="keep only documents whose predicted language "
+                         "is CODE (script-ratio + stopword-vote language "
+                         "ID; the CCNet stage order — language first)")
     ap.add_argument("--min-quality", type=float, default=None,
                     help="composite quality threshold (enables the gate)")
     ap.add_argument("--gopher", action="store_true",
@@ -96,6 +102,16 @@ def main() -> int:
                     help="keep at most N docs per host (FineWeb-style "
                          "domain balancer; deterministic smallest-id "
                          "winners)")
+    ap.add_argument("--decontam-ref", default=None, metavar="PATH",
+                    help="parquet of benchmark/eval texts (text column); "
+                         "drop documents whose word n-gram overlap with "
+                         "any benchmark row reaches --decontam-threshold")
+    ap.add_argument("--decontam-ngram", type=int, default=13,
+                    help="shingle width for --decontam-ref (13 is the "
+                         "published decontamination setting)")
+    ap.add_argument("--decontam-threshold", type=float, default=0.5,
+                    help="overlap fraction at/above which a document is "
+                         "dropped")
     ap.add_argument("--pii", action="store_true",
                     help="redact emails/IPs/phones")
     ap.add_argument("--split", default=None,
@@ -138,6 +154,16 @@ def main() -> int:
             blocked = [ln.strip() for ln in f if ln.strip()]
         docs = filter_blocked_domains(docs, blocked)
         summary["after_blocklist"] = docs.count()
+
+    if args.lang:
+        from ocr_spark.operators.text_analysis import language_id
+
+        docs = (
+            language_id(docs)
+            .filter(F.col("lang_pred") == args.lang)
+            .select("doc_id", "url", "text")
+        )
+        summary["after_lang"] = docs.count()
 
     if args.gopher or args.min_quality is not None or args.c4_hard_drops:
         from ocr_spark.operators.text_analysis import (
@@ -292,6 +318,22 @@ def main() -> int:
         docs = docs.join(keep, "doc_id", "left_semi").cache()
         summary["classifier_threshold"] = cthr
         summary["after_classifier_head"] = docs.count()
+
+    if args.decontam_ref:
+        from ocr_spark.operators.decontam import decontaminate
+
+        bench = (
+            spark.read.parquet(args.decontam_ref)
+            .select("text")
+            .withColumn("bench_id", F.xxhash64("text"))
+        )
+        docs = decontaminate(
+            docs,
+            bench,
+            n=args.decontam_ngram,
+            threshold=args.decontam_threshold,
+        ).cache()
+        summary["after_decontam"] = docs.count()
 
     if args.pii:
         from ocr_spark.operators.pii import scrub_pii

@@ -151,6 +151,7 @@ class TestJobs:
                 "--input", str(extracted_dir),
                 "--output", str(out),
                 "--blocklist", str(blocklist),
+                "--lang", "en",
                 "--gopher",
                 "--c4-hard-drops",
                 "--near-dup",
@@ -160,12 +161,15 @@ class TestJobs:
                 "--lm-head", "0.95",
                 "--classifier-ref", str(ref),
                 "--classifier-head", "0.9",
+                "--decontam-ref", str(ref),
+                "--decontam-ngram", "5",
                 "--pii",
                 "--split", "train=0.9,val=0.05,test=0.05",
             ]
         )
         assert summary["input_docs"] == 30
         assert summary["input_truncated_pages"] == 0  # guard total surfaced
+        assert summary["after_lang"] > 0  # language filter ran (en survives)
         assert summary["lsh_capped_buckets"] == 0  # audit always reported
         assert "dup_clusters" in summary  # cluster-aware near-dup ran
         assert summary["after_domain_cap"] > 0
@@ -174,6 +178,10 @@ class TestJobs:
         assert summary["after_lm_head"] > 0
         assert "classifier_threshold" in summary  # cut reported, never silent
         assert summary["after_classifier_head"] > 0
+        # decontamination ran; the edu ref shares no 5-grams with the
+        # synthetic corpus so nothing is removed (removal semantics are
+        # oracle-checked by decontam_overlap / decontam_clean_corpus)
+        assert summary["after_decontam"] == summary["after_classifier_head"]
         assert summary["output_docs"] > 0
         # the curated table is readable and split-labeled
         import pyarrow.parquet as pq
