@@ -286,19 +286,23 @@ def warc_benches(spark, warc_path: str, total_bytes: int) -> dict[str, float]:
     + record walk + Arrow hand-back) over the packed HTML corpus.  This is
     the ONE source format whose decode runs in Python, so its MB/s bounds
     ingest at 100 TB — one ~1 GiB file per task, so cluster throughput is
-    (this per-core rate) × cores with no shuffle."""
-    from ocr_spark.sources import read_pages_warc
+    (this per-core rate) × cores with no shuffle.  Times both readers:
+    fused (whole file through the JVM + one buffer parse) and streaming
+    (bounded memory; what a real 1 GiB-file deployment runs)."""
+    from ocr_spark.sources import read_pages_warc, read_pages_warc_stream
 
-    df = read_pages_warc(spark, warc_path)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        _noop_write(df)
-        best = min(best, time.time() - t0)
-    return {
-        "warc_ingest": round(best, 3),
-        "warc_ingest_mb": round(total_bytes / 1e6, 1),
-    }
+    out: dict[str, float] = {"warc_ingest_mb": round(total_bytes / 1e6, 1)}
+    for name, df in (
+        ("warc_ingest", read_pages_warc(spark, warc_path)),
+        ("warc_ingest_stream", read_pages_warc_stream(spark, warc_path)),
+    ):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _noop_write(df)
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
 
 
 def main_bench() -> None:

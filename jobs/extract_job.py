@@ -76,10 +76,14 @@ def main() -> int:
                     help="treat --input as a catalog table name instead "
                          "of a filesystem path")
     ap.add_argument("--format", default="parquet",
-                    dest="input_format", choices=["parquet", "warc"],
+                    dest="input_format",
+                    choices=["parquet", "warc", "warc-stream"],
                     help="'warc': --input is a directory of .warc(.gz) "
                          "crawl archives (sources.read_pages_warc); torn-"
-                         "record totals surface in the job JSON")
+                         "record totals surface in the job JSON. "
+                         "'warc-stream': same, via the bounded-memory "
+                         "streaming reader (archives must be on a "
+                         "filesystem executors mount)")
     ap.add_argument("--page-partitions", type=int, default=None)
     ap.add_argument("--max-attempts", type=int, default=3,
                     help="per-url FAILED retry budget before a url is "
@@ -114,12 +118,20 @@ def main() -> int:
         extracted.write.mode("overwrite").parquet(args.output)
         _summarize_output(spark.read.parquet(args.output), result)
     else:
-        if args.input_format == "warc":
+        if args.input_format in ("warc", "warc-stream"):
             if args.iceberg_table:
                 ap.error("--format warc and --iceberg-table are exclusive")
-            from ocr_spark.sources import read_pages_warc
+            from ocr_spark.sources import (
+                read_pages_warc,
+                read_pages_warc_stream,
+            )
 
-            raw = read_pages_warc(spark, args.input)
+            reader = (
+                read_pages_warc_stream
+                if args.input_format == "warc-stream"
+                else read_pages_warc
+            )
+            raw = reader(spark, args.input)
             # Audit pass FIRST: per-file torn-record totals into the job
             # JSON (never-silent policy).  This is a second decompress +
             # record walk, but only zlib-speed — a small fraction of the

@@ -131,6 +131,133 @@ def iter_warc_records(data: bytes):
         pos = body_start + length
 
 
+def _stream_decompress(fileobj, chunk: int):
+    """Yield decompressed chunks from a (possibly multistream-gzip) file
+    object — ``gunzip_members`` re-expressed incrementally, so a 1 GiB
+    crawl archive never materializes its ~4 GiB decompressed form.
+
+    Parity rules mirror the buffer version exactly: plain input passes
+    through; member boundaries chain while the next member starts with
+    gzip magic; a torn final member keeps the bytes decoded so far."""
+    head = fileobj.read(2)
+    if head[:2] != b"\x1f\x8b":
+        if head:
+            yield head
+        while True:
+            b = fileobj.read(chunk)
+            if not b:
+                return
+            yield b
+    pending = head  # compressed bytes not yet fed to a decompressor
+    d = zlib.decompressobj(wbits=31)
+    eof = False
+    while True:
+        if not pending and not eof:
+            pending = fileobj.read(chunk)
+            eof = not pending
+        if d is None:
+            # between members: need 2 bytes to check the next magic
+            while len(pending) < 2 and not eof:
+                more = fileobj.read(chunk)
+                if not more:
+                    eof = True
+                else:
+                    pending += more
+            if pending[:2] != b"\x1f\x8b":
+                return  # trailing garbage — stop, as gunzip_members does
+            d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(pending)
+        except zlib.error:
+            return  # torn member — keep what decoded
+        if out:
+            yield out
+        if d.eof:
+            pending = d.unused_data
+            d = None
+            if not pending and eof:
+                return
+        else:
+            pending = b""
+            if eof:
+                return  # torn final member — keep what decoded
+
+
+def iter_warc_records_stream(fileobj, chunk: int = 1 << 20):
+    """``iter_warc_records`` over a FILE OBJECT with bounded memory:
+    peak = O(chunk + one record) instead of compressed + decompressed +
+    parsed (the buffer version's ~5× file size).  Yields the identical
+    ``(headers, payload)`` / ``{'_error': ...}`` protocol — parity with
+    the buffer version is pinned byte-for-byte across chunk sizes in
+    tests/test_warc.py."""
+    raw_seen = 0
+    real_read = fileobj.read
+
+    def counted_read(k):
+        nonlocal raw_seen
+        b = real_read(k)
+        raw_seen += len(b)
+        return b
+
+    reader = type("R", (), {"read": staticmethod(counted_read)})()
+    gen = _stream_decompress(reader, chunk)
+    buf = bytearray()
+    eof = False
+    saw_output = False
+
+    def fill() -> None:
+        nonlocal eof, saw_output
+        try:
+            piece = next(gen)
+            buf.extend(piece)
+            saw_output = saw_output or bool(piece)
+        except StopIteration:
+            eof = True
+
+    fill()
+    if eof and not saw_output:
+        # distinguish empty input (no records, no error) from a gzip
+        # stream that decoded to nothing (torn-gzip, never silent)
+        if raw_seen:
+            yield {"_error": "torn-gzip"}, b""
+        return
+    while True:
+        # tolerate inter-record padding
+        while True:
+            while len(buf) < 2 and not eof:
+                fill()
+            if buf[:2] == _CRLF:
+                del buf[:2]
+            else:
+                break
+        if not buf and eof:
+            return
+        while len(buf) < 5 and not eof:
+            fill()
+        if not bytes(buf[:5]).startswith(b"WARC/"):
+            yield {"_error": "bad-magic"}, b""
+            return
+        while (hdr_end := buf.find(_SEP)) < 0:
+            if eof:
+                yield {"_error": "torn-header"}, b""
+                return
+            fill()
+        headers = _parse_headers(bytes(buf[:hdr_end]))
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            yield {"_error": "bad-length"}, b""
+            return
+        body_start = hdr_end + 4
+        while len(buf) < body_start + length:
+            if eof:
+                yield {"_error": "torn-payload"}, b""
+                return
+            fill()
+        yield headers, bytes(buf[body_start:body_start + length])
+        del buf[:body_start + length]
+
+
 def parse_warc_date(value: str) -> datetime | None:
     """WARC-Date (ISO 8601 ``...Z``) → aware UTC datetime, None if bad."""
     try:
@@ -144,31 +271,35 @@ def parse_warc_date(value: str) -> datetime | None:
 _KEEP_TYPES = frozenset(("response", "conversion"))
 
 
-def extract_pages(data: bytes) -> tuple[list[dict], int]:
-    """One WARC file's bytes → (pages, n_errors).
-
-    Pages are dicts ``{"url", "warc_ts": datetime, "html": bytes}`` —
-    the input-table shape minus the constant columns.  Records that are
-    not response/conversion (warcinfo, request, metadata) are skipped
+def iter_pages(records, err_count: list[int]):
+    """(headers, payload) iterator → yields page dicts
+    ``{"url", "warc_ts": datetime, "html": bytes}`` — the input-table
+    shape minus the constant columns.  Records that are not
+    response/conversion (warcinfo, request, metadata) are skipped
     silently (they are structure, not content); records with a missing
-    URI/date or a torn tail are COUNTED as errors."""
-    pages: list[dict] = []
-    errors = 0
-    for headers, payload in iter_warc_records(data):
+    URI/date or a torn tail are COUNTED into ``err_count[0]`` (a
+    mutable cell so streaming callers can read the total after
+    exhaustion).  Shared by the whole-buffer and streaming readers, so
+    their page semantics cannot drift."""
+    for headers, payload in records:
         if "_error" in headers:
-            errors += 1
+            err_count[0] += 1
             continue
         if headers.get("warc-type") not in _KEEP_TYPES:
             continue
         url = headers.get("warc-target-uri", "")
         ts = parse_warc_date(headers.get("warc-date", ""))
         if not url or ts is None:
-            errors += 1
+            err_count[0] += 1
             continue
-        pages.append(
-            {"url": url, "warc_ts": ts, "html": split_http_payload(payload)}
-        )
-    return pages, errors
+        yield {"url": url, "warc_ts": ts, "html": split_http_payload(payload)}
+
+
+def extract_pages(data: bytes) -> tuple[list[dict], int]:
+    """One WARC file's bytes → (pages, n_errors)."""
+    err = [0]
+    pages = list(iter_pages(iter_warc_records(data), err))
+    return pages, err[0]
 
 
 # ---------------------------------------------------------------------------

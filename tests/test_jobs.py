@@ -87,10 +87,13 @@ class TestJobs:
         assert summary["truncated_pages_total"] >= 1
         assert summary["failed_docs"] == 0
 
-    def test_extract_job_warc_format(self, tmp_path):
-        """--format warc: a directory of crawl archives runs the same
-        resumable extraction, and torn-record totals reach the job's
-        final JSON line (never-silent at the deployment surface)."""
+    @pytest.mark.parametrize("fmt", ["warc", "warc-stream"])
+    def test_extract_job_warc_format(self, tmp_path, fmt):
+        """--format warc / warc-stream: a directory of crawl archives
+        runs the same resumable extraction, and torn-record totals reach
+        the job's final JSON line (never-silent at the deployment
+        surface) — identically under the fused and the bounded-memory
+        streaming reader."""
         from ocr_spark.fixtures import make_doc, make_html_doc
         from ocr_spark.warc import build_record, build_warc
 
@@ -116,7 +119,7 @@ class TestJobs:
             [
                 "jobs/extract_job.py",
                 "--input", str(d),
-                "--format", "warc",
+                "--format", fmt,
                 "--output", str(out),
             ]
         )

@@ -14,6 +14,7 @@ from ocr_spark.warc import (
     extract_pages,
     gunzip_members,
     iter_warc_records,
+    iter_warc_records_stream,
     split_http_payload,
 )
 
@@ -100,6 +101,80 @@ class TestParser:
         assert headers["warc-target-uri"] == "http://ex.com/1"
 
 
+class TestStreamParser:
+    """iter_warc_records_stream must yield the IDENTICAL record/error
+    sequence as the whole-buffer parser for any input and any chunk
+    size — it exists purely to bound task memory (a 1 GiB crawl file
+    never materializes its decompressed form)."""
+
+    CHUNKS = (1, 3, 17, 1 << 20)
+
+    def _assert_parity(self, data: bytes):
+        import io
+
+        expected = list(iter_warc_records(data))
+        for chunk in self.CHUNKS:
+            got = list(iter_warc_records_stream(io.BytesIO(data), chunk))
+            assert got == expected, (chunk, len(data))
+
+    def test_parity_corpus(self):
+        files = [
+            _file([b"<html>a</html>", b"", b"x" * 10_000]),
+            _file([b"<p>a</p>"], gz=False),
+            _file([b"WARC/1.0\r\nWARC-Type: response\r\n\r\nfake"]),
+            build_warc(
+                [
+                    build_record("http://ex.com/i", DATE, b"c",
+                                 warc_type="warcinfo"),
+                    build_record("http://ex.com/r", DATE, b"<p>hi</p>"),
+                ]
+            ),
+            b"",                      # empty input: no records, no error
+            b"plain garbage",         # bad-magic
+            b"\x1f\x8b garbage",      # torn-gzip
+            b"\x1f\x8b",              # bare magic: torn-gzip
+            b"\r\n\r\n",              # padding only
+            b"\r",                    # odd trailing byte: bad-magic
+            _file([b"<p>ok</p>"], gz=False)
+            + build_record("http://ex.com/t", DATE, b"x" * 100)[:-60],
+            _file([b"<p>a</p>", b"<p>b</p>"])[:-20],  # torn final member
+            b"WARC/1.0\r\nContent-Length: nope\r\n\r\n",  # bad-length
+            b"WARC/1.0\r\nContent-Length: 4",             # torn-header
+            _file([b"x"]) + b"trailing-non-gzip-bytes",
+        ]
+        for data in files:
+            self._assert_parity(data)
+
+    def test_parity_fuzzed_truncations(self):
+        """Every truncation point of a 3-record gzip file (and its plain
+        twin) parses identically in both engines — tears can land mid
+        gzip member, mid header, or mid payload."""
+        for gz in (True, False):
+            data = _file([b"<p>a</p>", b"y" * 300, b"z"], gz=gz)
+            for cut in range(0, len(data), 7):
+                self._assert_parity(data[:cut])
+
+    def test_bounded_buffer(self):
+        """The stream parser's internal buffer stays O(record), not
+        O(file): feed 200 records and assert peak buffer never exceeds
+        a few records' worth."""
+        import io
+
+        data = _file([b"b" * 1000] * 200, gz=False)
+        peak = 0
+        # probe the generator's own buffer local: it is trimmed after
+        # every record, so parsing 200 KB of records through 1 KiB
+        # chunks must never hold more than a few KB buffered.
+        gen = iter_warc_records_stream(io.BytesIO(data), chunk=1024)
+        n = 0
+        for headers, payload in gen:
+            n += 1
+            frame = gen.gi_frame
+            peak = max(peak, len(frame.f_locals["buf"]))
+        assert n == 200
+        assert peak < 8_192, peak
+
+
 class TestSparkReader:
     def test_warc_directory_to_extraction(self, spark, tmp_path):
         d = tmp_path / "crawl"
@@ -134,3 +209,73 @@ class TestSparkReader:
         assert out["a.warc.gz"].warc_errors == 1
         # all-error file surfaces as the url='' sentinel, never silence
         assert out["b.warc.gz"].url == "" and out["b.warc.gz"].warc_errors == 1
+
+    def test_stream_reader_parity(self, spark, tmp_path):
+        """read_pages_warc_stream yields the identical page rows as the
+        fused reader (same urls/ts/bytes) and the identical per-file
+        error totals under the job's max-per-file audit — only the
+        lineage PLACEMENT differs (one sentinel row vs repetition)."""
+        from pyspark.sql import functions as F
+
+        from ocr_spark.sources import read_pages_warc_stream
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        recs = [
+            build_record(f"http://ex.com/{k}", DATE,
+                         (make_doc if k % 2 else make_html_doc)(k)["html"])
+            for k in range(5)
+        ]
+        (d / "a.warc.gz").write_bytes(build_warc(recs[:3]))
+        torn = build_record("http://ex.com/t", DATE, b"y" * 50)[:-30]
+        (d / "b.warc.gz").write_bytes(build_warc(recs[3:]) + build_warc([torn]))
+        (d / "c.warc.gz").write_bytes(b"\x1f\x8b garbage")
+
+        fused = read_pages_warc(spark, str(d), lang="en")
+        # batch_records=2 forces multi-batch flushes within one file
+        stream = read_pages_warc_stream(
+            spark, str(d), lang="en", batch_records=2
+        )
+        key = lambda r: r.url  # noqa: E731
+        pages_f = sorted(
+            [r for r in fused.collect() if r.url], key=key)
+        pages_s = sorted(
+            [r for r in stream.collect() if r.url], key=key)
+        assert [(r.url, r.warc_ts, bytes(r.html), r.lang) for r in pages_f] \
+            == [(r.url, r.warc_ts, bytes(r.html), r.lang) for r in pages_s]
+
+        def audit(df):
+            return {
+                r.warc_file.rsplit("/", 1)[-1]: r.e
+                for r in df.groupBy("warc_file")
+                .agg(F.max("warc_errors").alias("e"))
+                .collect()
+            }
+
+        assert audit(fused) == audit(stream) == {
+            "a.warc.gz": 0, "b.warc.gz": 1, "c.warc.gz": 1,
+        }
+        # extraction byte-identity holds through the stream reader too
+        texts = {
+            r.url: r.text
+            for r in extract(stream.filter(F.col("url") != "").drop(
+                "warc_file", "warc_errors")).collect()
+        }
+        for k in range(5):
+            r = (make_doc if k % 2 else make_html_doc)(k)
+            assert texts[f"http://ex.com/{k}"] == extract_document(
+                r["html"], "en")["text"]
+
+    def test_stream_reader_scheme_gate(self, spark):
+        """Non-mountable schemes fail loudly at task time, pointing at
+        the fused reader — never a silent empty result."""
+        import pytest
+
+        from ocr_spark.sources import WARC_PAGES_SCHEMA, _warc_stream_fn
+
+        with pytest.raises(Exception, match="read_pages_warc"):
+            spark.createDataFrame(
+                [("s3a://bucket/f.warc.gz",)], "path string"
+            ).mapInPandas(
+                _warc_stream_fn("", 256, 1 << 20), WARC_PAGES_SCHEMA
+            ).collect()
