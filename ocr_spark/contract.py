@@ -28,7 +28,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators import dedup, multimodal, similarity, text_analysis, urls
+from .operators import bloom, dedup, multimodal, similarity, text_analysis, urls
 from .operators.hashing import (
     MERSENNE,
     MINHASH_A,
@@ -504,6 +504,83 @@ WITH u AS (SELECT doc_id, {_URL_EXPR_DUCK} AS url FROM documents)
 SELECT {urls.canonicalize_sql_duckdb('url')} AS canonical_url,
        min(doc_id) AS representative, count(*) AS n_copies
 FROM u GROUP BY 1
+"""
+
+
+def _q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl revisit dedup: newest capture per canonical url.  The synth
+    url expr groups ~50 docs per canonical; ts derives from doc_id with
+    identical BIGINT arithmetic on both engines, with in-group ts
+    collisions so the (ts, doc_id) tie-break is exercised."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_URL_EXPR_SPARK).alias("url"),
+        F.expr("(doc_id * 48271) % 86400").alias("ts"),
+    )
+    return urls.latest_capture(docs, url_col="url", ts_col="ts", id_col="doc_id")
+
+
+_LATEST_CAPTURE_SQL = f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR_DUCK} AS url,
+                  (doc_id * 48271) % 86400 AS ts FROM documents),
+c AS (SELECT *, {urls.canonicalize_sql_duckdb('url')} AS canonical_url FROM u),
+r AS (SELECT *,
+             row_number() OVER (PARTITION BY canonical_url
+                                ORDER BY ts DESC, doc_id DESC) AS rn,
+             count(*) OVER (PARTITION BY canonical_url) AS n_captures
+      FROM c)
+SELECT canonical_url, n_captures, doc_id, url, ts FROM r WHERE rn = 1
+"""
+
+_BLOOM_M, _BLOOM_K = 1 << 16, 4
+
+
+def _q_bloom_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (word, mask) bloom bitmap of the 'old snapshot' third of the
+    corpus — pins the portable hash → LCG position → 63-bit-word shift
+    arithmetic bit-for-bit across engines."""
+    old = (
+        _t(spark, sf_dir, "documents")
+        .filter("doc_id % 3 = 0")
+        .select(F.expr("substr(text, 1, 16)").alias("norm"))
+    )
+    return bloom.bloom_bitmap(
+        old, text_col="norm", m_bits=_BLOOM_M, k=_BLOOM_K,
+        hash_mode="portable",
+    )
+
+
+_BLOOM_BITMAP_SQL = bloom.oracle_bitmap_sql(
+    "SELECT substr(text, 1, 16) AS norm FROM documents WHERE doc_id % 3 = 0",
+    "norm",
+    _BLOOM_M,
+    _BLOOM_K,
+)
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup: new-third docs whose norm digest is absent
+    from the old third.  Runs the xxhash64 scale path — the bloom is an
+    exact pre-filter (no false negatives, candidates verified), so the
+    oracle is the plain anti-join regardless of m/k/hash."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("substr(text, 1, 16)").alias("norm")
+    )
+    return bloom.incremental_dedup(
+        docs.filter("doc_id % 3 != 0"),
+        docs.filter("doc_id % 3 = 0"),
+        text_col="norm",
+        m_bits=1 << 18,
+        k=4,
+    )
+
+
+_INCREMENTAL_SQL = """
+WITH d AS (SELECT doc_id, substr(text, 1, 16) AS norm FROM documents)
+SELECT doc_id, norm FROM d
+WHERE doc_id % 3 != 0
+  AND md5(coalesce(norm, '')) NOT IN
+      (SELECT md5(coalesce(norm, '')) FROM d WHERE doc_id % 3 = 0)
 """
 
 
@@ -2484,6 +2561,9 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # suite), and (4) the two rows-only non-SQL-expressible checks last.
 _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # (1) newest + previously-unchecked oracle rows
+    "dedup_incremental": (_q_incremental_dedup, _INCREMENTAL_SQL),
+    "dedup_bloom_bitmap": (_q_bloom_bitmap, _BLOOM_BITMAP_SQL),
+    "dedup_latest_capture": (_q_latest_capture, _LATEST_CAPTURE_SQL),
     "ext_outlinks": (_q_outlinks, _OUTLINKS_SQL),
     "ext_html_meta": (_q_html_meta, _HTML_META_SQL),
     "graph_host_degrees": (_q_host_degrees, _HOST_DEGREES_SQL),

@@ -132,3 +132,39 @@ def url_dedup(
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def latest_capture(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl revisit dedup: one row per canonical url — the NEWEST
+    capture wins, ties broken by the highest ``id_col`` (deterministic
+    under any partitioning).  Every crawl snapshot recrawls hot pages;
+    the index convention ("latest revision per url") is exactly this.
+
+    One ``groupBy(canonical_url)`` with a ``max_by`` over the packed row
+    — a single shuffle with a map-side combine (each partition forwards
+    one candidate winner per canonical url), NO window and NO sort, so
+    a url recrawled 10^6 times costs its partitions one row each, not a
+    single-task sort of all captures.  ``ts_col`` may be any orderable
+    type (timestamp or bigint).
+
+    Output: ``canonical_url``, ``n_captures``, then every input column
+    of the winning row.
+    """
+    packed = F.struct(*[F.col(c) for c in df.columns])
+    order = F.struct(
+        F.col(ts_col).alias("ts"), F.col(id_col).alias("id")
+    )
+    return (
+        df.withColumn("canonical_url", canonicalize(F.col(url_col)))
+        .groupBy("canonical_url")
+        .agg(
+            F.max_by(packed, order).alias("_w"),
+            F.count(F.lit(1)).alias("n_captures"),
+        )
+        .select("canonical_url", "n_captures", "_w.*")
+    )

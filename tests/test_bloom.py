@@ -1,0 +1,209 @@
+"""Bloom-filter incremental (cross-snapshot) dedup + latest-capture
+revisit dedup.
+
+The bloom module's contract: for EVERY (m, k), ``incremental_dedup``
+equals the plain digest anti-join (bloom filters have no false
+negatives; false positives are removed by the exact verify).  The tests
+pin that equivalence, the no-false-negative property, cross-engine
+bitmap parity, and the probe-side plan shape (broadcast joins only —
+the new snapshot never shuffles).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    """(old, new) split of the documents table on a norm key that has
+    planted cross-split duplicates (substr(text,1,16) collides)."""
+    docs = spark.read.parquet(DOCS).select(
+        "doc_id", F.expr("substr(text, 1, 16)").alias("norm")
+    )
+    old = docs.filter("doc_id % 3 = 0").cache()
+    new = docs.filter("doc_id % 3 != 0").cache()
+    old.count(), new.count()
+    return old, new
+
+
+def _expected_kept(old, new):
+    dig = F.expr("md5(coalesce(norm, ''))")
+    return sorted(
+        r.doc_id
+        for r in new.join(
+            old.select(dig.alias("_d")), on=dig == F.col("_d"), how="left_anti"
+        ).collect()
+    )
+
+
+class TestBloomIncremental:
+    def test_equals_anti_join_both_hash_modes(self, snapshots):
+        from ocr_spark.operators.bloom import incremental_dedup
+
+        old, new = snapshots
+        expect = _expected_kept(old, new)
+        assert len(expect) < new.count()  # cross-split dups exist
+        for mode in ("portable", "xxhash64"):
+            got = sorted(
+                r.doc_id
+                for r in incremental_dedup(
+                    new, old, "norm", 1 << 18, 4, mode
+                ).collect()
+            )
+            assert got == expect, mode
+
+    def test_tiny_m_floods_candidates_but_result_exact(self, snapshots):
+        """m = 64 bits saturates the filter — nearly every row becomes a
+        candidate — yet the verify stage keeps the output exact."""
+        from ocr_spark.operators.bloom import bloom_bitmap, bloom_flag
+        from ocr_spark.operators.bloom import incremental_dedup
+
+        old, new = snapshots
+        m = 1 << 6
+        flagged = bloom_flag(
+            new, bloom_bitmap(old, "norm", m, 4), "norm", m, 4
+        )
+        n_cand = flagged.filter("maybe_seen").count()
+        assert n_cand > new.count() * 0.9  # the filter really is saturated
+        got = sorted(
+            r.doc_id
+            for r in incremental_dedup(new, old, "norm", m, 4).collect()
+        )
+        assert got == _expected_kept(old, new)
+
+    def test_no_false_negatives(self, snapshots):
+        """Every member of the old corpus is flagged by its own bitmap —
+        the property that makes the oracle the plain anti-join."""
+        from ocr_spark.operators.bloom import bloom_bitmap, bloom_flag
+
+        old, _ = snapshots
+        flagged = bloom_flag(
+            old, bloom_bitmap(old, "norm", 1 << 18, 4), "norm", 1 << 18, 4
+        )
+        assert flagged.filter("NOT maybe_seen").count() == 0
+
+    def test_empty_old_corpus_flags_nothing(self, spark, snapshots):
+        from ocr_spark.operators.bloom import bloom_bitmap, bloom_flag
+
+        old, new = snapshots
+        empty = old.filter("1 = 0")
+        flagged = bloom_flag(
+            new, bloom_bitmap(empty, "norm", 1 << 18, 4), "norm", 1 << 18, 4
+        )
+        assert flagged.filter("maybe_seen").count() == 0
+        assert flagged.count() == new.count()
+
+    def test_null_text_treated_as_empty_consistently(self, spark):
+        from ocr_spark.operators.bloom import incremental_dedup
+
+        old = spark.createDataFrame(
+            [(1, None)], "doc_id bigint, norm string"
+        )
+        new = spark.createDataFrame(
+            [(2, None), (3, ""), (4, "x")], "doc_id bigint, norm string"
+        )
+        kept = sorted(
+            r.doc_id for r in incremental_dedup(new, old, "norm").collect()
+        )
+        # NULL ≡ '' for membership: both 2 (NULL) and 3 ('') match old's
+        # NULL row; 4 survives.  No row is silently dropped.
+        assert kept == [4]
+
+    def test_bitmap_parity_with_duckdb(self, snapshots):
+        """Bit-for-bit (word, mask) parity of the portable-hash bitmap —
+        the arithmetic the driver-contract entry hashes."""
+        from ocr_spark.operators.bloom import bloom_bitmap, oracle_bitmap_sql
+
+        old, _ = snapshots
+        m, k = 1 << 16, 4
+        got = sorted(
+            (r.word, r.mask)
+            for r in bloom_bitmap(old, "norm", m, k, "portable").collect()
+        )
+        sql = oracle_bitmap_sql(
+            "SELECT substr(text, 1, 16) AS norm FROM "
+            f"read_parquet('{DOCS}') WHERE doc_id % 3 = 0",
+            "norm",
+            m,
+            k,
+        )
+        assert got == sorted(duckdb.sql(sql).fetchall())
+
+    def test_flag_probe_side_never_shuffles(self, snapshots):
+        """The new snapshot reaches the flag through broadcast joins only:
+        k BroadcastHashJoins, no SortMergeJoin, and no exchange keyed on
+        the probe's word columns.  (The bitmap BUILD side legitimately
+        aggregates; `incremental_dedup` persists it so the old corpus is
+        scanned once, not k times.)"""
+        from ocr_spark.operators.bloom import bloom_bitmap, bloom_flag
+
+        old, new = snapshots
+        k = 4
+        f = bloom_flag(
+            new, bloom_bitmap(old, "norm", 1 << 18, k), "norm", 1 << 18, k
+        )
+        plan = f._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") == k
+        assert "SortMergeJoin" not in plan
+        assert "Exchange hashpartitioning(_blw" not in plan
+        assert "Exchange rangepartitioning" not in plan
+
+
+class TestLatestCapture:
+    def test_newest_capture_wins_with_deterministic_ties(self, spark):
+        from ocr_spark.operators.urls import latest_capture
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://A.example.com/x?utm_source=z", 100),
+                (2, "https://a.example.com/x", 300),
+                (3, "https://a.example.com/x#frag", 200),
+                (5, "https://b.example.com/y", 50),
+                (4, "https://b.example.com/y", 50),  # ts tie → max id wins
+            ],
+            "doc_id bigint, url string, ts bigint",
+        )
+        out = {
+            r.canonical_url: (r.n_captures, r.doc_id, r.ts)
+            for r in latest_capture(df, "url", "ts", "doc_id").collect()
+        }
+        assert out["https://a.example.com/x"] == (3, 2, 300)
+        assert out["https://b.example.com/y"] == (2, 5, 50)
+
+    def test_timestamp_column_and_all_columns_carried(self, spark):
+        from ocr_spark.operators.urls import latest_capture
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://h.example.com/p", "2024-01-01 00:00:00", "a"),
+                (2, "https://h.example.com/p", "2024-06-01 00:00:00", "b"),
+            ],
+            "doc_id bigint, url string, ts string, payload string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        rows = latest_capture(df, "url", "ts", "doc_id").collect()
+        assert len(rows) == 1
+        assert rows[0].payload == "b" and rows[0].doc_id == 2
+
+    def test_single_shuffle_no_window(self, spark):
+        from ocr_spark.operators.urls import latest_capture
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("https://h.example.com/"), (F.col("id") % 10)
+            ).alias("url"),
+            (F.col("id") * 7 % 13).alias("ts"),
+        )
+        plan = (
+            latest_capture(df, "url", "ts", "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
+        assert plan.count("Exchange") == 1
+        assert "partial_max_by" in plan or "partial" in plan.lower()
