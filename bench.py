@@ -150,6 +150,16 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
     timed("text_c4_rules", text_analysis.c4_rules(docs))
     timed("dedup_line_corpus", dedup.corpus_line_dedup(docs))
     timed("dedup_span_corpus", dedup.corpus_span_dedup(docs, width=50))
+    from ocr_spark.operators import bloom
+
+    # cross-snapshot dedup: new two-thirds vs old third, xxhash64 path
+    timed(
+        "dedup_incremental",
+        bloom.incremental_dedup(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            docs.filter(F.col("doc_id") % 3 == 0),
+        ),
+    )
     from ocr_spark.operators import lm
 
     counts = lm.unigram_counts(docs.filter(F.col("doc_id") % 2 == 0))

@@ -21,7 +21,9 @@ Local smoke::
 Stage order is fixed (cheapest-filter-first): URL blocklist → language
 filter (optional; the CCNet order — languages split before quality) →
 quality gates (Gopher + composite + C4 hard drops) → canonical-url +
-exact dedup → MinHash-LSH near-dup with cluster-aware removal (connected
+exact dedup → cross-snapshot incremental dedup vs a previously-kept
+corpus (optional; bloom pre-filter + exact verify) → MinHash-LSH
+near-dup with cluster-aware removal (connected
 components of the pair graph keep ONE representative per duplicate
 cluster; EXPLICIT cap, audit count logged in the summary — the
 never-cap-silently contract) → per-domain doc cap (optional) →
@@ -71,6 +73,12 @@ def main() -> int:
                     help="apply the Gopher rule gate")
     ap.add_argument("--c4-hard-drops", action="store_true",
                     help="drop curly-brace/lorem-ipsum documents")
+    ap.add_argument("--incremental-ref", default=None, metavar="PATH",
+                    help="previously-kept corpus parquet (text column); "
+                         "drop documents whose content already appears "
+                         "there — cross-snapshot dedup via a bloom "
+                         "pre-filter + exact digest verify (monthly "
+                         "recrawl shape)")
     ap.add_argument("--near-dup", action="store_true",
                     help="MinHash-LSH near-duplicate removal")
     ap.add_argument("--max-bucket", type=int, default=10_000,
@@ -193,6 +201,20 @@ def main() -> int:
     )
     docs = docs.join(reps, "doc_id", "left_semi").cache()
     summary["after_exact_dedup"] = docs.count()
+
+    if args.incremental_ref:
+        # cross-snapshot dedup AFTER intra-snapshot exact dedup: the
+        # reference is the already-kept corpus from earlier crawls
+        from ocr_spark.operators.bloom import incremental_dedup
+
+        ref = spark.read.parquet(args.incremental_ref).select("text")
+        # The union's two branches (bloom-negative pass-through and
+        # verified candidates) each re-reference the flagged plan, and
+        # every later stage compounds that doubling — deep enough that
+        # rendering the plan overflows the driver stack mid-chain.  Cut
+        # lineage here (same rationale as the classifier-stage cut).
+        docs = incremental_dedup(docs, ref, text_col="text").localCheckpoint()
+        summary["after_incremental"] = docs.count()
 
     if args.near_dup:
         from ocr_spark.operators.dedup import (

@@ -157,6 +157,7 @@ class TestJobs:
                 "--lang", "en",
                 "--gopher",
                 "--c4-hard-drops",
+                "--incremental-ref", str(ref),
                 "--near-dup",
                 "--max-per-domain", "50",
                 "--line-dedup",
@@ -174,6 +175,10 @@ class TestJobs:
         assert summary["input_truncated_pages"] == 0  # guard total surfaced
         assert summary["after_lang"] > 0  # language filter ran (en survives)
         assert summary["lsh_capped_buckets"] == 0  # audit always reported
+        # incremental dedup ran; the edu ref shares no exact content with
+        # the synthetic corpus so nothing is removed (removal semantics
+        # are oracle-checked by dedup_incremental)
+        assert summary["after_incremental"] == summary["after_exact_dedup"]
         assert "dup_clusters" in summary  # cluster-aware near-dup ran
         assert summary["after_domain_cap"] > 0
         assert "dup_span_tokens_removed" in summary  # span dedup ran
