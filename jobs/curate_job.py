@@ -126,6 +126,11 @@ def main() -> int:
                     help="label=weight,... deterministic split assignment")
     ap.add_argument("--sample", type=float, default=None,
                     help="deterministic corpus sample fraction")
+    ap.add_argument("--shards", type=int, default=None, metavar="N",
+                    help="write the output as N hash-shuffled shard "
+                         "directories (shard=K/), each sorted by the "
+                         "deterministic within-shard rank — the "
+                         "training-export layout")
     ap.add_argument("--salt", default="v1",
                     help="hash salt for split/sample assignment")
     args = ap.parse_args()
@@ -376,7 +381,23 @@ def main() -> int:
 
         docs = assign_split(docs, _parse_weights(args.split), salt=args.salt)
 
-    docs.write.mode("overwrite").parquet(args.output)
+    if args.shards is not None:
+        # training-export layout: deterministic pseudo-shuffle, one
+        # hash-ordered directory per shard (readers stream shards
+        # round-robin for a decorrelated sample order)
+        from ocr_spark.operators.splits import shard_corpus
+
+        sharded = shard_corpus(docs, args.shards, salt=args.salt)
+        (
+            sharded.repartition(args.shards, F.col("shard"))
+            .sortWithinPartitions("seq")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(args.output)
+        )
+        summary["shards"] = args.shards
+    else:
+        docs.write.mode("overwrite").parquet(args.output)
     summary["output_docs"] = spark.read.parquet(args.output).count()
     summary["seconds"] = round(time.time() - t0, 1)
     print(json.dumps(summary))

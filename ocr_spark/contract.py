@@ -2196,6 +2196,40 @@ def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# deterministic corpus sharding (operators/splits.shard_corpus): the
+# training-export global pseudo-shuffle.  shard = portable-hash %
+# n_shards; seq = 0-based rank within the shard under (hash, id) order.
+# The oracle states the rank as one per-shard window; the Spark side
+# distributes it as the two-phase (bucketed local rank + broadcast base
+# offsets) prefix pattern — identical output by construction.
+
+_SHARD_N = 16
+
+_SHARD_SQL = f"""
+WITH h AS (SELECT doc_id,
+                  {portable_hash_sql_duckdb(
+                      chr(39) + 'shard:v1:' + chr(39)
+                      + " || coalesce(CAST(doc_id AS VARCHAR), '')")} AS h
+           FROM documents)
+SELECT doc_id, CAST(h % {_SHARD_N} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {_SHARD_N}
+                               ORDER BY h, doc_id) - 1 AS BIGINT) AS seq
+FROM h
+"""
+
+
+def _q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import splits
+
+    return splits.shard_corpus(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        _SHARD_N,
+        hash_mode="portable",
+        n_buckets_log2=6,
+    )
+
+
+# ---------------------------------------------------------------------------
 # hashed document embeddings (operators/embed.py): feature-hashing TF
 # vectors, L2-normalized.  Parity contract: bucket counts are exact small
 # integers in float64, the norm is a sequential index-order fold (DuckDB
@@ -2561,6 +2595,7 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # suite), and (4) the two rows-only non-SQL-expressible checks last.
 _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # (1) newest + previously-unchecked oracle rows
+    "corpus_shard": (_q_shard_corpus, _SHARD_SQL),
     "dedup_incremental": (_q_incremental_dedup, _INCREMENTAL_SQL),
     "dedup_bloom_bitmap": (_q_bloom_bitmap, _BLOOM_BITMAP_SQL),
     "dedup_latest_capture": (_q_latest_capture, _LATEST_CAPTURE_SQL),

@@ -254,3 +254,91 @@ def token_budget_sample(
     )
     return kept.drop("_n_tok", "_h", "_bkt", "_strat", "_base", "_off",
                      "_budget")
+
+
+def shard_corpus(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    hash_mode: str = "xxhash64",
+    n_buckets_log2: int = 10,
+) -> DataFrame:
+    """Deterministic global pseudo-shuffle + sharding for training export:
+    every document gets ``(shard, seq)`` — ``shard = hash % n_shards``,
+    ``seq`` = the document's 0-based rank within its shard under
+    ``(hash, id)`` order.  Training wants an order DECORRELATED from
+    crawl order (crawl order clusters hosts/time; consuming it directly
+    skews every batch); a salted hash is a reproducible permutation with
+    no RNG state, stable across runs and identical on any cluster size.
+    Writers then ``repartition(n_shards, shard)`` +
+    ``sortWithinPartitions(seq)`` and emit one file per shard — readers
+    stream shards round-robin for an i.i.d.-ish sample order.
+
+    The hash domain is prefixed ("shard:") for independence from
+    :func:`assign_split` / :func:`deterministic_sample` at the same salt
+    (same rationale as documented there).
+
+    Plan shape: the naive ``seq`` is ``row_number() OVER (PARTITION BY
+    shard ORDER BY h)`` — one task per shard sorting corpus/n_shards
+    rows, a straggler wall when shards are sized for file convenience
+    (10^12 docs / 4096 shards = 2.4×10^8 rows per task).  So ``seq``
+    uses the two-phase prefix pattern (pack_sequences/token_budget):
+    the hash's high bits form order-contiguous buckets; local
+    ``row_number`` per (shard, bucket) runs at shards × 2^log2 -way
+    parallelism, per-bucket counts (a bounded small rowset) are
+    cumulated on the driver and broadcast back as base offsets.  No
+    SinglePartition exchange; partially EAGER (the counts action runs at
+    build time — exact and deterministic).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    salted = F.concat(
+        F.lit(f"shard:{salt}:"),
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+    )
+    if hash_mode == "portable":
+        h = portable_hash_col(salted)  # 48-bit nonneg
+        bucket = F.shiftright(h, 48 - n_buckets_log2)
+    else:
+        h = F.xxhash64(salted)  # signed 64-bit
+        # arithmetic shift keeps bucket order == signed hash order
+        bucket = F.shiftright(h, 64 - n_buckets_log2)
+    hashed = df.select(
+        "*",
+        h.alias("_h"),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        bucket.cast("bigint").alias("_bkt"),
+    )
+
+    # phase 2: per-(shard, bucket) counts -> cumulative base offsets
+    totals = (
+        hashed.groupBy("shard", "_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    base_rows: list[tuple[int, int, int]] = []
+    running: dict[int, int] = {}
+    for r in sorted(totals, key=lambda r: (r["shard"], r["_bkt"])):
+        s = r["shard"]
+        base_rows.append((s, r["_bkt"], running.get(s, 0)))
+        running[s] = running.get(s, 0) + r["_n"]
+    spark = df.sparkSession
+    base = spark.createDataFrame(
+        base_rows, schema="shard int, _bkt bigint, _base bigint"
+    )
+
+    # phase 1: local rank within (shard, bucket) + base join
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard", "_bkt").orderBy("_h", id_col)
+    return (
+        hashed.join(F.broadcast(base), ["shard", "_bkt"])
+        .select(
+            "*",
+            (F.col("_base") + F.row_number().over(w) - 1)
+            .cast("bigint")
+            .alias("seq"),
+        )
+        .drop("_h", "_bkt", "_base")
+    )

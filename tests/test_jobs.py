@@ -196,3 +196,30 @@ class TestJobs:
 
         cols = set(pq.read_schema(next(out.glob("*.parquet"))).names)
         assert {"doc_id", "url", "text", "split"} <= cols
+
+    def test_curate_job_sharded_export(self, extracted_dir, tmp_path):
+        """--shards writes one hash-shuffled directory per shard with the
+        deterministic within-shard rank column (the training-export
+        layout; rank semantics oracle-checked by corpus_shard)."""
+        out = tmp_path / "sharded"
+        summary = _run(
+            [
+                "jobs/curate_job.py",
+                "--input", str(extracted_dir),
+                "--output", str(out),
+                "--shards", "4",
+            ]
+        )
+        assert summary["shards"] == 4
+        dirs = sorted(p.name for p in out.glob("shard=*"))
+        assert len(dirs) > 0 and all(d.startswith("shard=") for d in dirs)
+        import pyarrow.parquet as pq
+
+        seqs = []
+        for d in sorted(out.glob("shard=*")):
+            t = pq.read_table(d)
+            s = t.column("seq").to_pylist()
+            assert s == sorted(s)  # shard files are rank-ordered
+            assert s[0] == 0 and s[-1] == len(s) - 1  # dense rank
+            seqs.append(len(s))
+        assert sum(seqs) == summary["output_docs"]

@@ -1947,3 +1947,74 @@ class TestParagraphDedup:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             corpus_line_dedup(df, delimiter=".")
+
+
+class TestShardCorpus:
+    """Deterministic global pseudo-shuffle (splits.shard_corpus): every
+    doc gets (shard, seq); seq is a dense 0-based rank per shard."""
+
+    @pytest.mark.parametrize("hash_mode", ["portable", "xxhash64"])
+    def test_seq_is_dense_per_shard(self, docs, hash_mode):
+        from ocr_spark.operators.splits import shard_corpus
+
+        out = shard_corpus(
+            docs.select("doc_id"), 8, hash_mode=hash_mode,
+            n_buckets_log2=4,
+        )
+        per = (
+            out.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("seq").alias("lo"),
+                F.max("seq").alias("hi"),
+                F.count_distinct("seq").alias("d"),
+            )
+            .collect()
+        )
+        assert sum(r.n for r in per) == docs.count()
+        for r in per:
+            assert (r.lo, r.hi, r.d) == (0, r.n - 1, r.n), r
+
+    def test_partitioning_invariant_and_salt_redeal(self, docs):
+        from ocr_spark.operators.splits import shard_corpus
+
+        ids = docs.select("doc_id")
+        a = {
+            (r.doc_id): (r.shard, r.seq)
+            for r in shard_corpus(ids.repartition(1), 8).collect()
+        }
+        b = {
+            (r.doc_id): (r.shard, r.seq)
+            for r in shard_corpus(ids.repartition(7), 8).collect()
+        }
+        assert a == b
+        c = {
+            (r.doc_id): (r.shard, r.seq)
+            for r in shard_corpus(ids, 8, salt="v2").collect()
+        }
+        assert c != a  # a new salt re-deals the permutation
+
+    def test_order_decorrelated_from_id_order(self, docs):
+        """Within a shard, seq order must not be id order (the whole
+        point: crawl order is clustered; hash order is not)."""
+        from ocr_spark.operators.splits import shard_corpus
+
+        rows = (
+            shard_corpus(docs.select("doc_id"), 2)
+            .filter("shard = 0")
+            .orderBy("seq")
+            .collect()
+        )
+        ids = [r.doc_id for r in rows]
+        assert ids != sorted(ids)
+
+    def test_no_single_partition_exchange(self, docs):
+        from ocr_spark.operators.splits import shard_corpus
+
+        plan = (
+            shard_corpus(docs.select("doc_id"), 8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange SinglePartition" not in plan, plan
