@@ -286,3 +286,55 @@ def run_resumable(
     if observe is not None:
         observe.update(obs.get)
     return attempted
+
+
+# ---------------------------------------------------------------------------
+# digest store — the persisted membership artifact for cross-snapshot
+# (incremental) dedup.  operators/bloom.py holds the query side.
+
+
+def write_digest_store(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    path: str | None = None,
+) -> None:
+    """Persist the kept corpus's content digests as a parquet table
+    BUCKETED on the digest.
+
+    This is the artifact that makes monthly incremental dedup cheap at
+    10^12-doc scale: the verify anti-join of bloom candidates against
+    the store reads the store's buckets in place (no Exchange on the
+    store side — plan-pinned in tests/test_bloom.py); only the
+    candidate sliver of the new snapshot shuffles, into ``n_buckets``
+    partitions.  The digest is :func:`ocr_spark.operators.bloom.digest_expr`
+    (md5 of coalesce(text,'')) — exactly what ``incremental_dedup``
+    recomputes on the new side, so store-backed and raw-text old sides
+    are interchangeable.
+
+    Bucketed output requires the session catalog (``saveAsTable``); on a
+    cluster the table lives in the metastore/Iceberg catalog, locally in
+    ``spark-warehouse/`` (or ``path``).  Appends accumulate snapshots —
+    digests are idempotent membership facts, duplicates across appends
+    are harmless to an anti-join/semi-join probe.
+    """
+    digests = df.select(
+        F.expr(f"md5(coalesce({text_col}, ''))").alias("digest")
+    )
+    w = (
+        digests.write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, "digest")
+        .sortBy("digest")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_digest_store(spark: SparkSession, table: str) -> DataFrame:
+    """The digest store as a DataFrame with its bucketing metadata intact
+    (``spark.table``, NOT ``spark.read.parquet`` — a raw path read
+    discards the bucket spec and the exchange-free join with it)."""
+    return spark.table(table)

@@ -68,12 +68,26 @@ DEFAULT_M_BITS = 1 << 22  # ~420k docs at k=4 under ~1% fp; override at scale
 DEFAULT_K = 4
 
 
-def _h_expr_spark(text_col: str, mode: str) -> str:
-    """Non-negative 64-bit hash of coalesce(text,'') as a Spark SQL expr."""
-    src = f"coalesce({text_col}, '')"
+def digest_expr(text_col: str) -> str:
+    """The canonical content digest every bloom stage keys on — md5 of
+    coalesce(text,'') as a hex string.  A persisted digest STORE (see
+    :func:`ocr_spark.io.write_digest_store`) holds exactly this value,
+    so raw-text corpora and digest stores are interchangeable as the
+    old side."""
+    return f"md5(coalesce({text_col}, ''))"
+
+
+def _h_expr_spark(digest: str, mode: str) -> str:
+    """Non-negative 64-bit hash of the canonical DIGEST (not the raw
+    text) as a Spark SQL expr — so a stored digest column reproduces
+    the same bloom positions as the original text."""
     if mode == "portable":
-        return portable_hash_sql_spark(src)  # 48-bit, already non-negative
-    return f"pmod(xxhash64({src}), {MERSENNE})"
+        return portable_hash_sql_spark(digest)  # 48-bit, non-negative
+    return f"pmod(xxhash64({digest}), {MERSENNE})"
+
+
+def _digest_of(text_col: str, digest_col: str | None) -> str:
+    return digest_col if digest_col is not None else digest_expr(text_col)
 
 
 def _position_exprs(h: str, k: int, m_bits: int) -> list[str]:
@@ -94,13 +108,17 @@ def bloom_bitmap(
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
     hash_mode: str = "xxhash64",
+    digest_col: str | None = None,
 ) -> DataFrame:
     """(word, mask) rows of the old corpus's bloom filter — only nonempty
     words appear.  One explode (k rows/doc) + one map-side-combined
-    ``bit_or`` groupBy; the shuffle carries masks, not documents."""
+    ``bit_or`` groupBy; the shuffle carries masks, not documents.
+    Pass ``digest_col`` to build from a persisted digest store instead
+    of raw text (identical output by construction)."""
     pos = ", ".join(_position_exprs("_blh", k, m_bits))
+    dig = _digest_of(text_col, digest_col)
     return (
-        df.select(F.expr(_h_expr_spark(text_col, hash_mode)).alias("_blh"))
+        df.select(F.expr(_h_expr_spark(dig, hash_mode)).alias("_blh"))
         .select(F.expr(f"explode(array({pos}))").alias("pos"))
         .select(
             F.expr(f"pos DIV {WORD_BITS}").alias("word"),
@@ -122,6 +140,7 @@ def bloom_flag(
     k: int = DEFAULT_K,
     hash_mode: str = "xxhash64",
     flag_col: str = "maybe_seen",
+    digest_col: str | None = None,
 ) -> DataFrame:
     """``df`` + a ``maybe_seen`` flag: true iff ALL k bloom bits are set.
 
@@ -137,7 +156,9 @@ def bloom_flag(
     hcol = "_blh"
     while hcol in df.columns:
         hcol += "_"
-    out = df.withColumn(hcol, F.expr(_h_expr_spark(text_col, hash_mode)))
+    out = df.withColumn(
+        hcol, F.expr(_h_expr_spark(_digest_of(text_col, digest_col), hash_mode))
+    )
     positions = _position_exprs(hcol, k, m_bits)
     hits = []
     for j, p in enumerate(positions):
@@ -168,10 +189,18 @@ def incremental_dedup(
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
     hash_mode: str = "xxhash64",
+    old_digest_col: str | None = None,
 ) -> DataFrame:
     """Rows of ``new_df`` whose content digest does NOT appear in
     ``old_df`` — the cross-snapshot dedup step (intra-snapshot dedup is
     :func:`ocr_spark.operators.dedup.exact_dedup`'s job, run separately).
+
+    ``old_df`` may be the raw kept corpus (``text_col``) or a persisted
+    DIGEST STORE (pass ``old_digest_col``; see
+    :func:`ocr_spark.io.write_digest_store`).  With a store BUCKETED on
+    the digest, the verify anti-join reads the store's buckets in place
+    — no shuffle on the old side, and only the candidate sliver of the
+    new side shuffles.
 
     = bloom pre-filter + exact verify of the candidates; exactly
     equivalent to the full digest anti-join for every ``m``/``k``
@@ -184,7 +213,9 @@ def incremental_dedup(
     scanned once; the k broadcasts then replay the cached masks.  In a
     recurring production job, write the bitmap to parquet instead and
     pass it to :func:`bloom_flag` directly — it is the monthly artifact."""
-    bitmap = bloom_bitmap(old_df, text_col, m_bits, k, hash_mode).persist()
+    bitmap = bloom_bitmap(
+        old_df, text_col, m_bits, k, hash_mode, digest_col=old_digest_col
+    ).persist()
     flagged = bloom_flag(
         new_df,
         bitmap,
@@ -194,13 +225,13 @@ def incremental_dedup(
         hash_mode,
         flag_col="_maybe",
     )
-    dig = f"md5(coalesce({text_col}, ''))"
+    old_dig = _digest_of(text_col, old_digest_col)
     passed = flagged.filter(~F.col("_maybe")).drop("_maybe")
     survivors = (
         flagged.filter(F.col("_maybe"))
-        .withColumn("_dig", F.expr(dig))
+        .withColumn("_dig", F.expr(digest_expr(text_col)))
         .join(
-            old_df.select(F.expr(dig).alias("_dig")),
+            old_df.select(F.expr(old_dig).alias("_dig")),
             on="_dig",
             how="left_anti",
         )
@@ -217,9 +248,9 @@ def oracle_bitmap_sql(
     old_sql: str, text_col: str, m_bits: int, k: int
 ) -> str:
     """DuckDB SQL computing the identical (word, mask) bitmap for
-    ``hash_mode='portable'`` — pins the hash/LCG/shift arithmetic
-    cross-engine bit-for-bit."""
-    h = portable_hash_sql_duckdb(f"coalesce({text_col}, '')")
+    ``hash_mode='portable'`` — pins the digest → hash → LCG → shift
+    arithmetic cross-engine bit-for-bit."""
+    h = portable_hash_sql_duckdb(f"md5(coalesce({text_col}, ''))")
     pos = ", ".join(
         f"((({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MERSENNE}) % {m_bits})"
         for j in range(k)
