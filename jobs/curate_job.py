@@ -18,7 +18,9 @@ Local smoke::
     spark-submit --master 'local[8]' --py-files ocr_spark.zip \
       jobs/curate_job.py --input /tmp/extracted --output /tmp/curated
 
-Stage order is fixed (cheapest-filter-first): URL blocklist → language
+Stage order is fixed (cheapest-filter-first): crawl revisit dedup
+(optional; newest capture per canonical url, winners from a payload-free
+key projection) → URL blocklist → language
 filter (optional; the CCNet order — languages split before quality) →
 quality gates (Gopher + composite + C4 hard drops) → canonical-url +
 exact dedup → cross-snapshot incremental dedup vs a previously-kept
@@ -73,6 +75,10 @@ def main() -> int:
                     help="apply the Gopher rule gate")
     ap.add_argument("--c4-hard-drops", action="store_true",
                     help="drop curly-brace/lorem-ipsum documents")
+    ap.add_argument("--latest-capture", action="store_true",
+                    help="crawl revisit dedup before anything else: keep "
+                         "only the newest capture per canonical url "
+                         "(needs a warc_ts column in --input)")
     ap.add_argument("--incremental-ref", default=None, metavar="PATH",
                     help="previously-kept corpus parquet (text column); "
                          "drop documents whose content already appears "
@@ -144,9 +150,29 @@ def main() -> int:
     raw = spark.read.parquet(args.input)
     if "status" in raw.columns:
         raw = raw.filter(F.col("status") == "COMPLETED")
-    docs = raw.select("url", "text").withColumn(
+    keep_cols = ["url", "text"] + (
+        ["warc_ts"] if args.latest_capture and "warc_ts" in raw.columns else []
+    )
+    if args.latest_capture and "warc_ts" not in raw.columns:
+        ap.error("--latest-capture needs a warc_ts column in --input")
+    docs = raw.select(*keep_cols).withColumn(
         "doc_id", F.xxhash64("url")
     )
+
+    if args.latest_capture:
+        # crawl revisit dedup FIRST (cheapest win: stale captures never
+        # pay any later stage).  Winners are computed on a payload-free
+        # key projection (doc_id, url, warc_ts) — the max_by groupBy
+        # shuffles keys, never text — then semi-joined back (the same
+        # shape as the exact-dedup stage below).
+        from ocr_spark.operators.urls import latest_capture
+
+        winners = latest_capture(
+            docs.select("doc_id", "url", "warc_ts"),
+            url_col="url", ts_col="warc_ts", id_col="doc_id",
+        ).select("doc_id")
+        docs = docs.join(winners, "doc_id", "left_semi").drop("warc_ts")
+        summary["after_latest_capture"] = docs.count()
     if "truncated_pages" in raw.columns:
         # decode-guard hits travel with the corpus: surface the total in
         # the summary so a curator sees truncated extractions even if

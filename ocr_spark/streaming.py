@@ -257,3 +257,72 @@ def stream_exact_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_filter(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    old_digests: DataFrame,
+    m_bits: int = 1 << 22,
+    k: int = 4,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Ingest-time cross-snapshot dedup: pages of the ARRIVING crawl whose
+    payload digest already exists in a previously-kept corpus are dropped
+    before they ever reach extraction — the streaming twin of
+    ``bloom.incremental_dedup`` (same equivalence: bloom pre-filter has no
+    false negatives, candidates are exact-verified, so the admitted set
+    is exactly the anti-join's).
+
+    ``old_digests`` is a STATIC DataFrame with a ``digest`` column of md5
+    hex strings of the same key the stream digests (the payload bytes
+    here — the :func:`ocr_spark.io.write_digest_store` artifact built
+    over the prior snapshots' pages).  Both stages are stream-STATIC
+    joins, which Structured Streaming runs stateless: the k bloom probes
+    are broadcast hash joins and the verify is a stream-static left-anti
+    join — no watermark, no state store, the stream runs forever at
+    constant memory.  The payload is projected DOWN to its digest before
+    any join (the module-wide rule: binary never rides a shuffle).
+
+    Emitted rows are admitted page keys ``(url, digest, warc_ts)`` —
+    join back to the payload for extraction, exactly like
+    :func:`stream_exact_dedup` (chain the two for intra-snapshot +
+    cross-snapshot dedup at ingest)."""
+    from .operators.bloom import bloom_bitmap, bloom_flag
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(in_dir)
+    )
+    keyed = pages.select("url", F.md5("html").alias("digest"), "warc_ts")
+    bitmap = bloom_bitmap(
+        old_digests, m_bits=m_bits, k=k, digest_col="digest"
+    ).persist()
+    flagged = bloom_flag(
+        keyed, bitmap, m_bits=m_bits, k=k, digest_col="digest",
+        flag_col="_maybe",
+    )
+    passed = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    survivors = (
+        flagged.filter(F.col("_maybe"))
+        .join(
+            old_digests.select("digest").dropDuplicates(["digest"]),
+            on="digest",
+            how="left_anti",
+        )
+        .drop("_maybe")
+    )
+    admitted = passed.unionByName(survivors)
+    writer = (
+        admitted.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -153,6 +153,7 @@ class TestJobs:
                 "jobs/curate_job.py",
                 "--input", str(extracted_dir),
                 "--output", str(out),
+                "--latest-capture",
                 "--blocklist", str(blocklist),
                 "--lang", "en",
                 "--gopher",
@@ -173,6 +174,9 @@ class TestJobs:
         )
         assert summary["input_docs"] == 30
         assert summary["input_truncated_pages"] == 0  # guard total surfaced
+        # revisit dedup ran; fixture urls are unique so nothing is removed
+        # (winner semantics are oracle-checked by dedup_latest_capture)
+        assert summary["after_latest_capture"] == 30
         assert summary["after_lang"] > 0  # language filter ran (en survives)
         assert summary["lsh_capped_buckets"] == 0  # audit always reported
         # incremental dedup ran; the edu ref shares no exact content with

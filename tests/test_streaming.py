@@ -280,3 +280,63 @@ class TestStreamExactDedup:
 
         got = sorted(r.url for r in spark.read.parquet(out_dir).collect())
         assert got == ["u://1/a", "u://1/b", "u://2/c"]
+
+
+class TestStreamIncrementalFilter:
+    def test_admitted_equals_anti_join_and_stateless(self, spark, dirs, tmp_path):
+        """Pages whose payload digest exists in the static prior-corpus
+        store are dropped at ingest; everything else passes — exactly the
+        batch anti-join (bloom fp verified away).  Stream-static joins
+        only: no state store rows needed."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from ocr_spark.fixtures import write_rows_parquet
+        from ocr_spark.streaming import stream_incremental_filter
+
+        day = dt.datetime(2025, 1, 1)
+
+        def row(url, payload):
+            return {
+                "url": url, "warc_ts": day, "html": payload,
+                "text": "", "lang": "en",
+            }
+
+        a = b"<html><body><p>alpha</p></body></html>"
+        b_ = b"<html><body><p>beta</p></body></html>"
+        c = b"<html><body><p>gamma</p></body></html>"
+        write_rows_parquet(
+            dirs["in"] / "f1.parquet",
+            [row("u://n/a", a), row("u://n/b", b_), row("u://n/c", c)],
+        )
+        # prior corpus: payloads a and b were kept last month
+        old = spark.createDataFrame(
+            [(a,), (b_,)], "html binary"
+        ).select(F.md5("html").alias("digest"))
+
+        out_dir = str(tmp_path / "inc_out")
+        # tiny m floods the bloom with false positives — the verify join
+        # must still admit exactly the truly-new payload
+        q = stream_incremental_filter(
+            spark, str(dirs["in"]), out_dir, dirs["ckpt"], old,
+            m_bits=1 << 6, k=4,
+        )
+        q.awaitTermination(120)
+        got = [r.url for r in spark.read.parquet(out_dir).collect()]
+        assert got == ["u://n/c"]
+
+    def test_empty_old_corpus_admits_everything(self, spark, dirs, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ocr_spark.fixtures import write_pages_parquet
+        from ocr_spark.streaming import stream_incremental_filter
+
+        write_pages_parquet(dirs["in"] / "w1.parquet", 10)
+        old = spark.createDataFrame([], "digest string")
+        out_dir = str(tmp_path / "inc_out")
+        q = stream_incremental_filter(
+            spark, str(dirs["in"]), out_dir, dirs["ckpt"], old,
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(out_dir).count() == 10
