@@ -14,6 +14,7 @@
       → scrub_pii()                     email/IP/phone redaction
       → assign_split()                  deterministic train/val/test
       → extract_features → ivf_topk     embedding + ANN neighbors
+      → shard_corpus()                  hash-shuffled training shards
       → one JSON summary line
 
 Run: python examples/training_pipeline.py [n_docs]
@@ -186,6 +187,15 @@ def main() -> int:
         r.split: r["count"]
         for r in final.groupBy("split").count().collect()
     }
+
+    # 7. export: deterministic global pseudo-shuffle into training shards
+    from ocr_spark.operators.splits import shard_corpus
+
+    sharded = shard_corpus(final.filter("split = 'train'"), 4)
+    shard_sizes = {
+        int(r.shard): r["count"]
+        for r in sharded.groupBy("shard").count().collect()
+    }
     print(
         json.dumps(
             {
@@ -198,6 +208,7 @@ def main() -> int:
                 "dup_lines_removed": dup_lines_removed,
                 "after_decontam": decontaminated.count(),
                 "splits": splits,
+                "train_shards": shard_sizes,
                 "ann_rows": neighbors.count(),
             }
         )
