@@ -584,6 +584,35 @@ WHERE doc_id % 3 != 0
 """
 
 
+def _q_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot NEAR-dup: new-third docs with no MinHash band-key
+    collision against the old third (portable hash mode so the oracle
+    computes the identical signatures; band semantics as _LSH_PAIRS_CTE)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = dedup.incremental_near_dedup(
+        docs.filter("doc_id % 3 != 0"),
+        docs.filter("doc_id % 3 = 0"),
+        hash_mode="portable",
+    )
+    return kept.select("doc_id")
+
+
+_INCREMENTAL_NEAR_SQL = f"""
+WITH {_MINHASH_CTE},
+bands AS (
+  SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS key FROM sig
+  UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig),
+matched AS (
+  SELECT DISTINCT n.doc_id FROM bands n JOIN bands o
+    ON n.band = o.band AND n.key = o.key
+  WHERE n.doc_id % 3 != 0 AND o.doc_id % 3 = 0)
+SELECT doc_id FROM documents
+WHERE doc_id % 3 != 0 AND doc_id NOT IN (SELECT doc_id FROM matched)
+"""
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over a normalized key (first 16 chars) so the testdata
     actually produces duplicate groups; digest shuffle, never the text."""
@@ -2597,6 +2626,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # (1) newest + previously-unchecked oracle rows
     "corpus_shard": (_q_shard_corpus, _SHARD_SQL),
     "dedup_incremental": (_q_incremental_dedup, _INCREMENTAL_SQL),
+    "dedup_incremental_near": (_q_incremental_near, _INCREMENTAL_NEAR_SQL),
     "dedup_bloom_bitmap": (_q_bloom_bitmap, _BLOOM_BITMAP_SQL),
     "dedup_latest_capture": (_q_latest_capture, _LATEST_CAPTURE_SQL),
     "ext_outlinks": (_q_outlinks, _OUTLINKS_SQL),

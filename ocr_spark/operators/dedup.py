@@ -846,3 +846,85 @@ def dedup_by_clusters(
         .select(F.col("doc_id").alias(id_col))
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def lsh_cross_pairs(
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded LSH candidate pairs ACROSS two signature sets — (new_id,
+    old_id) for every new/old pair sharing any band bucket.  The
+    cross-snapshot twin of :func:`lsh_candidate_pairs`: same banded
+    equi-join shape (never new × old), different sides.
+
+    The opt-in ``max_bucket`` guard excludes band keys whose OLD-side
+    bucket exceeds the cap (the old corpus is the accumulated big side;
+    a degenerate key there makes the join product quadratic) — excluded
+    from BOTH sides so the measure is symmetric.  Same never-silent
+    contract as every cap: pass it explicitly and run/log
+    :func:`lsh_hot_buckets` over ``old_sigs`` alongside."""
+    a = _banded_keys(new_sigs, id_col, num_perm, bands)
+    b = _banded_keys(old_sigs, id_col, num_perm, bands)
+    if max_bucket is not None:
+        hot = (
+            b.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > max_bucket)
+            .select("band", "key")
+        )
+        a = a.join(hot, ["band", "key"], "left_anti")
+        b = b.join(hot, ["band", "key"], "left_anti")
+    return (
+        a.alias("n")
+        .join(b.alias("o"), ["band", "key"])
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"o.{id_col}").alias("old_id"),
+        )
+        .distinct()
+    )
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Rows of ``new_df`` that do NOT near-duplicate any document of
+    ``old_df`` — the near-dup layer of monthly-recrawl dedup
+    (:func:`ocr_spark.operators.bloom.incremental_dedup` removes exact
+    re-captures; this removes the rewrites/re-templates at MinHash-LSH
+    granularity).  An exact copy always drops: identical text ⇒
+    identical signature ⇒ shared band keys.
+
+    Plan: signatures on both sides (explode + map-side-min groupBy),
+    banded cross join on (band, key), distinct matched new ids,
+    left-anti back onto the new snapshot.  In a recurring job, PERSIST
+    the old side's signatures as the monthly artifact (8 bigints per
+    doc) instead of recomputing from text — pass them through
+    ``old_df`` with precomputed sigs via :func:`minhash_signatures`
+    upstream."""
+    new_sigs = minhash_signatures(
+        new_df, text_col, id_col, n, num_perm, hash_mode
+    )
+    old_sigs = minhash_signatures(
+        old_df, text_col, id_col, n, num_perm, hash_mode
+    )
+    matched = (
+        lsh_cross_pairs(
+            new_sigs, old_sigs, id_col, num_perm, bands, max_bucket
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(matched, id_col, "left_anti")

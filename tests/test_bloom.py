@@ -267,3 +267,90 @@ class TestDigestStore:
         # exactly one exchange: the probe side aligning to the buckets
         assert plan.count("Exchange hashpartitioning") == 1
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+class TestIncrementalNearDedup:
+    """Cross-snapshot NEAR-dup (dedup.incremental_near_dedup): the
+    MinHash-LSH layer of monthly-recrawl dedup on top of the exact bloom
+    path."""
+
+    def test_exact_and_near_copies_dropped_fresh_kept(self, spark):
+        from ocr_spark.operators.dedup import incremental_near_dedup
+
+        base = (
+            "the quick brown fox jumps over the lazy dog again and again "
+            "while the crawler watches the page for changes every month"
+        )
+        near = base.replace("lazy", "sleepy")  # one token differs
+        fresh = (
+            "completely unrelated content about oceanography and tides "
+            "with no shared shingles at all in this entirely new text"
+        )
+        old = spark.createDataFrame(
+            [(1, base)], "doc_id bigint, text string"
+        )
+        new = spark.createDataFrame(
+            [(10, base), (11, near), (12, fresh)],
+            "doc_id bigint, text string",
+        )
+        kept = sorted(
+            r.doc_id for r in incremental_near_dedup(new, old).collect()
+        )
+        assert 10 not in kept  # exact copy: identical sigs, always dropped
+        assert 11 not in kept  # near copy: shares band keys
+        assert kept == [12]
+
+    def test_empty_old_keeps_everything(self, spark, snapshots):
+        from ocr_spark.operators.dedup import incremental_near_dedup
+
+        old, new = snapshots
+        docs = new.withColumnRenamed("norm", "text")
+        kept = incremental_near_dedup(docs, old.filter("1=0").withColumnRenamed("norm", "text"))
+        assert kept.count() == docs.count()
+
+    def test_no_cartesian_product(self, spark, snapshots):
+        from ocr_spark.operators.dedup import incremental_near_dedup
+
+        old, new = snapshots
+        plan = (
+            incremental_near_dedup(
+                new.withColumnRenamed("norm", "text"),
+                old.withColumnRenamed("norm", "text"),
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_hot_bucket_cap_is_optional_and_symmetric(self, spark):
+        """With a cap, a degenerate old-side band key is excluded from
+        BOTH sides — capped output is a superset of uncapped survivors."""
+        from ocr_spark.operators.dedup import (
+            incremental_near_dedup,
+            lsh_hot_buckets,
+            minhash_signatures,
+        )
+
+        # 30 identical old docs = one degenerate bucket per band
+        old = spark.createDataFrame(
+            [(i, "same text everywhere " * 5) for i in range(30)],
+            "doc_id bigint, text string",
+        )
+        new = spark.createDataFrame(
+            [(100, "same text everywhere " * 5), (101, "different words")],
+            "doc_id bigint, text string",
+        )
+        uncapped = sorted(
+            r.doc_id for r in incremental_near_dedup(new, old).collect()
+        )
+        capped = sorted(
+            r.doc_id
+            for r in incremental_near_dedup(new, old, max_bucket=10).collect()
+        )
+        assert uncapped == [101]
+        assert set(capped) >= set(uncapped)
+        # the audit view names what the cap excluded — never silent
+        sigs = minhash_signatures(old)
+        assert lsh_hot_buckets(sigs, max_bucket=10).count() > 0
