@@ -20,7 +20,9 @@ Local smoke::
 
 Stage order is fixed (cheapest-filter-first): crawl revisit dedup
 (optional; newest capture per canonical url, winners from a payload-free
-key projection) → URL blocklist → language
+key projection) → URL blocklist → word blocklist (optional; C4 badwords
+stage) → C4 line filter (optional; line-level cleaning, emptied docs
+dropped with counts) → language
 filter (optional; the CCNet order — languages split before quality) →
 quality gates (Gopher + composite + C4 hard drops) → canonical-url +
 exact dedup → cross-snapshot incremental dedup vs a previously-kept
@@ -65,6 +67,16 @@ def main() -> int:
     ap.add_argument("--output", required=True, help="curated parquet dir")
     ap.add_argument("--blocklist", default=None,
                     help="file of blocked domains, one per line")
+    ap.add_argument("--word-blocklist", default=None, metavar="FILE",
+                    help="file of blocked words (one per line); drop "
+                         "documents containing any as a token (the C4 "
+                         "badwords stage; pure projection filter)")
+    ap.add_argument("--c4-line-filter", action="store_true",
+                    help="C4 line-level cleaning before the page gates: "
+                         "keep only lines ending in terminal punctuation "
+                         "with >=3 words and no 'javascript'; docs whose "
+                         "every line is removed are dropped (counts "
+                         "reported)")
     ap.add_argument("--lang", default=None, metavar="CODE",
                     help="keep only documents whose predicted language "
                          "is CODE (script-ratio + stopword-vote language "
@@ -193,6 +205,32 @@ def main() -> int:
             blocked = [ln.strip() for ln in f if ln.strip()]
         docs = filter_blocked_domains(docs, blocked)
         summary["after_blocklist"] = docs.count()
+
+    if args.word_blocklist:
+        from ocr_spark.operators.text_analysis import blocked_words_filter
+
+        with open(args.word_blocklist) as f:
+            words = [ln.strip() for ln in f if ln.strip()]
+        docs = blocked_words_filter(docs, words)
+        summary["after_word_blocklist"] = docs.count()
+
+    if args.c4_line_filter:
+        from ocr_spark.operators.text_analysis import c4_line_filter
+
+        from pyspark.sql import Observation
+
+        obs = Observation("c4_lines")
+        cleaned = c4_line_filter(docs).observe(
+            obs, F.sum("c4_lines_removed").alias("lines_removed")
+        )
+        docs = (
+            cleaned.filter(F.col("clean_text") != "")
+            .drop("text", "c4_lines_removed")
+            .withColumnRenamed("clean_text", "text")
+            .select("doc_id", "url", "text")
+        )
+        summary["after_c4_line_filter"] = docs.count()
+        summary["c4_lines_removed"] = int(obs.get["lines_removed"] or 0)
 
     if args.lang:
         from ocr_spark.operators.text_analysis import language_id

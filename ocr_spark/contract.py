@@ -584,6 +584,62 @@ WHERE doc_id % 3 != 0
 """
 
 
+def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning.  The synthetic text has no newlines or
+    punctuation, so line structure is synthesized identically on both
+    engines: ' a ' → '.'+newline makes multi-line docs whose lines end
+    terminally except the last (removed), with short lines exercising
+    the min-words rule."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("replace(text, ' a ', '.' || chr(10))").alias("text"),
+    )
+    return text_analysis.c4_line_filter(docs).select(
+        "doc_id", "clean_text", "c4_lines_removed"
+    )
+
+
+_C4_LINE_SQL = """
+WITH d AS (SELECT doc_id,
+                  replace(text, ' a ', '.' || chr(10)) AS text
+           FROM documents),
+b AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM d),
+k AS (SELECT doc_id, ls,
+             list_filter(ls, l -> regexp_matches(l, '[.!?"]\\s*\\z')
+               AND len(string_split(l, ' ')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM b)
+-- coalesce is load-bearing: DuckDB array_to_string([]) is NULL while
+-- Spark array_join([]) is '' (engine-parity trap, found by this entry)
+SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       CAST(len(ls) - len(kept) AS INTEGER) AS c4_lines_removed
+FROM k
+"""
+
+_BLOCKED_WORDS = ["slow", "vector"]
+
+
+def _q_word_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.blocked_words_filter(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        _BLOCKED_WORDS,
+        keep_flag=True,
+    ).select("doc_id", "has_blocked_word")
+
+
+# DuckDB regexp_replace is per-first-match unless the 'g' flag is passed
+# (Spark's is global by default) — the flag is load-bearing.
+_WORD_BLOCKLIST_SQL = f"""
+SELECT doc_id,
+       len(list_intersect(
+         string_split(regexp_replace(lower(coalesce(text, '')),
+                                     '[^a-z0-9 ]', ' ', 'g'), ' '),
+         [{", ".join(f"'{w}'" for w in _BLOCKED_WORDS)}])) > 0
+         AS has_blocked_word
+FROM documents
+"""
+
+
 def _q_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot NEAR-dup: new-third docs with no MinHash band-key
     collision against the old third (portable hash mode so the oracle
@@ -2627,6 +2683,8 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "corpus_shard": (_q_shard_corpus, _SHARD_SQL),
     "dedup_incremental": (_q_incremental_dedup, _INCREMENTAL_SQL),
     "dedup_incremental_near": (_q_incremental_near, _INCREMENTAL_NEAR_SQL),
+    "text_c4_line_filter": (_q_c4_line_filter, _C4_LINE_SQL),
+    "text_word_blocklist": (_q_word_blocklist, _WORD_BLOCKLIST_SQL),
     "dedup_bloom_bitmap": (_q_bloom_bitmap, _BLOOM_BITMAP_SQL),
     "dedup_latest_capture": (_q_latest_capture, _LATEST_CAPTURE_SQL),
     "ext_outlinks": (_q_outlinks, _OUTLINKS_SQL),

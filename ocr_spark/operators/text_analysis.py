@@ -508,3 +508,87 @@ def cap_per_domain(
         .filter(F.col("_rank") <= n)
         .drop("_rank", "_domain")
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    drop_containing: str = "javascript",
+) -> DataFrame:
+    """The C4 LINE-level cleaning pass (Raffel et al. 2020 §2.2 applies
+    these BEFORE the page-level rules in :func:`c4_rules`): keep only
+    lines that end in terminal punctuation, have at least ``min_words``
+    whitespace words, and do not contain ``drop_containing``
+    (case-insensitive; C4 dropped any line with the word "javascript").
+
+    Adds ``clean_text`` (surviving lines re-joined with ``\\n``; empty
+    string when nothing survives — the caller decides whether to drop
+    the document, e.g. via c4_rules on the cleaned column) and
+    ``c4_lines_removed`` — the removal is never silent.
+
+    Pure codegen: the line array is bound once; the per-line conditions
+    inside the filter lambda operate on the LINE element only (an
+    element-level split is one evaluation per line — the CLAUDE.md rule
+    bans re-evaluating ROW-level arrays per element, which this never
+    does)."""
+    tmp = "_lines"
+    while tmp in df.columns:
+        tmp += "_"
+    kept = "_kept"
+    while kept in df.columns:
+        kept += "_"
+    needle = drop_containing.lower().replace("'", "''")
+    bound = df.withColumn(
+        tmp, F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    ).withColumn(
+        kept,
+        F.expr(
+            # \z not $ — the Java-$-vs-RE2 anchor parity trap
+            f"filter(`{tmp}`, l -> l rlike '[.!?\"]\\\\s*\\\\z' "
+            f"AND size(split(l, ' ')) >= {min_words} "
+            f"AND NOT contains(lower(l), '{needle}'))"
+        ),
+    )
+    return bound.select(
+        "*",
+        F.expr(f"array_join(`{kept}`, '\\n')").alias("clean_text"),
+        F.expr(f"size(`{tmp}`) - size(`{kept}`)")
+        .cast("int")
+        .alias("c4_lines_removed"),
+    ).drop(tmp, kept)
+
+
+def blocked_words_filter(
+    df: DataFrame,
+    words: list[str],
+    text_col: str = "text",
+    keep_flag: bool = False,
+) -> DataFrame:
+    """Drop documents containing ANY blocked word (the C4 badwords-list
+    stage: pages with a word from the blocklist are removed wholesale).
+    Matching is on lowercased alphanumeric TOKENS (punctuation-stripped),
+    so "word," matches a blocklist entry "word" but "sword" does not.
+
+    A literal word list (curated lists are thousands of entries) inlines
+    as an array literal: pure projection-side filter, no join, no
+    shuffle — same posture as ``urls.filter_blocked_domains``.  With
+    ``keep_flag`` the boolean survives as ``has_blocked_word`` instead
+    of filtering (for auditing what a later filter would drop)."""
+    if not words:
+        return (
+            df.withColumn("has_blocked_word", F.lit(False))
+            if keep_flag
+            else df
+        )
+    lits = ", ".join(
+        "'" + w.lower().replace("'", "''") + "'" for w in words
+    )
+    # tokens built once as a plain function argument (single reference)
+    hit = F.expr(
+        f"arrays_overlap(split(regexp_replace(lower(coalesce({text_col}, "
+        f"'')), '[^a-z0-9 ]', ' '), ' '), array({lits}))"
+    )
+    if keep_flag:
+        return df.withColumn("has_blocked_word", hit)
+    return df.filter(~hit)

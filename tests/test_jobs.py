@@ -201,6 +201,50 @@ class TestJobs:
         cols = set(pq.read_schema(next(out.glob("*.parquet"))).names)
         assert {"doc_id", "url", "text", "split"} <= cols
 
+    def test_curate_job_line_filter_and_word_blocklist(self, tmp_path):
+        """The C4 line/word stages: lines without terminal punctuation are
+        removed (docs emptied by it are dropped, counts reported) and
+        blocked-word docs are dropped."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_w
+
+        src = tmp_path / "docs_in"
+        src.mkdir()
+        pq_w.write_table(
+            pa.table(
+                {
+                    "url": [
+                        "https://a.example.com/1",
+                        "https://a.example.com/2",
+                        "https://a.example.com/3",
+                    ],
+                    "text": [
+                        "good first line stays.\nbad line no punct\n"
+                        "another keeper line here!",
+                        "all lines lack punctuation\nso this doc dies",
+                        "contains a Blockedword, so it is dropped first.",
+                    ],
+                }
+            ),
+            src / "part.parquet",
+        )
+        wl = tmp_path / "words.txt"
+        wl.write_text("blockedword\n")
+        out = tmp_path / "curated"
+        summary = _run(
+            [
+                "jobs/curate_job.py",
+                "--input", str(src),
+                "--output", str(out),
+                "--word-blocklist", str(wl),
+                "--c4-line-filter",
+            ]
+        )
+        assert summary["after_word_blocklist"] == 2
+        assert summary["after_c4_line_filter"] == 1
+        assert summary["c4_lines_removed"] == 3  # 1 from doc1 + 2 from doc2
+        assert summary["output_docs"] == 1
+
     def test_curate_job_sharded_export(self, extracted_dir, tmp_path):
         """--shards writes one hash-shuffled directory per shard with the
         deterministic within-shard rank column (the training-export

@@ -2018,3 +2018,84 @@ class TestShardCorpus:
             .toString()
         )
         assert "Exchange SinglePartition" not in plan, plan
+
+
+class TestC4LineFilter:
+    def test_rules_applied_per_line(self, spark):
+        from ocr_spark.operators.text_analysis import c4_line_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "one two three.\nshort.\nhas javascript code here.\n"
+                    "four five six!\nno terminal punct line")
+            ],
+            "doc_id bigint, text string",
+        )
+        r = c4_line_filter(df).collect()[0]
+        assert r.clean_text == "one two three.\nfour five six!"
+        assert r.c4_lines_removed == 3
+
+    def test_null_and_empty_text_never_dropped(self, spark):
+        from ocr_spark.operators.text_analysis import c4_line_filter
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "")], "doc_id bigint, text string"
+        )
+        rows = {r.doc_id: r for r in c4_line_filter(df).collect()}
+        assert len(rows) == 2
+        assert rows[1].clean_text == "" and rows[2].clean_text == ""
+
+    def test_pure_projection_no_shuffle(self, spark):
+        from ocr_spark.operators.text_analysis import c4_line_filter
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            c4_line_filter(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestBlockedWordsFilter:
+    def test_token_match_not_substring(self, spark):
+        from ocr_spark.operators.text_analysis import blocked_words_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "a perfectly fine document"),
+                (2, "contains the Badword, with punctuation"),
+                (3, "notbadword embedded does not match"),
+            ],
+            "doc_id bigint, text string",
+        )
+        kept = sorted(
+            r.doc_id
+            for r in blocked_words_filter(df, ["badword"]).collect()
+        )
+        assert kept == [1, 3]
+
+    def test_empty_list_blocks_nothing_flag_variant(self, spark):
+        from ocr_spark.operators.text_analysis import blocked_words_filter
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        assert blocked_words_filter(df, []).count() == 1
+        flagged = blocked_words_filter(df, [], keep_flag=True).collect()[0]
+        assert flagged.has_blocked_word is False
+
+    def test_pure_projection_no_join(self, spark):
+        from ocr_spark.operators.text_analysis import blocked_words_filter
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            blocked_words_filter(docs, ["slow", "vector"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan and "Exchange" not in plan
