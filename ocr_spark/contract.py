@@ -669,6 +669,44 @@ WHERE doc_id % 3 != 0 AND doc_id NOT IN (SELECT doc_id FROM matched)
 """
 
 
+_CHUNK_SZ, _CHUNK_ST = 32, 24
+
+
+def _q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import chunk_text
+
+    return chunk_text(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        size=_CHUNK_SZ,
+        stride=_CHUNK_ST,
+    )
+
+
+_CHUNK_SQL = f"""
+WITH b AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk,
+                  CASE WHEN coalesce(text, '') = '' THEN 0
+                       ELSE len(string_split(coalesce(text, ''), ' ')) END AS n
+           FROM documents),
+c AS (SELECT doc_id,
+             list_transform(
+               generate_series(0,
+                 (CASE WHEN n <= {_CHUNK_SZ} THEN 1
+                       ELSE 1 + CAST(ceil((n - {_CHUNK_SZ}) / {_CHUNK_ST}e0)
+                                     AS INT) END) - 1),
+               j -> array_to_string(
+                 list_slice(tk, j * {_CHUNK_ST} + 1,
+                            j * {_CHUNK_ST} + {_CHUNK_SZ}), ' ')) AS chunks
+      FROM b WHERE n > 0),
+u AS (SELECT doc_id,
+             unnest(generate_series(0, len(chunks) - 1)) AS chunk_i,
+             unnest(chunks) AS chunk_text
+      FROM c)
+SELECT doc_id, CAST(chunk_i AS INTEGER) AS chunk_i, chunk_text,
+       CAST(len(string_split(chunk_text, ' ')) AS INTEGER) AS n_chunk_tok
+FROM u
+"""
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over a normalized key (first 16 chars) so the testdata
     actually produces duplicate groups; digest shuffle, never the text."""
@@ -2684,6 +2722,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "dedup_incremental": (_q_incremental_dedup, _INCREMENTAL_SQL),
     "dedup_incremental_near": (_q_incremental_near, _INCREMENTAL_NEAR_SQL),
     "text_c4_line_filter": (_q_c4_line_filter, _C4_LINE_SQL),
+    "text_chunks": (_q_chunk_text, _CHUNK_SQL),
     "text_word_blocklist": (_q_word_blocklist, _WORD_BLOCKLIST_SQL),
     "dedup_bloom_bitmap": (_q_bloom_bitmap, _BLOOM_BITMAP_SQL),
     "dedup_latest_capture": (_q_latest_capture, _LATEST_CAPTURE_SQL),

@@ -175,3 +175,66 @@ def pack_export(
         "chunk_id",
         F.flatten(F.expr("transform(_ps, s -> s.p)")).alias("token_ids"),
     ).withColumn("n_tok", F.size("token_ids"))
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Per-document OVERLAPPING token-window chunks — the
+    retrieval/embedding chunking step (``pack_sequences`` is the
+    cross-document pretraining packer; this one never crosses document
+    boundaries and repeats ``size - stride`` tokens between neighbours
+    so no semantic span is cut without context).
+
+    Chunk ``j`` covers whitespace tokens ``[j·stride, j·stride + size)``;
+    starts advance while they fall inside the document, so every token
+    appears in at least one chunk and the last chunk may be short.
+    NULL/empty text yields ZERO chunks (documented; count the input if
+    you need those rows).
+
+    Pure codegen: the token array is bound to a real column before the
+    start-sequence lambda slices it (the CLAUDE.md bind-before-lambda
+    rule), then one posexplode.  Output: ``id_col, chunk_i, chunk_text,
+    n_chunk_tok``."""
+    if size < 1 or stride < 1 or stride > size:
+        raise ValueError(f"need 1 <= stride <= size, got {size=} {stride=}")
+    tk = "_tk"
+    while tk in df.columns:
+        tk += "_"
+    bound = df.withColumn(
+        tk, F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    ).withColumn(
+        "_n",
+        F.when(
+            F.coalesce(F.col(text_col), F.lit("")) == "", F.lit(0)
+        ).otherwise(F.size(F.col(tk))),
+    )
+    n_chunks = (
+        f"CASE WHEN _n <= {size} THEN 1 "
+        f"ELSE 1 + CAST(ceil((_n - {size}) / {stride}e0) AS INT) END"
+    )
+    # the _n = 0 branch is load-bearing: Spark sequence(0, -1) infers a
+    # DESCENDING step and yields [0, -1] — two phantom chunks — instead
+    # of an empty sequence
+    chunks = bound.withColumn(
+        "_chunks",
+        F.expr(
+            f"CASE WHEN _n = 0 THEN CAST(array() AS ARRAY<STRING>) "
+            f"ELSE transform(sequence(0, {n_chunks} - 1), "
+            f"j -> array_join(slice(`{tk}`, j * {stride} + 1, {size}), ' ')) "
+            f"END"
+        ),
+    )
+    return (
+        chunks.select(
+            id_col,
+            F.posexplode("_chunks").alias("chunk_i", "chunk_text"),
+        )
+        .withColumn(
+            "n_chunk_tok", F.expr("size(split(chunk_text, ' '))").cast("int")
+        )
+    )

@@ -2099,3 +2099,56 @@ class TestBlockedWordsFilter:
             .toString()
         )
         assert "Join" not in plan and "Exchange" not in plan
+
+
+class TestChunkText:
+    def test_coverage_and_overlap(self, spark):
+        """Every token appears in >= 1 chunk; neighbours overlap by
+        size - stride; last chunk may be short; round-trip with stride
+        == size reconstructs the document."""
+        from ocr_spark.operators.packing import chunk_text
+
+        words = [f"w{i}" for i in range(100)]
+        df = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id bigint, text string"
+        )
+        rows = sorted(
+            chunk_text(df, size=32, stride=24).collect(),
+            key=lambda r: r.chunk_i,
+        )
+        assert [r.n_chunk_tok for r in rows] == [32, 32, 32, 28]
+        # start positions advance by stride
+        for j, r in enumerate(rows):
+            got = r.chunk_text.split(" ")
+            assert got == words[j * 24 : j * 24 + 32]
+        # non-overlapping variant round-trips exactly
+        nolap = sorted(
+            chunk_text(df, size=32, stride=32).collect(),
+            key=lambda r: r.chunk_i,
+        )
+        assert " ".join(r.chunk_text for r in nolap) == " ".join(words)
+
+    def test_short_null_empty_docs(self, spark):
+        from ocr_spark.operators.packing import chunk_text
+
+        df = spark.createDataFrame(
+            [(1, "just three words"), (2, None), (3, "")],
+            "doc_id bigint, text string",
+        )
+        rows = chunk_text(df, size=8, stride=4).collect()
+        assert len(rows) == 1  # NULL/empty docs yield zero chunks
+        assert rows[0].doc_id == 1 and rows[0].n_chunk_tok == 3
+
+    def test_pure_projection(self, spark):
+        from ocr_spark.operators.packing import chunk_text
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        plan = (
+            chunk_text(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "Join" not in plan
