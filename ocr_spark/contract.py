@@ -669,6 +669,41 @@ WHERE doc_id % 3 != 0 AND doc_id NOT IN (SELECT doc_id FROM matched)
 """
 
 
+def _q_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.corpus_gate_report(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _gate_report_sql() -> str:
+    """Composes the per-gate oracle CTE bodies on doc_id and aggregates
+    the same integer/boolean conditions the Spark report counts."""
+    return f"""
+WITH g AS ({_GOPHER_SQL}),
+c AS ({_C4_SQL}),
+l AS ({_lang_sql()})
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN g.g_keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gopher_keep,
+       CAST(sum(CASE WHEN c.c4_n_sentences >= 3 AND NOT c.c4_has_curly
+                      AND NOT c.c4_has_lorem AND c.c4_n_stop8 >= 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_c4_keep,
+       CAST(sum(CASE WHEN c.c4_has_curly THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_has_curly,
+       CAST(sum(CASE WHEN c.c4_has_lorem THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_has_lorem,
+       CAST(sum(CASE WHEN c.c4_n_stop8 >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stopword_pass,
+       CAST(sum(CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lang_en,
+       CAST(sum(CASE WHEN g.g_keep AND c.c4_n_sentences >= 3
+                      AND NOT c.c4_has_curly AND NOT c.c4_has_lorem
+                      AND c.c4_n_stop8 >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_all_gates
+FROM g JOIN c USING (doc_id) JOIN l USING (doc_id)
+"""
+
+
 _CHUNK_SZ, _CHUNK_ST = 32, 24
 
 
@@ -2724,6 +2759,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "text_c4_line_filter": (_q_c4_line_filter, _C4_LINE_SQL),
     "text_chunks": (_q_chunk_text, _CHUNK_SQL),
     "text_word_blocklist": (_q_word_blocklist, _WORD_BLOCKLIST_SQL),
+    "corpus_gate_report": (_q_gate_report, _gate_report_sql()),
     "dedup_bloom_bitmap": (_q_bloom_bitmap, _BLOOM_BITMAP_SQL),
     "dedup_latest_capture": (_q_latest_capture, _LATEST_CAPTURE_SQL),
     "ext_outlinks": (_q_outlinks, _OUTLINKS_SQL),

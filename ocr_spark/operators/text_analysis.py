@@ -592,3 +592,32 @@ def blocked_words_filter(
     if keep_flag:
         return df.withColumn("has_blocked_word", hit)
     return df.filter(~hit)
+
+
+def corpus_gate_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus audit: how many documents each quality gate would
+    pass — the ablation table a curation run publishes BEFORE choosing
+    thresholds (FineWeb/Dolma papers report exactly this per rule).
+
+    Composes the existing gate columns (:func:`gopher_rules`,
+    :func:`c4_rules`, :func:`language_id`) and reduces them in ONE
+    map-side-combined global aggregate — integer/boolean gates only
+    (no float thresholds), so the row is engine-exact.  At 10^12 docs
+    the shuffle is one partial row per partition."""
+    gated = c4_rules(gopher_rules(language_id(df, text_col), text_col),
+                     text_col)
+    cnt = F.count(F.lit(1))
+
+    def n(cond):  # noqa: ANN001 - Column predicate
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return gated.agg(
+        cnt.cast("bigint").alias("n_docs"),
+        n(F.col("g_keep")).alias("n_gopher_keep"),
+        n(F.col("c4_keep")).alias("n_c4_keep"),
+        n(F.col("c4_has_curly")).alias("n_has_curly"),
+        n(F.col("c4_has_lorem")).alias("n_has_lorem"),
+        n(F.col("c4_stopword_rule")).alias("n_stopword_pass"),
+        n(F.col("lang_pred") == "en").alias("n_lang_en"),
+        n(F.col("g_keep") & F.col("c4_keep")).alias("n_all_gates"),
+    )

@@ -2152,3 +2152,33 @@ class TestChunkText:
             .toString()
         )
         assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestCorpusGateReport:
+    def test_counts_match_per_doc_gates(self, docs):
+        from ocr_spark.operators.text_analysis import (
+            c4_rules,
+            corpus_gate_report,
+            gopher_rules,
+            language_id,
+        )
+
+        row = corpus_gate_report(docs.select("doc_id", "text")).collect()[0]
+        gated = c4_rules(gopher_rules(language_id(docs)))
+        assert row.n_docs == docs.count()
+        assert row.n_gopher_keep == gated.filter("g_keep").count()
+        assert row.n_c4_keep == gated.filter("c4_keep").count()
+        assert row.n_all_gates == gated.filter("g_keep AND c4_keep").count()
+        assert 0 <= row.n_lang_en <= row.n_docs
+
+    def test_single_aggregate_one_exchange(self, docs):
+        from ocr_spark.operators.text_analysis import corpus_gate_report
+
+        plan = (
+            corpus_gate_report(docs.select("doc_id", "text"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1  # the single-row final agg
+        assert "partial" in plan.lower()  # map-side combine
