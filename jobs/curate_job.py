@@ -26,7 +26,8 @@ dropped with counts) → language
 filter (optional; the CCNet order — languages split before quality) →
 quality gates (Gopher + composite + C4 hard drops) → canonical-url +
 exact dedup → cross-snapshot incremental dedup vs a previously-kept
-corpus (optional; bloom pre-filter + exact verify) → MinHash-LSH
+corpus (optional; bloom pre-filter + exact verify, plus an optional
+MinHash near-dup layer vs the same reference) → MinHash-LSH
 near-dup with cluster-aware removal (connected
 components of the pair graph keep ONE representative per duplicate
 cluster; EXPLICIT cap, audit count logged in the summary — the
@@ -99,6 +100,11 @@ def main() -> int:
                          "recrawl shape)")
     ap.add_argument("--near-dup", action="store_true",
                     help="MinHash-LSH near-duplicate removal")
+    ap.add_argument("--near-dup-ref", default=None, metavar="PATH",
+                    help="previously-kept corpus parquet (text column); "
+                         "also drop documents that NEAR-duplicate it "
+                         "(MinHash band collision — the LSH layer of "
+                         "--incremental-ref's exact pass)")
     ap.add_argument("--max-bucket", type=int, default=10_000,
                     help="LSH hot-bucket cap (audited; see summary)")
     ap.add_argument("--line-dedup", action="store_true",
@@ -284,6 +290,15 @@ def main() -> int:
         # lineage here (same rationale as the classifier-stage cut).
         docs = incremental_dedup(docs, ref, text_col="text").localCheckpoint()
         summary["after_incremental"] = docs.count()
+
+    if args.near_dup_ref:
+        from ocr_spark.operators.dedup import incremental_near_dedup
+
+        ref = spark.read.parquet(args.near_dup_ref).select("text").withColumn(
+            "doc_id", F.xxhash64("text")
+        )
+        docs = incremental_near_dedup(docs, ref).localCheckpoint()
+        summary["after_incremental_near"] = docs.count()
 
     if args.near_dup:
         from ocr_spark.operators.dedup import (

@@ -159,6 +159,7 @@ class TestJobs:
                 "--gopher",
                 "--c4-hard-drops",
                 "--incremental-ref", str(ref),
+                "--near-dup-ref", str(ref),
                 "--near-dup",
                 "--max-per-domain", "50",
                 "--line-dedup",
@@ -183,6 +184,10 @@ class TestJobs:
         # the synthetic corpus so nothing is removed (removal semantics
         # are oracle-checked by dedup_incremental)
         assert summary["after_incremental"] == summary["after_exact_dedup"]
+        # near-dup-ref ran; the edu ref shares no minhash band keys with
+        # the synthetic corpus (semantics oracle-checked by
+        # dedup_incremental_near)
+        assert summary["after_incremental_near"] == summary["after_incremental"]
         assert "dup_clusters" in summary  # cluster-aware near-dup ran
         assert summary["after_domain_cap"] > 0
         assert "dup_span_tokens_removed" in summary  # span dedup ran
