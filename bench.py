@@ -186,6 +186,21 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
         "sim_hashed_near_dup",
         embed.semantic_near_dup(docs, dim=64, threshold=0.99),
     )
+    # production posture: the opt-in hot-bucket cap, with its audit count
+    # logged alongside per the never-silent policy (this synthetic corpus
+    # IS the degenerate-bucket case the cap exists for)
+    timed(
+        "sim_hashed_near_dup_capped",
+        embed.semantic_near_dup(docs, dim=64, threshold=0.99, max_bucket=200),
+    )
+    from ocr_spark.operators import similarity as _sim
+
+    emb64 = embed.hashed_embedding(docs, dim=64).select("doc_id", "embedding")
+    out["sim_hashed_hot_buckets"] = float(
+        _sim.cosine_hot_buckets(
+            emb64, vec_col="embedding", id_col="doc_id", max_bucket=200
+        ).count()
+    )
     # cluster assignment is EAGER (iterative label propagation with
     # per-round checkpoints), so wrap the whole call — pairs through
     # converged components — in the timer; best-of-1 (each run pays the
