@@ -152,7 +152,15 @@ def bloom_flag(
     The hash is bound to a real column ONCE (`_blh`) before the position
     exprs reference it — k positions and k bit probes each mention the
     hash, and an inlined md5 would be re-evaluated at every mention
-    (the CLAUDE.md bind-before-reuse rule, applied to scalars)."""
+    (the CLAUDE.md bind-before-reuse rule, applied to scalars).
+
+    Broadcast duplication, measured honestly: Spark does not reuse the
+    k BroadcastExchanges even when the bitmap is persisted (the per-join
+    word/mask renames defeat canonical plan equality — 4 separate
+    broadcasts of the same cached rows).  The BUILD is shared via the
+    persist; the broadcast PAYLOAD is k × the mask table.  At the large-m
+    end of the regime (≥ 2^30 bits), lower k and/or write the bitmap to
+    parquet so executors read it instead of receiving k broadcasts."""
     hcol = "_blh"
     while hcol in df.columns:
         hcol += "_"
