@@ -344,18 +344,24 @@ def main_bench() -> None:
     html_path = ensure_pages(HTML_DOCS, kind="html")
     warc_path, warc_bytes = ensure_warc(html_path)
     warm_path = ensure_pages(2000)
-    spark = get_spark("bench", cores=CPUS)
-    # warm-up (JIT + python worker pool), not counted
-    run_extraction(spark, warm_path, reps=1)
-    ext_sec, n_docs, n_pages = run_extraction(spark, pages_path)
-    html_sec, n_html, _ = run_extraction(spark, html_path)
-    # Fresh session for the operator benches: the extraction runs leave
-    # 32 reused Python workers + a heap full of payload garbage, which
-    # inflates later shuffle-heavy operators ~5× (measured:
-    # dedup_minhash_lsh 39 s in the extraction session vs 6.9 s in a
-    # fresh one, same window).  Per-op numbers should reflect the
-    # operator, not leftover extraction state.
-    spark.stop()
+    # Extraction runs in a SUBPROCESS: the payload runs leave 32 reused
+    # Python workers + a heap full of payload garbage that inflate later
+    # shuffle-heavy operators up to 10× (measured: dedup_minhash_lsh
+    # 37-49 s vs a 5-10 s fresh-process floor in the same windows) — and
+    # a `spark.stop()` + new session does NOT help, because pyspark
+    # reuses the SAME JVM within one Python process.  Only a separate
+    # process gives the operator benches a genuinely fresh JVM.
+    import subprocess
+
+    sub = subprocess.run(
+        [sys.executable, __file__, "--extract-only"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    ext = json.loads(sub.stdout.strip().splitlines()[-1])
+    ext_sec, n_docs, n_pages = ext["ext_sec"], ext["n_docs"], ext["n_pages"]
+    html_sec, n_html = ext["html_sec"], ext["n_html"]
     spark = get_spark("bench-ops", cores=CPUS)
     queries = {
         "extract_e2e": round(ext_sec, 3),
@@ -379,6 +385,33 @@ def main_bench() -> None:
                 "html_docs": n_html,
                 "html_docs_per_sec": round(n_html / html_sec, 1),
                 "cores": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_extract_only() -> None:
+    """Child-process half of main_bench: the extraction timings, emitted
+    as one JSON line (see the fresh-JVM rationale in main_bench)."""
+    from ocr_spark.session import get_spark
+
+    pages_path = ensure_pages(BENCH_DOCS)
+    html_path = ensure_pages(HTML_DOCS, kind="html")
+    warm_path = ensure_pages(2000)
+    spark = get_spark("bench-extract", cores=CPUS)
+    # warm-up (JIT + python worker pool), not counted
+    run_extraction(spark, warm_path, reps=1)
+    ext_sec, n_docs, n_pages = run_extraction(spark, pages_path)
+    html_sec, n_html, _ = run_extraction(spark, html_path)
+    print(
+        json.dumps(
+            {
+                "ext_sec": ext_sec,
+                "n_docs": n_docs,
+                "n_pages": n_pages,
+                "html_sec": html_sec,
+                "n_html": n_html,
             }
         )
     )
@@ -432,5 +465,7 @@ def main_scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
+    elif "--extract-only" in sys.argv:
+        main_extract_only()
     else:
         main_bench()
