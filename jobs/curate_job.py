@@ -164,33 +164,53 @@ def main() -> int:
     spark = SparkSession.builder.appName("ocr-spark-curate").getOrCreate()
     t0 = time.time()
     summary: dict = {}
+    # per-stage wall-times: each enabled stage ends at its summary count
+    # (the count is the stage's materialization barrier), so the split
+    # below is the real cost attribution a capacity planner needs.  Lazy
+    # stages with no count (pii / sample / split / shard) fold into
+    # "write" — they execute inside the output job.
+    stage_seconds: dict[str, float] = {}
+    _stage_last = [time.time()]
+
+    def _stage(name: str) -> None:
+        now = time.time()
+        stage_seconds[name] = round(now - _stage_last[0], 2)
+        _stage_last[0] = now
 
     raw = spark.read.parquet(args.input)
     if "status" in raw.columns:
         raw = raw.filter(F.col("status") == "COMPLETED")
-    keep_cols = ["url", "text"] + (
-        ["warc_ts"] if args.latest_capture and "warc_ts" in raw.columns else []
-    )
     if args.latest_capture and "warc_ts" not in raw.columns:
         ap.error("--latest-capture needs a warc_ts column in --input")
-    docs = raw.select(*keep_cols).withColumn(
-        "doc_id", F.xxhash64("url")
-    )
+    keep_cols = ["url", "text"] + (["warc_ts"] if args.latest_capture else [])
+    docs = raw.select(*keep_cols)
 
     if args.latest_capture:
         # crawl revisit dedup FIRST (cheapest win: stale captures never
-        # pay any later stage).  Winners are computed on a payload-free
-        # key projection (doc_id, url, warc_ts) — the max_by groupBy
-        # shuffles keys, never text — then semi-joined back (the same
-        # shape as the exact-dedup stage below).
+        # pay any later stage).  The operator's groupBy(canonical_url)
+        # guarantees exactly ONE winning row per canonical url, so its
+        # output is taken DIRECTLY — doc_id = xxhash64(url) is derived
+        # only afterwards, when urls are unique.  (Deriving doc_id from
+        # the url BEFORE this stage and semi-joining winners back on it
+        # kept every capture of the winning url — all captures share the
+        # url hash — and shipped duplicate doc_ids into every later
+        # id-keyed stage.  A semi-join is also no cheaper: it exchanges
+        # the text payload by join key, exactly what the max_by groupBy
+        # does, minus its map-side one-winner-per-partition combine.)
         from ocr_spark.operators.urls import latest_capture
 
-        winners = latest_capture(
-            docs.select("doc_id", "url", "warc_ts"),
-            url_col="url", ts_col="warc_ts", id_col="doc_id",
-        ).select("doc_id")
-        docs = docs.join(winners, "doc_id", "left_semi").drop("warc_ts")
+        docs = latest_capture(
+            docs.withColumn(
+                # per-CAPTURE tie-break id: equal-ts recrawls of one url
+                # resolve deterministically by content hash
+                "capture_id", F.xxhash64("url", "warc_ts", "text")
+            ),
+            url_col="url", ts_col="warc_ts", id_col="capture_id",
+        ).select("url", "text")
+    docs = docs.withColumn("doc_id", F.xxhash64("url"))
+    if args.latest_capture:
         summary["after_latest_capture"] = docs.count()
+        _stage("latest_capture")
     if "truncated_pages" in raw.columns:
         # decode-guard hits travel with the corpus: surface the total in
         # the summary so a curator sees truncated extractions even if
@@ -201,8 +221,10 @@ def main() -> int:
         ).collect()[0]
         summary["input_docs"] = row["n"]
         summary["input_truncated_pages"] = int(row["trunc"])
+        _stage("input_scan")
     else:
         summary["input_docs"] = docs.count()
+    _stage("input_scan")
 
     if args.blocklist:
         from ocr_spark.operators.urls import filter_blocked_domains
@@ -211,6 +233,7 @@ def main() -> int:
             blocked = [ln.strip() for ln in f if ln.strip()]
         docs = filter_blocked_domains(docs, blocked)
         summary["after_blocklist"] = docs.count()
+        _stage("blocklist")
 
     if args.word_blocklist:
         from ocr_spark.operators.text_analysis import blocked_words_filter
@@ -219,6 +242,7 @@ def main() -> int:
             words = [ln.strip() for ln in f if ln.strip()]
         docs = blocked_words_filter(docs, words)
         summary["after_word_blocklist"] = docs.count()
+        _stage("word_blocklist")
 
     if args.c4_line_filter:
         from ocr_spark.operators.text_analysis import c4_line_filter
@@ -237,6 +261,7 @@ def main() -> int:
         )
         summary["after_c4_line_filter"] = docs.count()
         summary["c4_lines_removed"] = int(obs.get["lines_removed"] or 0)
+        _stage("c4_line_filter")
 
     if args.lang:
         from ocr_spark.operators.text_analysis import language_id
@@ -247,6 +272,7 @@ def main() -> int:
             .select("doc_id", "url", "text")
         )
         summary["after_lang"] = docs.count()
+        _stage("lang")
 
     if args.gopher or args.min_quality is not None or args.c4_hard_drops:
         from ocr_spark.operators.text_analysis import (
@@ -265,6 +291,7 @@ def main() -> int:
             cond = cond & ~F.col("c4_has_curly") & ~F.col("c4_has_lorem")
         docs = scored.filter(cond).select("doc_id", "url", "text")
         summary["after_quality"] = docs.count()
+        _stage("quality")
 
     # exact dedup on (canonical url, content digest) always runs
     from ocr_spark.operators.dedup import exact_dedup
@@ -276,6 +303,7 @@ def main() -> int:
     )
     docs = docs.join(reps, "doc_id", "left_semi").cache()
     summary["after_exact_dedup"] = docs.count()
+    _stage("exact_dedup")
 
     if args.incremental_ref:
         # cross-snapshot dedup AFTER intra-snapshot exact dedup: the
@@ -290,6 +318,7 @@ def main() -> int:
         # lineage here (same rationale as the classifier-stage cut).
         docs = incremental_dedup(docs, ref, text_col="text").localCheckpoint()
         summary["after_incremental"] = docs.count()
+        _stage("incremental")
 
     if args.near_dup_ref:
         from ocr_spark.operators.dedup import incremental_near_dedup
@@ -299,6 +328,7 @@ def main() -> int:
         )
         docs = incremental_near_dedup(docs, ref).localCheckpoint()
         summary["after_incremental_near"] = docs.count()
+        _stage("incremental_near")
 
     if args.near_dup:
         from ocr_spark.operators.dedup import (
@@ -327,12 +357,14 @@ def main() -> int:
         ).count()
         docs = docs.join(losers, "doc_id", "left_anti").cache()
         summary["after_near_dup"] = docs.count()
+        _stage("near_dup")
 
     if args.max_per_domain is not None:
         from ocr_spark.operators.text_analysis import cap_per_domain
 
         docs = cap_per_domain(docs, args.max_per_domain).cache()
         summary["after_domain_cap"] = docs.count()
+        _stage("domain_cap")
 
     if args.line_dedup:
         from ocr_spark.operators.dedup import corpus_line_dedup
@@ -347,6 +379,7 @@ def main() -> int:
         docs = docs.drop("text").join(
             ld.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
         )
+        _stage("line_dedup")
 
     if args.span_dedup is not None:
         from ocr_spark.operators.dedup import corpus_span_dedup
@@ -361,6 +394,7 @@ def main() -> int:
         docs = docs.drop("text").join(
             sd.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
         )
+        _stage("span_dedup")
 
     if args.lm_head is not None:
         from ocr_spark.operators.lm import lm_score, unigram_counts
@@ -381,6 +415,7 @@ def main() -> int:
         docs = docs.join(keep, "doc_id", "left_semi").cache()
         summary["lm_threshold"] = thr
         summary["after_lm_head"] = docs.count()
+        _stage("lm_head")
 
     if args.classifier_head is not None:
         if not args.classifier_ref:
@@ -424,6 +459,7 @@ def main() -> int:
         docs = docs.join(keep, "doc_id", "left_semi").cache()
         summary["classifier_threshold"] = cthr
         summary["after_classifier_head"] = docs.count()
+        _stage("classifier_head")
 
     if args.decontam_ref:
         from ocr_spark.operators.decontam import decontaminate
@@ -440,6 +476,7 @@ def main() -> int:
             threshold=args.decontam_threshold,
         ).cache()
         summary["after_decontam"] = docs.count()
+        _stage("decontam")
 
     if args.pii:
         from ocr_spark.operators.pii import scrub_pii
@@ -478,6 +515,8 @@ def main() -> int:
     else:
         docs.write.mode("overwrite").parquet(args.output)
     summary["output_docs"] = spark.read.parquet(args.output).count()
+    _stage("write")
+    summary["stage_seconds"] = stage_seconds
     summary["seconds"] = round(time.time() - t0, 1)
     print(json.dumps(summary))
     spark.stop()

@@ -2053,18 +2053,29 @@ s AS (SELECT chunk_id, doc_id,
           AS piece
       FROM c)
 SELECT chunk_id,
-       flatten(list(piece ORDER BY doc_id)) AS token_ids,
+       array_to_string(flatten(list(piece ORDER BY doc_id)), ' ')
+         AS token_str,
        CAST(len(flatten(list(piece ORDER BY doc_id))) AS INTEGER) AS n_tok
 FROM s GROUP BY chunk_id
 """
 
 
 def _q_pack_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable serialization of the packed token stream: the raw
+    ``token_ids array<string>`` output is pytest-pinned
+    (tests/test_packing.py); the driver's canonicalizer cannot sort list
+    cells, so the contract row joins the chunk's tokens back to a single
+    space-separated string (lossless here — the whitespace stand-in
+    tokenizer split on the same delimiter)."""
     from .operators.packing import pack_export, pack_sequences
 
     docs = _t(spark, sf_dir, "documents")
     manifest = pack_sequences(docs, seq_len=512, bucket_size=64)
-    return pack_export(manifest, docs)
+    return pack_export(manifest, docs).select(
+        "chunk_id",
+        F.array_join("token_ids", " ").alias("token_str"),
+        "n_tok",
+    )
 
 
 # Substring-granularity dedup (Lee et al. 2022 semantics, windowed-digest
@@ -2423,18 +2434,43 @@ emb AS (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, nrm AS norm,
 
 _EMBED_SQL = f"""
 WITH {_EMBED_CTE}
-SELECT doc_id, n_tokens, norm, embedding FROM emb
+SELECT doc_id, n_tokens, norm,
+       md5(array_to_string(list_transform(embedding,
+             v -> CAST(round(v * norm) AS BIGINT)), ',')) AS embedding_md5
+FROM emb
 """
 
 
 def _q_hashed_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable serialization of the hashed embedding: the raw
+    ``array<double>`` column is pytest-pinned (tests/test_embed.py) but
+    the driver's canonicalizer sorts every output column through pandas
+    ``factorize``, which cannot hash list cells — so the contract row
+    emits ``embedding_md5`` instead.  The digest is taken over the
+    EXACT pre-normalization integer counts (``round(v * norm)`` undoes
+    the division bit-for-bit: counts are exact small integers, sqrt and
+    ``/`` are IEEE correctly rounded, so ``v * norm`` is within rounding
+    distance of the true integer in both engines).  ``norm`` itself is
+    sqrt-of-exact-integer-sum — bit-identical cross-engine, safe
+    unrounded (CLAUDE.md transcendental policy: only ln/exp need
+    round-9)."""
     from .operators import embed
 
-    return embed.hashed_embedding(
+    emb = embed.hashed_embedding(
         _t(spark, sf_dir, "documents"),
         dim=_EMB_DIM,
         hash_mode="portable",
         strategy="hof",
+    )
+    counts = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v * F.col("norm"), 0).cast("bigint"),
+    )
+    return emb.select(
+        "doc_id",
+        "n_tokens",
+        "norm",
+        F.md5(F.array_join(counts, ",")).alias("embedding_md5"),
     )
 
 

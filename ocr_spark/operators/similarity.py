@@ -176,7 +176,6 @@ def lsh_topk(
         s = hyperplane_signature(x.select(idc, vecc), vecc, planes, signs=signs)
         return s.select(
             F.col(idc).alias(f"{pref}_id"),
-            F.col(vecc).alias(f"{pref}_vec"),
             F.explode(
                 F.array(
                     F.struct(F.lit(0).alias("band"),
@@ -185,15 +184,33 @@ def lsh_topk(
                              F.expr(f"shiftright(sig, {half})").alias("key")),
                 )
             ).alias("bk"),
-        ).select(f"{pref}_id", f"{pref}_vec", "bk.band", "bk.key")
+        ).select(f"{pref}_id", "bk.band", "bk.key")
 
+    # The bucket join and its distinct carry ONLY (q_id, c_id) — the
+    # id-only pair rule (CLAUDE.md; measured 13× on cosine_pairs at r4):
+    # a hot bucket duplicates each candidate once per colliding band, and
+    # at dim 768 every duplicate would drag ~6 KB of vector through the
+    # distinct exchange.  Vectors rejoin AFTER the distinct, once per
+    # side — corpus side one hash join on c_id, query side broadcast.
     corpus = banded(df, id_col, vec_col, "c")
     qs = F.broadcast(banded(queries, id_col, vec_col, "q"))
-    cand = (
+    pairs = (
         corpus.join(qs, on=["band", "key"])
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", "c_vec", "q_vec")
+        .select("q_id", "c_id")
         .distinct()
+    )
+    c_vecs = df.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_vecs = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    cand = (
+        pairs.join(c_vecs, "c_id")
+        .join(q_vecs, "q_id")
         .withColumn(
             "cos",
             F.expr(f"{_dot('c_vec', 'q_vec')} / ({_norm('c_vec')} * {_norm('q_vec')})"),
@@ -496,19 +513,36 @@ def ivf_topk(
             F.explode(F.expr(cells)).alias("cell"),
         )
 
+    # Id-only pair rule (CLAUDE.md; measured 13× on cosine_pairs at r4):
+    # the cell join and its distinct carry (q_id, c_id) only — a query
+    # probing n_probe cells would otherwise duplicate every candidate
+    # vector once per probed cell through the distinct exchange.  Vectors
+    # rejoin AFTER the distinct: corpus side one hash join on c_id, query
+    # side broadcast.
     corpus_cells = assign_cells(
         df.select(id_col, vec_col), cents_local, vec_col, id_col
-    ).select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "cell"
-    )
+    ).select(F.col(id_col).alias("c_id"), "cell")
     query_cells = F.broadcast(
         assign_queries(queries.select(id_col, vec_col), n_probe)
+        .select("q_id", "cell")
     )
-    cand = (
+    pairs = (
         corpus_cells.join(query_cells, "cell")
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", "c_vec", "q_vec")
+        .select("q_id", "c_id")
         .distinct()
+    )
+    c_vecs = df.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_vecs = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    cand = (
+        pairs.join(c_vecs, "c_id")
+        .join(q_vecs, "q_id")
         .withColumn(
             "cos",
             F.expr(f"{_dot('c_vec', 'q_vec')} / ({_norm('c_vec')} * {_norm('q_vec')})"),

@@ -205,6 +205,60 @@ class TestJobs:
 
         cols = set(pq.read_schema(next(out.glob("*.parquet"))).names)
         assert {"doc_id", "url", "text", "split"} <= cols
+        # per-stage wall-times: one entry per enabled stage + the write
+        # (the cost attribution a capacity planner reads off the summary)
+        st = summary["stage_seconds"]
+        for k in ("latest_capture", "input_scan", "blocklist", "lang",
+                  "quality", "exact_dedup", "incremental",
+                  "incremental_near", "near_dup", "domain_cap",
+                  "line_dedup", "span_dedup", "lm_head",
+                  "classifier_head", "decontam", "write"):
+            assert k in st and st[k] >= 0, k
+
+    def test_curate_job_latest_capture_same_url_revisits(self, tmp_path):
+        """Crawl revisits of the SAME url — the case a revisit dedup
+        exists for.  Every url is captured three times with distinct
+        timestamps; exactly the newest capture's text must survive, and
+        the surviving doc_ids must be unique (duplicate doc_ids would
+        corrupt every later id-keyed stage: exact-dedup reps, LSH pair
+        graph, splits)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_w
+
+        urls, texts, tss = [], [], []
+        for i in range(4):
+            for cap in range(3):
+                urls.append(f"https://rev.example/page{i}")
+                texts.append(
+                    f"capture {cap} of page {i} " + "word " * 30
+                )
+                tss.append(1_600_000_000 + cap * 1000 + i)
+        urls.append("https://rev.example/unique")
+        texts.append("the only capture of this page " + "word " * 30)
+        tss.append(1_600_000_000)
+        src = tmp_path / "revisits.parquet"
+        pq_w.write_table(
+            pa.table({"url": urls, "text": texts, "warc_ts": tss}), src
+        )
+        out = tmp_path / "curated"
+        summary = _run(
+            [
+                "jobs/curate_job.py",
+                "--input", str(src),
+                "--output", str(out),
+                "--latest-capture",
+            ]
+        )
+        assert summary["after_latest_capture"] == 5
+        assert summary["output_docs"] == 5
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(out).to_pandas()
+        assert tbl["doc_id"].is_unique
+        # the NEWEST capture (cap=2) won for every revisited url
+        revisited = tbl[tbl.url.str.contains("page")]
+        assert len(revisited) == 4
+        assert all(t.startswith("capture 2 ") for t in revisited["text"])
 
     def test_curate_job_line_filter_and_word_blocklist(self, tmp_path):
         """The C4 line/word stages: lines without terminal punctuation are

@@ -350,6 +350,51 @@ class TestHashedEmbeddingPlans:
             assert op not in plan, (op, plan)
 
 
+class TestAnnPairPlans:
+    """The id-only pair rule (CLAUDE.md): candidate-pair joins and their
+    distinct must exchange (q_id, c_id) only — vectors rejoin after the
+    distinct.  r4 measured 13× on cosine_pairs when the vectors moved out
+    of the bucket join; these pins keep lsh_topk / ivf_topk on the same
+    shape (a hot bucket/cell duplicates every candidate row, and at dim
+    768 each duplicate would drag ~6 KB through the exchange)."""
+
+    @staticmethod
+    def _hash_exchange_keys(plan: str) -> list[str]:
+        import re
+
+        return re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+
+    def _assert_no_vec_in_exchanges(self, df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        keyed = self._hash_exchange_keys(plan)
+        assert keyed, plan  # the distinct exchange must exist
+        for keys in keyed:
+            assert "vec" not in keys and "embedding" not in keys, (
+                keys,
+                plan,
+            )
+
+    def test_lsh_topk_distinct_exchanges_ids_only(self, spark):
+        from ocr_spark.operators.similarity import lsh_topk
+
+        embs = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        qs = embs.orderBy("vec_id").limit(5)
+        self._assert_no_vec_in_exchanges(lsh_topk(embs, qs, k=3))
+
+    def test_ivf_topk_distinct_exchanges_ids_only(self, spark):
+        from ocr_spark.operators.similarity import ivf_topk
+
+        embs = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        qs = embs.orderBy("vec_id").limit(5)
+        self._assert_no_vec_in_exchanges(
+            ivf_topk(embs, qs, k=3, n_centroids=4, n_probe=2)
+        )
+
+
 class TestTokenBudgetPlans:
     def test_no_single_partition_exchange(self, spark):
         """The per-stratum running token sum must be the two-phase
