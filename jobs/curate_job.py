@@ -308,15 +308,23 @@ def main() -> int:
     if args.incremental_ref:
         # cross-snapshot dedup AFTER intra-snapshot exact dedup: the
         # reference is the already-kept corpus from earlier crawls
-        from ocr_spark.operators.bloom import incremental_dedup
+        from ocr_spark.operators.bloom import bloom_bitmap, incremental_dedup
 
         ref = spark.read.parquet(args.incremental_ref).select("text")
+        # The job owns the bitmap lifecycle: build + persist it here,
+        # unpersist right after the localCheckpoint materializes the
+        # stage output (an internally-built bitmap would stay pinned in
+        # the cache for the rest of the session).
+        bitmap = bloom_bitmap(ref, "text").persist()
         # The union's two branches (bloom-negative pass-through and
         # verified candidates) each re-reference the flagged plan, and
         # every later stage compounds that doubling — deep enough that
         # rendering the plan overflows the driver stack mid-chain.  Cut
         # lineage here (same rationale as the classifier-stage cut).
-        docs = incremental_dedup(docs, ref, text_col="text").localCheckpoint()
+        docs = incremental_dedup(
+            docs, ref, text_col="text", bitmap=bitmap
+        ).localCheckpoint()
+        bitmap.unpersist()
         summary["after_incremental"] = docs.count()
         _stage("incremental")
 

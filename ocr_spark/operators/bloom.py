@@ -27,14 +27,21 @@ work into a cheap membership pre-filter and a tiny exact verify:
    plain ``NOT IN (SELECT digest FROM old)`` query, independent of
    ``m``/``k``; a second oracle pins the bitmap bit arithmetic itself.
 
-Scale regimes (the honest version): the broadcast bitmap covers an old
-corpus up to ~10^9 documents (m = 2^33 bits ≈ 1 GiB of masks at ~10
-bits/doc, 1% fp) — the "dedupe a raw 10^12-page crawl against the
-curated reference corpus" shape, where the pre-filter removes the
-anti-join's shuffle for >99% of new rows.  Beyond that, store the old
-digests bucketed by digest and let the verify anti-join run
-shuffle-free on the old side; the bloom still cuts the NEW side's
-shuffle to candidates only.
+Scale regimes (the honest version): ``bloom_flag``'s k-broadcast probe
+covers bitmaps small enough to broadcast k times; past ~2^30 bits use
+``incremental_dedup(..., probe_mode='single-join')`` /
+:func:`bloom_probe_digests` — ONE bitmap instance in the plan (k probe
+positions exploded into rows and joined once), and with a parquet-backed
+bitmap no broadcast at all, covering m = 2^33 bits ≈ 1 GiB of masks
+(~10^9 old documents at ~10 bits/doc, 1% fp) and beyond — the "dedupe a
+raw 10^12-page crawl against the curated reference corpus" shape, where
+the pre-filter removes the anti-join's shuffle for >99% of new rows.
+Past broadcastable bitmaps entirely, store the old digests bucketed by
+digest and let the verify anti-join run shuffle-free on the old side;
+the bloom still cuts the NEW side's shuffle to candidates only.
+Position arithmetic covers the full m range only in ``xxhash64`` mode
+(k independent seeded hashes); ``portable`` mode (the DuckDB-parity
+family) is capped at m = 2^31-1 and ENFORCES it.
 
 Word layout uses 63 bits per word (shifts 0..62): bit 63 of a signed
 64-bit integer cannot be produced portably (DuckDB raises on
@@ -77,29 +84,63 @@ def digest_expr(text_col: str) -> str:
     return f"md5(coalesce({text_col}, ''))"
 
 
-def _h_expr_spark(digest: str, mode: str) -> str:
-    """Non-negative 64-bit hash of the canonical DIGEST (not the raw
-    text) as a Spark SQL expr — so a stored digest column reproduces
-    the same bloom positions as the original text."""
+M_BITS_CAP_XXHASH = 1 << 62  # 63-bit words, non-negative masks (see above)
+
+
+def _bound_hash_expr(digest: str, mode: str) -> str:
+    """The per-row expression each bloom stage binds ONCE to a real
+    column before the k position exprs reference it (the CLAUDE.md
+    bind-before-reuse rule): the 48-bit portable hash for ``portable``
+    mode (positions derive from it via the LCG family), or the canonical
+    DIGEST STRING itself for ``xxhash64`` mode (each position is an
+    independent seeded ``xxhash64`` of it — see :func:`_position_exprs`).
+    Either way, a stored digest column reproduces the same bloom
+    positions as the original text."""
     if mode == "portable":
         return portable_hash_sql_spark(digest)  # 48-bit, non-negative
-    return f"pmod(xxhash64({digest}), {MERSENNE})"
+    return digest
 
 
 def _digest_of(text_col: str, digest_col: str | None) -> str:
     return digest_col if digest_col is not None else digest_expr(text_col)
 
 
-def _position_exprs(h: str, k: int, m_bits: int) -> list[str]:
-    """The k bloom positions of a non-negative hash ``h`` — the minhash
-    LCG family reused (a_j·h + b_j mod p), folded onto the bit space.
-    Identical arithmetic is emitted for DuckDB by :func:`oracle_bitmap_sql`."""
+def _position_exprs(h: str, k: int, m_bits: int, mode: str = "portable") -> list[str]:
+    """The k bloom positions from the bound hash column ``h``.
+
+    ``portable`` mode reuses the minhash LCG family (a_j·h + b_j mod p)
+    over the 48-bit portable hash — identical arithmetic is emitted for
+    DuckDB by :func:`oracle_bitmap_sql`, and because every position is
+    taken mod the 2^31-1 Mersenne BEFORE mod ``m_bits``, it can only
+    address ``m_bits <= 2^31-1`` (ENFORCED — silently unreachable upper
+    bits would degrade the fp rate far above the formula).
+
+    ``xxhash64`` mode draws k INDEPENDENT full-width hashes —
+    ``pmod(xxhash64(digest, j), m_bits)`` with the probe index ``j``
+    folded into the hash input — so positions cover the full word layout
+    (``m_bits`` up to 2^62) with no 2^31 bottleneck and no int64
+    overflow anywhere (the r4 ADVICE finding: the old
+    ``LCG(pmod(xxhash64, 2^31-1))`` positions were all functions of a
+    2^31-value hash, so the module's advertised m = 2^33 regime was
+    unreachable)."""
     if k > len(MINHASH_A):
         raise ValueError(f"k={k} exceeds the {len(MINHASH_A)} fixed perms")
-    return [
-        f"((({MINHASH_A[j]} * {h} + {MINHASH_B[j]}) % {MERSENNE}) % {m_bits})"
-        for j in range(k)
-    ]
+    if mode == "portable":
+        if m_bits > MERSENNE:
+            raise ValueError(
+                f"portable hash positions cover at most m_bits={MERSENNE} "
+                f"(2^31-1); got {m_bits} — use hash_mode='xxhash64' for "
+                f"larger filters"
+            )
+        return [
+            f"((({MINHASH_A[j]} * {h} + {MINHASH_B[j]}) % {MERSENNE}) % {m_bits})"
+            for j in range(k)
+        ]
+    if m_bits > M_BITS_CAP_XXHASH:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the 63-bit word layout cap 2^62"
+        )
+    return [f"pmod(xxhash64({h}, {j}), {m_bits})" for j in range(k)]
 
 
 def bloom_bitmap(
@@ -115,10 +156,10 @@ def bloom_bitmap(
     ``bit_or`` groupBy; the shuffle carries masks, not documents.
     Pass ``digest_col`` to build from a persisted digest store instead
     of raw text (identical output by construction)."""
-    pos = ", ".join(_position_exprs("_blh", k, m_bits))
+    pos = ", ".join(_position_exprs("_blh", k, m_bits, hash_mode))
     dig = _digest_of(text_col, digest_col)
     return (
-        df.select(F.expr(_h_expr_spark(dig, hash_mode)).alias("_blh"))
+        df.select(F.expr(_bound_hash_expr(dig, hash_mode)).alias("_blh"))
         .select(F.expr(f"explode(array({pos}))").alias("pos"))
         .select(
             F.expr(f"pos DIV {WORD_BITS}").alias("word"),
@@ -158,19 +199,30 @@ def bloom_flag(
     k BroadcastExchanges even when the bitmap is persisted (the per-join
     word/mask renames defeat canonical plan equality — 4 separate
     broadcasts of the same cached rows).  The BUILD is shared via the
-    persist; the broadcast PAYLOAD is k × the mask table.  At the large-m
-    end of the regime (≥ 2^30 bits), lower k and/or write the bitmap to
-    parquet so executors read it instead of receiving k broadcasts."""
+    persist; the broadcast PAYLOAD is k × the mask table.  At the
+    large-m end of the regime (≥ 2^30 bits), use
+    :func:`bloom_probe_digests` (or ``incremental_dedup(...,
+    probe_mode='single-join')``): one bitmap instance, optionally read
+    from parquet instead of broadcast at all."""
     hcol = "_blh"
-    while hcol in df.columns:
+    # the collision-safe prefix covers the per-probe join columns too
+    # (an input already carrying e.g. `_blw0` must not silently become
+    # the join key) — every derived name extends hcol
+    while hcol in df.columns or any(
+        c.startswith(hcol + "w") or c.startswith(hcol + "m")
+        for c in df.columns
+    ):
         hcol += "_"
     out = df.withColumn(
-        hcol, F.expr(_h_expr_spark(_digest_of(text_col, digest_col), hash_mode))
+        hcol,
+        F.expr(_bound_hash_expr(_digest_of(text_col, digest_col), hash_mode)),
     )
-    positions = _position_exprs(hcol, k, m_bits)
+    positions = _position_exprs(hcol, k, m_bits, hash_mode)
     hits = []
+    mcols = []
     for j, p in enumerate(positions):
-        w, m = f"_blw{j}", f"_blm{j}"
+        w, m = f"{hcol}w{j}", f"{hcol}m{j}"
+        mcols.append(m)
         out = out.withColumn(w, F.expr(f"({p}) DIV {WORD_BITS}"))
         out = out.join(
             F.broadcast(
@@ -185,8 +237,65 @@ def bloom_flag(
         )
         out = out.drop(w)
     flag = " AND ".join(hits)
-    return out.withColumn(flag_col, F.expr(flag)).drop(
-        hcol, *[f"_blm{j}" for j in range(k)]
+    return out.withColumn(flag_col, F.expr(flag)).drop(hcol, *mcols)
+
+
+def bloom_probe_digests(
+    new_df: DataFrame,
+    bitmap: DataFrame,
+    text_col: str = "text",
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+    hash_mode: str = "xxhash64",
+    digest_col: str | None = None,
+    broadcast_bitmap: bool = True,
+) -> DataFrame:
+    """Distinct content digests of ``new_df`` that are bloom-MAYBE-seen,
+    via a SINGLE instance of the bitmap relation in the plan.
+
+    The per-digest k probes are exploded into rows ``(digest, word,
+    bit)`` and joined against the bitmap ONCE; a digest is maybe-seen
+    iff its min hit is 1 (all probed bits set).  This is the large-``m``
+    probe: :func:`bloom_flag`'s k broadcast joins ship the mask table k
+    times (Spark does not reuse-merge the broadcasts — measured r4), so
+    at m = 2^30 (~134 MB of masks) k=4 costs ~half a GB of broadcast per
+    probe job; here the bitmap is broadcast exactly once, and with
+    ``broadcast_bitmap=False`` it is never broadcast at all — pass a
+    bitmap READ FROM PARQUET (the monthly artifact) and the join
+    shuffles only the compact probe rows (digest + two longs) against
+    the in-place masks, covering ``m`` far beyond broadcast range.
+
+    The trade vs :func:`bloom_flag`: probes shuffle through the min-hit
+    groupBy (32-byte digests, map-side combined), where bloom_flag's
+    probe side is exchange-free.  Small m → bloom_flag; large m or
+    storage-backed bitmap → this."""
+    dig = _digest_of(text_col, digest_col)
+    digs = new_df.select(F.expr(dig).alias("digest")).distinct()
+    hcol = "_blh"
+    bound = digs.withColumn(hcol, F.expr(_bound_hash_expr("digest", hash_mode)))
+    probes = [
+        f"named_struct('word', ({p}) DIV {WORD_BITS}, "
+        f"'bit', CAST(({p}) % {WORD_BITS} AS INT))"
+        for p in _position_exprs(hcol, k, m_bits, hash_mode)
+    ]
+    exploded = bound.select(
+        "digest",
+        F.expr(f"explode(array({', '.join(probes)}))").alias("pb"),
+    ).select("digest", "pb.word", "pb.bit")
+    bitmap = bitmap.select("word", "mask")  # tolerate wider artifacts
+    b = F.broadcast(bitmap) if broadcast_bitmap else bitmap
+    return (
+        exploded.join(b, on="word", how="left")
+        .select(
+            "digest",
+            F.expr(
+                f"(shiftright(coalesce(mask, CAST(0 AS BIGINT)), bit) & 1)"
+            ).alias("_hit"),
+        )
+        .groupBy("digest")
+        .agg(F.min("_hit").alias("_allhit"))
+        .filter(F.col("_allhit") == 1)
+        .select("digest")
     )
 
 
@@ -198,6 +307,8 @@ def incremental_dedup(
     k: int = DEFAULT_K,
     hash_mode: str = "xxhash64",
     old_digest_col: str | None = None,
+    bitmap: DataFrame | None = None,
+    probe_mode: str = "broadcast-k",
 ) -> DataFrame:
     """Rows of ``new_df`` whose content digest does NOT appear in
     ``old_df`` — the cross-snapshot dedup step (intra-snapshot dedup is
@@ -214,16 +325,64 @@ def incremental_dedup(
     equivalent to the full digest anti-join for every ``m``/``k``
     (no false negatives), which is what the oracle twin checks.
 
-    The bitmap is persisted before the flag joins: ``bloom_flag`` probes
-    it through k broadcast joins whose build subtrees Spark does NOT
-    reuse-merge (measured: 4 identical aggregations, 4 scans of the old
-    corpus without the persist).  With the persist the old corpus is
-    scanned once; the k broadcasts then replay the cached masks.  In a
-    recurring production job, write the bitmap to parquet instead and
-    pass it to :func:`bloom_flag` directly — it is the monthly artifact."""
-    bitmap = bloom_bitmap(
-        old_df, text_col, m_bits, k, hash_mode, digest_col=old_digest_col
-    ).persist()
+    Pass ``bitmap`` to reuse a pre-built (and caller-persisted /
+    parquet-backed) mask table — the caller then OWNS its lifecycle
+    (unpersist after materializing this function's output).  When built
+    internally, the bitmap is persisted before the flag joins
+    (``bloom_flag`` probes it through k broadcast joins whose build
+    subtrees Spark does NOT reuse-merge — measured: 4 identical
+    aggregations, 4 scans of the old corpus without the persist) and the
+    cached masks stay pinned until the session drops them — recurring
+    callers (curate_job, streams) should pass their own.
+
+    ``probe_mode``:
+
+    - ``'broadcast-k'`` (default): :func:`bloom_flag`'s k broadcast
+      joins — the NEW side is exchange-free (plan-pinned), right for
+      broadcastable ``m``.
+    - ``'single-join'``: :func:`bloom_probe_digests` — the bitmap
+      relation appears ONCE in the plan (plan-pinned), maybe-seen
+      DIGESTS are exact-verified against the old side (digest-only
+      semi-join), and the new side anti-joins the verified seen set;
+      AQE broadcasts that set when small (the low-overlap regime a
+      bloom pre-filter exists for).  Right for large ``m`` and for
+      parquet-backed bitmaps."""
+    if probe_mode not in ("broadcast-k", "single-join"):
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")
+    owned = bitmap is None
+    old_dig = _digest_of(text_col, old_digest_col)
+    if probe_mode == "single-join":
+        if owned:
+            # the bitmap relation appears exactly once in this plan — no
+            # persist needed (broadcast it: the mode's in-memory shape;
+            # a parquet-backed bitmap is the caller-provided case)
+            bitmap = bloom_bitmap(
+                old_df, text_col, m_bits, k, hash_mode,
+                digest_col=old_digest_col,
+            )
+        maybe = bloom_probe_digests(
+            new_df, bitmap, text_col, m_bits, k, hash_mode,
+            broadcast_bitmap=owned,
+        )
+        # exact verify on digests only (no payload moves): the bloom has
+        # no false negatives, so maybe ∩ old = exactly the seen set
+        seen = maybe.join(
+            old_df.select(F.expr(old_dig).alias("digest")),
+            on="digest",
+            how="left_semi",
+        )
+        dcol = "_dig"
+        while dcol in new_df.columns:
+            dcol += "_"
+        return new_df.join(
+            seen.withColumnRenamed("digest", dcol),
+            on=F.expr(digest_expr(text_col)) == F.col(dcol),
+            how="left_anti",
+        )
+    if owned:
+        bitmap = bloom_bitmap(
+            old_df, text_col, m_bits, k, hash_mode, digest_col=old_digest_col
+        ).persist()
     flagged = bloom_flag(
         new_df,
         bitmap,
@@ -233,7 +392,6 @@ def incremental_dedup(
         hash_mode,
         flag_col="_maybe",
     )
-    old_dig = _digest_of(text_col, old_digest_col)
     passed = flagged.filter(~F.col("_maybe")).drop("_maybe")
     survivors = (
         flagged.filter(F.col("_maybe"))

@@ -570,28 +570,73 @@ def blocked_words_filter(
     Matching is on lowercased alphanumeric TOKENS (punctuation-stripped),
     so "word," matches a blocklist entry "word" but "sword" does not.
 
+    List entries pass through the SAME normalization as the text (the
+    real C4 badwords list is full of hyphens, spaces, and punctuation —
+    an entry like ``face-sitting`` would otherwise never match any
+    token): entries that survive as one token match via token overlap;
+    entries that normalize to MULTIPLE tokens match as a phrase on the
+    space-collapsed normalized text; entries that vanish entirely under
+    normalization RAISE (a silently dead blocklist entry is the
+    never-silent policy's worst case).
+
     A literal word list (curated lists are thousands of entries) inlines
     as an array literal: pure projection-side filter, no join, no
     shuffle — same posture as ``urls.filter_blocked_domains``.  With
     ``keep_flag`` the boolean survives as ``has_blocked_word`` instead
     of filtering (for auditing what a later filter would drop)."""
+    import re as _re
+
     if not words:
         return (
             df.withColumn("has_blocked_word", F.lit(False))
             if keep_flag
             else df
         )
-    lits = ", ".join(
-        "'" + w.lower().replace("'", "''") + "'" for w in words
+    normed, dead = [], []
+    for w in words:
+        nw = _re.sub(r" +", " ", _re.sub(r"[^a-z0-9 ]", " ", w.lower()))
+        nw = nw.strip()
+        (normed if nw else dead).append(nw or w)
+    if dead:
+        raise ValueError(
+            "blocklist entries vanish under token normalization "
+            f"(would silently never match): {sorted(set(dead))!r}"
+        )
+    singles = sorted({w for w in normed if " " not in w})
+    phrases = sorted({w for w in normed if " " in w})
+
+    def _lit(w: str) -> str:
+        return "'" + w.replace("'", "''") + "'"
+
+    conds = []
+    # normalized text bound ONCE to a real column (the phrase branch
+    # references it per entry; CLAUDE.md bind-before-reuse)
+    ncol = "_bw_norm"
+    while ncol in df.columns:
+        ncol += "_"
+    bound = df.withColumn(
+        ncol,
+        F.expr(
+            f"regexp_replace(regexp_replace(lower(coalesce({text_col}, "
+            f"'')), '[^a-z0-9 ]', ' '), ' +', ' ')"
+        ),
     )
-    # tokens built once as a plain function argument (single reference)
-    hit = F.expr(
-        f"arrays_overlap(split(regexp_replace(lower(coalesce({text_col}, "
-        f"'')), '[^a-z0-9 ]', ' '), ' '), array({lits}))"
-    )
+    if singles:
+        conds.append(
+            f"arrays_overlap(split({ncol}, ' '), "
+            f"array({', '.join(_lit(w) for w in singles)}))"
+        )
+    if phrases:
+        # padded containment = whole-token phrase match on the collapsed
+        # text; the phrase array is a constant-folded literal
+        conds.append(
+            f"exists(array({', '.join(_lit(' ' + w + ' ') for w in phrases)}), "
+            f"p -> contains(concat(' ', {ncol}, ' '), p))"
+        )
+    hit = F.expr(" OR ".join(conds))
     if keep_flag:
-        return df.withColumn("has_blocked_word", hit)
-    return df.filter(~hit)
+        return bound.withColumn("has_blocked_word", hit).drop(ncol)
+    return bound.filter(~hit).drop(ncol)
 
 
 def corpus_gate_report(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -149,8 +149,88 @@ class TestBloomIncremental:
         plan = f._jdf.queryExecution().executedPlan().toString()
         assert plan.count("BroadcastHashJoin") == k
         assert "SortMergeJoin" not in plan
-        assert "Exchange hashpartitioning(_blw" not in plan
+        assert "Exchange hashpartitioning(_blh" not in plan
         assert "Exchange rangepartitioning" not in plan
+
+    def test_single_join_mode_equals_anti_join_both_modes(self, snapshots):
+        """probe_mode='single-join' keeps the exactness contract for
+        every (m, k, hash_mode) — the probe shape changes, the result
+        must not."""
+        from ocr_spark.operators.bloom import incremental_dedup
+
+        old, new = snapshots
+        expect = _expected_kept(old, new)
+        for mode in ("portable", "xxhash64"):
+            got = sorted(
+                r.doc_id
+                for r in incremental_dedup(
+                    new, old, "norm", 1 << 18, 4, mode,
+                    probe_mode="single-join",
+                ).collect()
+            )
+            assert got == expect, mode
+
+    def test_single_join_bitmap_instanced_once(self, snapshots, spark, tmp_path):
+        """The single-join probe's reason to exist: the bitmap relation
+        appears EXACTLY once in the plan (bloom_flag's k broadcast joins
+        instance it k times — measured r4, no ReusedExchange), and a
+        parquet-backed bitmap is never broadcast at all."""
+        from ocr_spark.operators.bloom import bloom_bitmap, bloom_probe_digests
+
+        old, new = snapshots
+        path = str(tmp_path / "bitmap.parquet")
+        bloom_bitmap(old, "norm", 1 << 18, 4).write.parquet(path)
+        stored = spark.read.parquet(path)
+        probe = bloom_probe_digests(
+            new, stored, "norm", 1 << 18, 4, broadcast_bitmap=False
+        )
+        scan_sig = "ReadSchema: struct<word:bigint,mask:bigint>"
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(scan_sig) == 1, plan
+        # with broadcast_bitmap=False the broadcast is the PLANNER's
+        # choice (the toy bitmap sits under the auto threshold — correct
+        # at this scale); above the threshold the same plan must become
+        # a pure shuffle join with the masks read in place
+        thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe2 = bloom_probe_digests(
+                new, stored, "norm", 1 << 18, 4, broadcast_bitmap=False
+            )
+            plan2 = probe2._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        assert plan2.count(scan_sig) == 1, plan2
+        assert "BroadcastExchange" not in plan2, plan2
+
+    def test_portable_mode_enforces_position_domain(self, snapshots):
+        """LCG positions are mod 2^31-1 before mod m_bits — m_bits above
+        that would silently leave upper bits unused (r4 ADVICE), so it
+        must raise."""
+        from ocr_spark.operators.bloom import bloom_bitmap
+
+        old, _ = snapshots
+        with pytest.raises(ValueError, match="portable"):
+            bloom_bitmap(old, "norm", 1 << 32, 4, "portable")
+
+    def test_xxhash_mode_covers_large_m(self, snapshots):
+        """xxhash64 positions are independent full-width hashes: at
+        m = 2^34 the occupied words must reach far beyond the old 2^31
+        position ceiling (7/8 of uniform positions land above it), and
+        the end-to-end result stays exact."""
+        from ocr_spark.operators.bloom import bloom_bitmap, incremental_dedup
+
+        old, new = snapshots
+        m = 1 << 34
+        top = bloom_bitmap(old, "norm", m, 4, "xxhash64").agg(
+            F.max("word").alias("w")
+        ).collect()[0]["w"]
+        assert top > (1 << 31) // 63
+        got = sorted(
+            r.doc_id
+            for r in incremental_dedup(new, old, "norm", m, 4).collect()
+        )
+        assert got == _expected_kept(old, new)
 
 
 class TestLatestCapture:

@@ -2100,6 +2100,72 @@ class TestBlockedWordsFilter:
         )
         assert "Join" not in plan and "Exchange" not in plan
 
+    def test_punctuated_entries_normalize_like_text(self, spark):
+        """Real C4-style blocklist entries carry hyphens/punctuation; the
+        r4 ADVICE finding was that only the TEXT was normalized, so such
+        entries could never match any token."""
+        from ocr_spark.operators.text_analysis import blocked_words_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "mentions face-sitting mid sentence"),
+                (2, "mentions face sitting with a space"),
+                (3, "facesitting as one glued word"),
+                (4, "entirely clean prose"),
+                (5, "surface sitting is a different phrase"),
+            ],
+            "doc_id bigint, text string",
+        )
+        kept = sorted(
+            r.doc_id
+            for r in blocked_words_filter(df, ["face-sitting"]).collect()
+        )
+        # hyphen normalizes to a space on both sides: matches the
+        # hyphenated AND spaced forms as a whole-token phrase; never the
+        # glued form or a phrase whose first token merely ENDS in "face"
+        assert kept == [3, 4, 5]
+
+    def test_multiword_phrase_matches_whole_tokens(self, spark):
+        from ocr_spark.operators.text_analysis import blocked_words_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "click here to win big"),
+                (2, "click elsewhere to win"),
+                (3, "double-click here please"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r.doc_id: r.has_blocked_word
+            for r in blocked_words_filter(
+                df, ["Click here"], keep_flag=True
+            ).collect()
+        }
+        # entry lowercased + tokenized; doc 3's "double-click here"
+        # normalizes to "double click here" so the phrase IS present as
+        # whole tokens there
+        assert out == {1: True, 2: False, 3: True}
+
+    def test_entry_vanishing_under_normalization_raises(self, spark):
+        """A blocklist entry that normalizes to nothing would silently
+        never match — the never-silent policy says raise."""
+        from ocr_spark.operators.text_analysis import blocked_words_filter
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="vanish"):
+            blocked_words_filter(df, ["ok", "!!!"])
+
+    def test_temp_norm_column_never_leaks(self, spark):
+        from ocr_spark.operators.text_analysis import blocked_words_filter
+
+        df = spark.createDataFrame(
+            [(1, "a b", "pre")], "doc_id bigint, text string, _bw_norm string"
+        )
+        out = blocked_words_filter(df, ["zz top"], keep_flag=True)
+        assert out.columns == ["doc_id", "text", "_bw_norm", "has_blocked_word"]
+        assert out.collect()[0]._bw_norm == "pre"
+
 
 class TestChunkText:
     def test_coverage_and_overlap(self, spark):
