@@ -186,21 +186,38 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
         "sim_hashed_near_dup",
         embed.semantic_near_dup(docs, dim=64, threshold=0.99),
     )
-    # production posture: the opt-in hot-bucket cap, with its audit count
+    # production posture: the opt-in hot-bucket cap with its audit count
     # logged alongside per the never-silent policy (this synthetic corpus
-    # IS the degenerate-bucket case the cap exists for)
-    timed(
-        "sim_hashed_near_dup_capped",
-        embed.semantic_near_dup(docs, dim=64, threshold=0.99, max_bucket=200),
-    )
+    # IS the degenerate-bucket case the cap exists for).  The pairing
+    # shares ONE persisted banded frame (r4 VERDICT: the audit view used
+    # to recompute the whole embedding+signature pipeline — 10 s here);
+    # the capped row times embedding + banding + pair join, the audit
+    # row then costs one cached groupBy.
     from ocr_spark.operators import similarity as _sim
 
     emb64 = embed.hashed_embedding(docs, dim=64).select("doc_id", "embedding")
-    out["sim_hashed_hot_buckets"] = float(
+    banded64 = _sim.hyperplane_buckets(
+        emb64, vec_col="embedding", id_col="doc_id"
+    ).persist()
+    timed(
+        "sim_hashed_near_dup_capped",
+        _sim.cosine_pairs(
+            emb64,
+            vec_col="embedding",
+            id_col="doc_id",
+            threshold=0.99,
+            max_bucket=200,
+            banded=banded64,
+        ),
+    )
+    t0 = time.time()
+    out["sim_hashed_hot_buckets_n"] = float(
         _sim.cosine_hot_buckets(
-            emb64, vec_col="embedding", id_col="doc_id", max_bucket=200
+            banded=banded64, id_col="doc_id", max_bucket=200
         ).count()
     )
+    out["sim_hashed_hot_buckets"] = round(time.time() - t0, 3)
+    banded64.unpersist()
     # cluster assignment is EAGER (iterative label propagation with
     # per-round checkpoints), so wrap the whole call — pairs through
     # converged components — in the timer; best-of-1 (each run pays the

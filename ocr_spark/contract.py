@@ -1016,6 +1016,105 @@ def _q_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall ledger: lsh/ivf/quantized recall@10 against brute-force
+    ground truth in one report.  recall/min_recall are divisions of exact
+    integer counts (order-independent sums), so they are bit-identical
+    cross-engine with no rounding (the round(·,9) policy is only for
+    transcendentals)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_recall_report(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, signs=_SIGNS
+    )
+
+
+def _topk_ids(scored_cte: str, qc: str = "q_id", cc: str = "c_id") -> str:
+    """rank<=10 (query_id, neighbor_id) projection over a scored CTE."""
+    return f"""
+  SELECT {qc} AS query_id, {cc} AS neighbor_id FROM (
+    SELECT {qc}, {cc}, row_number() OVER (PARTITION BY {qc}
+      ORDER BY cos DESC, {cc} ASC) AS rank FROM {scored_cte})
+  WHERE rank <= 10"""
+
+
+_RECALL_REPORT_SQL = f"""
+WITH {_W_CTE},
+rr_q AS (SELECT vec_id AS q_id, embedding AS qvec
+         FROM embeddings WHERE vec_id < 5),
+rr_truth_scored AS (
+  SELECT q.q_id, e.vec_id AS c_id, {_cos_duck('e.embedding', 'q.qvec')} AS cos
+  FROM embeddings e CROSS JOIN rr_q q WHERE e.vec_id <> q.q_id),
+rr_truth AS ({_topk_ids('rr_truth_scored')}),
+rr_sig AS (SELECT vec_id, embedding, {_SIG_EXPR} AS sig
+           FROM embeddings CROSS JOIN wm),
+rr_banded AS (
+  SELECT vec_id, embedding, 0 AS band, sig & 255 AS key FROM rr_sig
+  UNION ALL SELECT vec_id, embedding, 1, sig >> 8 FROM rr_sig),
+rr_lsh_scored AS (
+  SELECT q_id, c_id, {_cos_duck('cvec', 'qvec')} AS cos FROM (
+    SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS c_id,
+           b.embedding AS cvec, q.embedding AS qvec
+    FROM rr_banded b JOIN rr_banded q
+      ON b.band = q.band AND b.key = q.key
+    WHERE q.vec_id < 5 AND b.vec_id <> q.vec_id)),
+rr_lsh AS ({_topk_ids('rr_lsh_scored')}),
+rr_cents AS (SELECT vec_id AS cid, embedding AS cvec
+             FROM embeddings ORDER BY vec_id LIMIT 8),
+rr_corpus_cells AS (
+  SELECT vec_id AS c_id, embedding AS c_vec, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_cos_duck('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS crank
+    FROM embeddings e CROSS JOIN rr_cents c)
+  WHERE crank <= 1),
+rr_query_cells AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_cos_duck('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS crank
+    FROM embeddings e CROSS JOIN rr_cents c WHERE e.vec_id < 5)
+  WHERE crank <= 2),
+rr_ivf_scored AS (
+  SELECT q_id, c_id, {_cos_duck('c_vec', 'q_vec')} AS cos FROM (
+    SELECT DISTINCT q.q_id, cc.c_id, cc.c_vec, q.q_vec
+    FROM rr_corpus_cells cc JOIN rr_query_cells q ON cc.cell = q.cell
+    WHERE cc.c_id <> q.q_id)),
+rr_ivf AS ({_topk_ids('rr_ivf_scored')}),
+{_QUANT_CTE},
+rr_quant_scored AS (
+  SELECT qs.q_id, c.vec_id AS c_id,
+    {_dot_int_duck('c.q', 'qs.qq')} /
+    (sqrt({_dot_int_duck('c.q', 'c.q')}) *
+     sqrt({_dot_int_duck('qs.qq', 'qs.qq')})) AS cos
+  FROM qz c CROSS JOIN
+       (SELECT vec_id AS q_id, q AS qq FROM qz WHERE vec_id < 5) qs
+  WHERE c.vec_id <> qs.q_id),
+rr_quant AS ({_topk_ids('rr_quant_scored')}),
+rr_perq AS (
+  SELECT 'lsh' AS method, t.query_id,
+         count(a.query_id) AS n_hit, count(*) AS n_truth
+  FROM rr_truth t LEFT JOIN rr_lsh a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY t.query_id
+  UNION ALL
+  SELECT 'ivf', t.query_id, count(a.query_id), count(*)
+  FROM rr_truth t LEFT JOIN rr_ivf a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY t.query_id
+  UNION ALL
+  SELECT 'quantized', t.query_id, count(a.query_id), count(*)
+  FROM rr_truth t LEFT JOIN rr_quant a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY t.query_id)
+SELECT method, CAST(10 AS INTEGER) AS k, count(*) AS n_queries,
+       CAST(sum(n_truth) AS BIGINT) AS n_truth,
+       CAST(sum(n_hit) AS BIGINT) AS n_hit,
+       CAST(sum(n_hit) AS DOUBLE) / CAST(sum(n_truth) AS DOUBLE) AS recall,
+       min(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)) AS min_recall
+FROM rr_perq GROUP BY method
+"""
+
+
 # Trained-IVF oracle: ONE deterministic Lloyd round unrolled in SQL.  The
 # centroid means must be BIT-identical across engines, so both sides run
 # the same sorted sequential fold — Spark: array_sort(collect_list) +
@@ -2788,7 +2887,13 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prove engine parity only; the kernels' real gate is the golden pytest
 # suite), and (4) the two rows-only non-SQL-expressible checks last.
 _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # (1) newest + previously-unchecked oracle rows
+    # (1) newest + previously-unchecked oracle rows — r5: the new recall
+    # ledger first, then the entries whose implementation changed this
+    # round (id-only lsh/ivf rerank joins, moved up from group (2))
+    "sim_recall_report": (_q_recall_report, _RECALL_REPORT_SQL),
+    "sim_lsh_topk": (_q_lsh_topk, _LSH_TOPK_SQL),
+    "sim_ivf_topk": (_q_ivf_topk, _IVF_SQL),
+    "sim_ivf_trained": (_q_ivf_trained, _IVF_TRAINED_SQL),
     "corpus_shard": (_q_shard_corpus, _SHARD_SQL),
     "dedup_incremental": (_q_incremental_dedup, _INCREMENTAL_SQL),
     "dedup_incremental_near": (_q_incremental_near, _INCREMENTAL_NEAR_SQL),
@@ -2837,9 +2942,6 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "events_hour_rollup": (_q_events_hour, _EVENTS_HOUR_SQL),
     # similarity search
     "sim_cosine_topk": (_q_cosine_topk, _COS_TOPK_SQL),
-    "sim_lsh_topk": (_q_lsh_topk, _LSH_TOPK_SQL),
-    "sim_ivf_topk": (_q_ivf_topk, _IVF_SQL),
-    "sim_ivf_trained": (_q_ivf_trained, _IVF_TRAINED_SQL),
     "sim_quantized_topk": (_q_quant_topk, _QUANT_TOPK_SQL),
     "sim_near_dup": (_q_near_dup, _NEAR_DUP_SQL),
     # text analysis

@@ -208,6 +208,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_posting: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -221,10 +222,14 @@ def ngram_jaccard_pairs(
     conservative UNDER-estimate — pairs can only be missed, never
     inflated.  At verify scale a stop-shingle ("click here to", a
     boilerplate footer n-gram) otherwise goes quadratic; pass the cap AND
-    run/log :func:`jaccard_hot_shingles` so the drop is never silent."""
-    sh = with_shingles(df, text_col, n).select(
-        id_col, F.explode("shingles").alias("shingle")
-    )
+    run/log :func:`jaccard_hot_shingles` so the drop is never silent —
+    sharing ONE persisted ``(id, shingle)`` frame between the two calls
+    via ``shingled`` (build it with :func:`shingle_postings`; the capped
+    plan references the shingle explode four times otherwise)."""
+    if shingled is None:
+        sh = shingle_postings(df, text_col, id_col, n)
+    else:
+        sh = shingled.select(id_col, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_posting is not None:
         hot = (
@@ -522,20 +527,42 @@ def corpus_span_dedup(
     )
 
 
-def jaccard_hot_shingles(
+def shingle_postings(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+) -> DataFrame:
+    """The exploded ``(id_col, shingle)`` posting frame both
+    :func:`ngram_jaccard_pairs` and :func:`jaccard_hot_shingles` start
+    from.  For the capped+audited pairing, build it once, ``persist()``,
+    pass to both via their ``shingled`` parameter, and unpersist after
+    materializing (caller-owned lifecycle — bloom-bitmap contract)."""
+    return with_shingles(df, text_col, n).select(
+        id_col, F.explode("shingles").alias("shingle")
+    )
+
+
+def jaccard_hot_shingles(
+    df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
     max_posting: int = 10_000,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Audit view of the stop-shingles a ``max_posting`` cap would drop
     from :func:`ngram_jaccard_pairs`: (shingle, n_docs) with n_docs >
     max_posting.  Run/log this alongside a capped verify job — a cap must
-    never be silent (same contract as :func:`lsh_hot_buckets`)."""
-    sh = with_shingles(df, text_col, n).select(
-        id_col, F.explode("shingles").alias("shingle")
-    )
+    never be silent (same contract as :func:`lsh_hot_buckets`); share the
+    capped run's persisted :func:`shingle_postings` frame via
+    ``shingled``."""
+    if shingled is None:
+        if df is None:
+            raise ValueError("pass df or a precomputed shingled frame")
+        sh = shingle_postings(df, text_col, id_col, n)
+    else:
+        sh = shingled.select(id_col, "shingle")
     return (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -653,11 +680,17 @@ def simhash_hot_buckets(
     max_hamming: int = 2,
     hash_mode: str = "xxhash64",
     max_bucket: int = 10_000,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Audit view of the band buckets a ``max_bucket`` cap would exclude
     from :func:`simhash_near_dup_pairs` — same never-cap-silently contract
-    as :func:`lsh_hot_buckets`."""
-    sig = simhash(df, text_col, id_col, bits, hash_mode)
+    as :func:`lsh_hot_buckets`.
+
+    Pass the capped run's persisted :func:`simhash` frame via ``sig`` so
+    the audit reuses the per-token hashing instead of recomputing it
+    (caller owns the persist lifecycle — bloom-bitmap contract)."""
+    if sig is None:
+        sig = simhash(df, text_col, id_col, bits, hash_mode)
     return (
         _simhash_buckets(sig, id_col, bits, max_hamming)
         .groupBy("band", "key")
@@ -674,6 +707,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 2,
     hash_mode: str = "xxhash64",
     max_bucket: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
@@ -686,9 +720,13 @@ def simhash_near_dup_pairs(
     OPT-IN default (``max_bucket=None``): an identical-content
     mega-cluster shares every band key and makes one bucket quadratic, but
     bounding recall must be an explicit, audited choice — pass a cap and
-    run/log :func:`simhash_hot_buckets` with it.  At corpus scale use
-    ``bits=64`` so the band keyspace doesn't saturate."""
-    sig = simhash(df, text_col, id_col, bits, hash_mode)
+    run/log :func:`simhash_hot_buckets` with it, sharing ONE persisted
+    :func:`simhash` frame between the two calls via ``sig`` (the capped
+    plan references the signature subtree three times and the audit a
+    fourth; Spark does not reuse-merge them — CLAUDE.md).  At corpus
+    scale use ``bits=64`` so the band keyspace doesn't saturate."""
+    if sig is None:
+        sig = simhash(df, text_col, id_col, bits, hash_mode)
     buck = _simhash_buckets(sig, id_col, bits, max_hamming)
     if max_bucket is not None:
         hot = (

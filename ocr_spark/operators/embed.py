@@ -172,6 +172,7 @@ def semantic_near_dup(
     hash_mode: str = "xxhash64",
     strategy: str = "auto",
     max_bucket: int | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Text in, near-dup pairs out: :func:`hashed_embedding` piped into
     the bucketed cosine-pair join (similarity.cosine_pairs) — the
@@ -179,6 +180,12 @@ def semantic_near_dup(
     Same opt-in ``max_bucket`` guard contract as every pair operator:
     None by default, and a passed cap must be audited via
     ``similarity.cosine_hot_buckets``.
+
+    For the capped+audited pairing, share the expensive subtree instead
+    of recomputing it per view: compute ``hashed_embedding`` once, run
+    ``similarity.hyperplane_buckets`` over it, ``persist()`` that, and
+    pass it here AND to ``cosine_hot_buckets`` via ``banded`` (the
+    caller owns persist/unpersist — bloom-bitmap lifecycle contract).
     """
     from .similarity import cosine_pairs
 
@@ -198,4 +205,5 @@ def semantic_near_dup(
         planes=planes,
         signs=signs,
         max_bucket=max_bucket,
+        banded=banded,
     )

@@ -561,14 +561,26 @@ def ivf_topk(
     )
 
 
-def _hyperplane_buckets(
+def hyperplane_buckets(
     df: DataFrame,
-    vec_col: str,
-    id_col: str,
-    planes: int,
-    signs: list[list[int]] | None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 16,
+    signs: list[list[int]] | None = None,
 ) -> DataFrame:
-    """Half-signature band buckets over an embedding column (2 bands)."""
+    """Half-signature band buckets over an embedding column (2 bands):
+    ``(id_col, band, key)`` — ids only, never the vectors (the id-only
+    pair rule: this frame feeds self-joins and counts).
+
+    This is the shared EXPENSIVE subtree of the capped pairing: a capped
+    :func:`cosine_pairs` run and its mandatory :func:`cosine_hot_buckets`
+    audit both start from it, and within cosine_pairs the plan references
+    it three times (hot counts + both self-join sides) — Spark does NOT
+    reuse-merge identical non-broadcast subtrees (CLAUDE.md, measured
+    r4), so each reference would recompute the planes×dim signature
+    arithmetic.  Compute it ONCE here, ``persist()`` it, pass it to both
+    via their ``banded=`` parameter, and unpersist after materializing —
+    the caller owns the lifecycle (same contract as the bloom bitmap)."""
     half = planes // 2
     mask = (1 << half) - 1
     s = hyperplane_signature(
@@ -576,7 +588,6 @@ def _hyperplane_buckets(
     )
     return s.select(
         id_col,
-        vec_col,
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("band"), F.expr(f"sig & {mask}").alias("key")),
@@ -584,23 +595,43 @@ def _hyperplane_buckets(
                          F.expr(f"shiftright(sig, {half})").alias("key")),
             )
         ).alias("bk"),
-    ).select(id_col, vec_col, "bk.band", "bk.key")
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def _check_banded(banded: DataFrame, id_col: str) -> None:
+    missing = {id_col, "band", "key"} - set(banded.columns)
+    if missing:
+        raise ValueError(
+            f"banded frame lacks columns {sorted(missing)} — build it "
+            f"with hyperplane_buckets(df, vec_col, {id_col!r}, ...)"
+        )
 
 
 def cosine_hot_buckets(
-    df: DataFrame,
+    df: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     planes: int = 16,
     signs: list[list[int]] | None = None,
     max_bucket: int = 10_000,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Audit view of the signature buckets a ``max_bucket`` cap would
     exclude from :func:`cosine_pairs` — same never-cap-silently contract
-    as dedup.lsh_hot_buckets."""
+    as dedup.lsh_hot_buckets.
+
+    Pass the capped run's persisted :func:`hyperplane_buckets` frame via
+    ``banded`` so the audit reuses its signature computation instead of
+    repeating the whole embedding→signature pipeline (the r4 bench paid
+    10 s for exactly that recompute)."""
+    if banded is None:
+        if df is None:
+            raise ValueError("pass df or a precomputed banded frame")
+        banded = hyperplane_buckets(df, vec_col, id_col, planes, signs)
+    else:
+        _check_banded(banded, id_col)
     return (
-        _hyperplane_buckets(df, vec_col, id_col, planes, signs)
-        .groupBy("band", "key")
+        banded.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > max_bucket)
     )
@@ -614,6 +645,7 @@ def cosine_pairs(
     planes: int = 16,
     signs: list[list[int]] | None = None,
     max_bucket: int | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via half-signature buckets + exact rerank.
     High thresholds → high bucket recall (near-identical vectors agree on
@@ -625,8 +657,16 @@ def cosine_pairs(
     are excluded via count + anti-join.  The cap is OPT-IN
     (``max_bucket=None`` default — recall must never be bounded silently);
     pass a cap and run/log :func:`cosine_hot_buckets` with it before a
-    production run."""
-    banded = _hyperplane_buckets(df, vec_col, id_col, planes, signs)
+    production run — and when you do, compute :func:`hyperplane_buckets`
+    once, persist it, and hand it to BOTH calls via ``banded``: the
+    capped plan references the banded subtree three times (hot counts +
+    the two self-join sides) and the audit a fourth, each a full
+    signature recompute without the shared persisted frame."""
+    if banded is None:
+        banded = hyperplane_buckets(df, vec_col, id_col, planes, signs)
+    else:
+        _check_banded(banded, id_col)
+        banded = banded.select(id_col, "band", "key")
     if max_bucket is not None:
         hot = (
             banded.groupBy("band", "key")
@@ -679,4 +719,109 @@ def cosine_pairs(
         )
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")
+    )
+
+
+def ann_recall_report(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 16,
+    signs: list[list[int]] | None = None,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    train_iters: int = 0,
+    salts: int = 32,
+    methods: tuple[str, ...] = ("lsh", "ivf", "quantized"),
+) -> DataFrame:
+    """Recall ledger for the approximate ANN paths: one row per method
+    with its recall@k against :func:`cosine_topk_bruteforce` ground
+    truth — the number a user needs before trusting an approximate path
+    at corpus scale.
+
+    Per method: ``n_truth`` ground-truth rows, ``n_hit`` of them found
+    by the approximate top-k, micro-average ``recall`` = n_hit / n_truth
+    (integer sums → order-independent, so the double division is
+    bit-deterministic across partitionings and engines), and
+    ``min_recall`` — the worst single query (min of exact small-integer
+    ratios; equally deterministic).  A macro mean over doubles would be
+    partial-sum-order dependent, which is why it is NOT reported.
+
+    The ground truth is computed ONCE (persisted) and compared against
+    every method; the final report is materialized eagerly (one bounded
+    collect of ``len(methods)`` aggregate rows — the job-summary
+    exception to the no-collect policy) so the truth cache can be
+    released before returning."""
+    known = {"lsh", "ivf", "quantized"}
+    bad = set(methods) - known
+    if bad:
+        raise ValueError(f"unknown methods {sorted(bad)}; pick from {sorted(known)}")
+    truth = (
+        cosine_topk_bruteforce(df, queries, k, vec_col, id_col, salts)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    try:
+        per_q_truth = truth.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_truth")
+        )
+        rows = []
+        for m in methods:
+            if m == "lsh":
+                approx = lsh_topk(df, queries, k, vec_col, id_col, planes, signs)
+            elif m == "ivf":
+                approx = ivf_topk(
+                    df, queries, k, vec_col, id_col,
+                    n_centroids, n_probe, train_iters,
+                )
+            else:
+                approx = cosine_topk_quantized(
+                    df, queries, k, vec_col, id_col, salts
+                )
+            hits = (
+                truth.join(
+                    approx.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"],
+                    "left_semi",
+                )
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("n_hit"))
+            )
+            agg = (
+                per_q_truth.join(hits, "query_id", "left")
+                .select(
+                    "n_truth",
+                    F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_queries"),
+                    F.sum("n_truth").alias("n_truth"),
+                    F.sum("n_hit").alias("n_hit"),
+                    F.min(
+                        F.col("n_hit").cast("double") / F.col("n_truth")
+                    ).alias("min_recall"),
+                )
+                .collect()[0]
+            )
+            rows.append(
+                (
+                    m,
+                    k,
+                    int(agg["n_queries"]),
+                    int(agg["n_truth"]),
+                    int(agg["n_hit"]),
+                    float(agg["n_hit"]) / float(agg["n_truth"])
+                    if agg["n_truth"]
+                    else 0.0,
+                    float(agg["min_recall"]),
+                )
+            )
+    finally:
+        truth.unpersist()
+    return df.sparkSession.createDataFrame(
+        rows,
+        "method string, k int, n_queries bigint, n_truth bigint, "
+        "n_hit bigint, recall double, min_recall double",
     )
