@@ -1523,6 +1523,112 @@ FROM m
 """
 
 
+# mm decode/resize/features — REAL decoded pixels vs an ANALYTIC oracle.
+# The fixture image for seed s has pixel (x, y) = (r, g, b) in closed form
+# (multimodal.synthetic_image_bytes); the Spark side round-trips it through
+# the stdlib PNG codec (encode with per-row filter cycling → zlib inflate →
+# unfilter all 5 PNG filter types → pixel sums), the DuckDB side recomputes
+# the sums directly from the formula.  Any wrong filter inverse, row order,
+# stride, or channel swap breaks the hash.  24×16 / grid 4 divide evenly,
+# so the oracle's pixel→cell map is a plain integer division (the general
+# floor-boundary map is pytest-pinned in test_multimodal.py).
+_MM_W, _MM_H = 24, 16
+_MM_RGB = (
+    "(3 * x + 7 * y + media_id) % 256",
+    "(5 * x + 11 * y + 2 * media_id) % 251",
+    "(13 * x + 17 * y + 3 * media_id) % 241",
+)
+
+
+def _mm_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+
+_MM_IDS_CTE = (
+    "ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 64)"
+)
+
+
+def _q_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = multimodal.synthetic_images(_mm_ids(spark, sf_dir), _MM_W, _MM_H)
+    return multimodal.decode_image_stats(imgs)
+
+
+_DECODE_STATS_SQL = f"""
+WITH {_MM_IDS_CTE},
+px AS (SELECT media_id, xs.x, ys.y
+       FROM ids CROSS JOIN range({_MM_W}) xs(x) CROSS JOIN range({_MM_H}) ys(y))
+SELECT media_id,
+  CAST({_MM_W} AS INTEGER) AS width, CAST({_MM_H} AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS n_channels,
+  CAST(sum({_MM_RGB[0]}) AS BIGINT) AS sum_r,
+  CAST(sum({_MM_RGB[1]}) AS BIGINT) AS sum_g,
+  CAST(sum({_MM_RGB[2]}) AS BIGINT) AS sum_b
+FROM px GROUP BY media_id
+"""
+
+
+_MM_RW, _MM_RH = 10, 7
+
+
+def _q_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generate → resize (decode, nearest-neighbor, PNG re-encode) →
+    decode again → sums: two full codec round trips plus the exact
+    integer index mapping out(x2,y2) = src(x2·W//out_w, y2·H//out_h)."""
+    imgs = multimodal.synthetic_images(_mm_ids(spark, sf_dir), _MM_W, _MM_H)
+    return multimodal.decode_image_stats(
+        multimodal.resize_images(imgs, _MM_RW, _MM_RH)
+    )
+
+
+_RESIZE_STATS_SQL = f"""
+WITH {_MM_IDS_CTE},
+px AS (SELECT media_id,
+              (x2 * {_MM_W}) // {_MM_RW} AS x, (y2 * {_MM_H}) // {_MM_RH} AS y
+       FROM ids CROSS JOIN range({_MM_RW}) xs(x2)
+                CROSS JOIN range({_MM_RH}) ys(y2))
+SELECT media_id,
+  CAST({_MM_RW} AS INTEGER) AS width, CAST({_MM_RH} AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS n_channels,
+  CAST(sum({_MM_RGB[0]}) AS BIGINT) AS sum_r,
+  CAST(sum({_MM_RGB[1]}) AS BIGINT) AS sum_g,
+  CAST(sum({_MM_RGB[2]}) AS BIGINT) AS sum_b
+FROM px GROUP BY media_id
+"""
+
+
+_MM_GRID = 4
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-pixel grid features, hash-compared UNROUNDED: each value
+    is one IEEE division of exact integer sums (no transcendentals), so
+    both engines produce bit-identical doubles."""
+    imgs = multimodal.synthetic_images(_mm_ids(spark, sf_dir), _MM_W, _MM_H)
+    feats = multimodal.image_features(imgs, grid=_MM_GRID)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("i", "feature")
+    ).select("media_id", "i", "feature")
+
+
+_IMAGE_FEATURES_SQL = f"""
+WITH {_MM_IDS_CTE},
+px AS (SELECT media_id, xs.x, ys.y,
+              (ys.y // {_MM_H // _MM_GRID}) * {_MM_GRID}
+                + xs.x // {_MM_W // _MM_GRID} AS i,
+              {_MM_RGB[0]} + {_MM_RGB[1]} + {_MM_RGB[2]} AS v
+       FROM ids CROSS JOIN range({_MM_W}) xs(x) CROSS JOIN range({_MM_H}) ys(y))
+SELECT media_id, CAST(i AS INTEGER) AS i,
+       CAST(sum(v) AS DOUBLE)
+         / (3 * {(_MM_W // _MM_GRID) * (_MM_H // _MM_GRID)}) AS feature
+FROM px GROUP BY media_id, i
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic dataset split (salted-hash buckets, portable mode)
 
@@ -2891,6 +2997,9 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # ledger first, then the entries whose implementation changed this
     # round (id-only lsh/ivf rerank joins, moved up from group (2))
     "sim_recall_report": (_q_recall_report, _RECALL_REPORT_SQL),
+    "mm_decode_stats": (_q_decode_stats, _DECODE_STATS_SQL),
+    "mm_resize_stats": (_q_resize_stats, _RESIZE_STATS_SQL),
+    "mm_image_features": (_q_image_features, _IMAGE_FEATURES_SQL),
     "sim_lsh_topk": (_q_lsh_topk, _LSH_TOPK_SQL),
     "sim_ivf_topk": (_q_ivf_topk, _IVF_SQL),
     "sim_ivf_trained": (_q_ivf_trained, _IVF_TRAINED_SQL),

@@ -1,18 +1,21 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads ride as BinaryType columns; decode/resize/
-frame-sample run as Arrow-batched ``mapInPandas`` stages.  The actual codec
-libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so decoding is
-split into:
+frame-sample run as Arrow-batched ``mapInPandas`` stages.
 
-- ``media_metadata``   — REAL: size, sha256, magic-byte sniffing, plus a
+- ``media_metadata``   — size, sha256, magic-byte sniffing, plus a
   deterministic fake decode (dims derived from the digest) whose arithmetic
   is SQL-expressible, so the driver can oracle-check the UDF plumbing
   end-to-end.
-- ``decode_image``     — STUB: raises NotImplementedError without PIL; the
-  Spark-side schema, batching, and partitioning are real and tested.
+- ``decode_image`` / ``resize_images`` / ``image_features`` — REAL decode
+  via the pure-stdlib codec (ocr_spark.imagecodec: PNG/PPM/BMP), with a
+  PIL fallback for formats it can't cover (JPEG — the one remaining
+  environment-blocked codec).  decode → resize → features → ANN runs
+  end-to-end in this container; mm_decode_stats / mm_resize_stats /
+  mm_image_features oracle-check the decoded pixels analytically.
 - ``sample_frames``    — REAL plumbing over the fake decode: deterministic
-  frame-index sampling, one output row per sampled frame.
+  frame-index sampling, one output row per sampled frame (video codecs
+  stay environment-blocked).
 """
 
 from __future__ import annotations
@@ -22,6 +25,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, types as T
+
+from .. import imagecodec
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -127,38 +132,235 @@ def extract_features(
     ).mapInPandas(fn, FEATURES_SCHEMA)
 
 
-def resize_image(
-    payload: bytes, width: int, height: int
-):  # pragma: no cover - stub without PIL
-    """Real resize requires PIL — not installed in this container.  The
-    Spark-side shape for a resize stage is ``mapInPandas`` over binary in
-    → binary out with (width, height) metadata columns, identical to
-    media_metadata's plumbing."""
+def decode_image(payload: bytes) -> imagecodec.DecodedImage:
+    """REAL decode: PNG / PPM / BMP via the pure-stdlib codec
+    (ocr_spark.imagecodec — zlib inflate + all five PNG filters), PIL
+    fallback for formats the stdlib codec can't cover (JPEG).  Raises
+    NotImplementedError only for a format neither path handles — loudly,
+    never a wrong silent decode."""
     try:
-        import io
+        return imagecodec.sniff_decode(bytes(payload))
+    except ValueError as codec_err:
+        try:
+            import io
 
-        from PIL import Image
-    except ImportError as e:
-        raise NotImplementedError(
-            "image resize requires PIL; not installed in this environment"
-        ) from e
-    img = Image.open(io.BytesIO(payload)).resize((width, height))
-    out = io.BytesIO()
-    img.save(out, format="PNG")
-    return out.getvalue()
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError(
+                f"stdlib codec: {codec_err}; PIL fallback not installed"
+            ) from codec_err
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return imagecodec.DecodedImage(
+            img.width, img.height, 3, img.tobytes()
+        )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub without PIL
-    """Real decode — requires PIL, not available in this container."""
-    try:
-        import io
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize: decode (stdlib codec / PIL fallback), nearest-neighbor
+    resample (exact integer index mapping — SQL-replayable), re-encode as
+    PNG."""
+    out = imagecodec.resize_nearest(decode_image(payload), width, height)
+    return imagecodec.png_encode(out.width, out.height, out.pixels, 3)
 
-        from PIL import Image
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires PIL; not installed in this environment"
-        ) from e
-    return Image.open(io.BytesIO(payload))
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+)
+
+
+def decode_image_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode each image payload and emit exact per-channel pixel sums —
+    integer stats every pixel participates in, so a single wrong filter
+    inverse / row order / channel swap changes the output (the
+    mm_decode_stats oracle recomputes them analytically in SQL)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in DECODE_STATS_SCHEMA.fields}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = imagecodec.to_rgb(decode_image(bytes(payload)))
+                px = img.pixels
+                out["media_id"].append(int(mid))
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["n_channels"].append(img.channels)
+                out["sum_r"].append(sum(px[0::3]))
+                out["sum_g"].append(sum(px[1::3]))
+                out["sum_b"].append(sum(px[2::3]))
+            yield pd.DataFrame(out)
+
+    return df.select(
+        df[id_col].alias("media_id"), df[payload_col].alias(payload_col)
+    ).mapInPandas(fn, DECODE_STATS_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Binary in → resized PNG binary out (decode → nearest-neighbor →
+    re-encode), the standard image-normalization stage of a multimodal
+    training pipeline.  Payloads cross the Arrow boundary once in and
+    once out; chain :func:`decode_image_stats` / :func:`image_features`
+    AFTER this stage rather than re-reading originals."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(mid))
+                payloads.append(resize_image(bytes(payload), width, height))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(
+        df[id_col].alias("media_id"), df[payload_col].alias(payload_col)
+    ).mapInPandas(fn, RESIZED_SCHEMA)
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def image_features(
+    df: DataFrame,
+    grid: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode → ``grid×grid`` mean-pooled intensity vector
+    (``array<double>``, row-major, length grid²) — a real decoded-pixel
+    embedding ready for the ANN operators (cosine_topk_bruteforce /
+    lsh_topk / ivf_topk) downstream.
+
+    Cell (cy, cx) covers y ∈ [cy·H//grid, (cy+1)·H//grid) × x likewise
+    (exact integer boundaries); its feature is
+    sum(r+g+b over the cell) / (3·n_cell_pixels) — one IEEE division of
+    exact integers, so values are bit-deterministic across partitionings
+    and engines (no transcendentals; the round(·,9) policy does not
+    apply)."""
+    if grid <= 0:
+        raise ValueError("grid must be positive")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = imagecodec.to_rgb(decode_image(bytes(payload)))
+                if img.width < grid or img.height < grid:
+                    raise ValueError(
+                        f"image {int(mid)} is {img.width}x{img.height}; "
+                        f"needs >= {grid}px per side for a {grid}x{grid} grid"
+                    )
+                arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+                    img.height, img.width, 3
+                )
+                vec = []
+                for cy in range(grid):
+                    y0, y1 = (
+                        cy * img.height // grid,
+                        (cy + 1) * img.height // grid,
+                    )
+                    for cx in range(grid):
+                        x0, x1 = (
+                            cx * img.width // grid,
+                            (cx + 1) * img.width // grid,
+                        )
+                        cell = arr[y0:y1, x0:x1]
+                        # exact integer sum, ONE double division
+                        vec.append(
+                            int(cell.sum(dtype=np.int64))
+                            / float(3 * cell.shape[0] * cell.shape[1])
+                        )
+                ids.append(int(mid))
+                feats.append(vec)
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return df.select(
+        df[id_col].alias("media_id"), df[payload_col].alias(payload_col)
+    ).mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
+
+
+def synthetic_image_bytes(
+    seed: int, width: int = 24, height: int = 16, fmt: str = "png"
+) -> bytes:
+    """Deterministic test-fixture image: pixel (x, y) is
+    r=(3x+7y+seed)%256, g=(5x+11y+2·seed)%251, b=(13x+17y+3·seed)%241 —
+    closed-form values a SQL oracle recomputes analytically (seed must be
+    non-negative so ``%`` agrees across Python/Spark/DuckDB).  PNG output
+    cycles the filter type per row, so decoding it exercises all five
+    PNG filters."""
+    if seed < 0:
+        raise ValueError("seed must be non-negative (cross-engine %)")
+    px = bytearray(width * height * 3)
+    for y in range(height):
+        for x in range(width):
+            i = (y * width + x) * 3
+            px[i] = (3 * x + 7 * y + seed) % 256
+            px[i + 1] = (5 * x + 11 * y + 2 * seed) % 251
+            px[i + 2] = (13 * x + 17 * y + 3 * seed) % 241
+    if fmt == "png":
+        return imagecodec.png_encode(width, height, bytes(px), 3, "cycle")
+    if fmt == "ppm":
+        return imagecodec.ppm_encode(width, height, bytes(px))
+    if fmt == "bmp":
+        return imagecodec.bmp_encode(width, height, bytes(px))
+    raise ValueError(f"unknown fixture format {fmt!r}")
+
+
+def synthetic_images(
+    df: DataFrame,
+    width: int = 24,
+    height: int = 16,
+    fmt: str = "png",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id) → (media_id, payload) of :func:`synthetic_image_bytes` —
+    a distributed deterministic image source for tests/contracts (no
+    image libraries exist in this container to produce real corpora)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(m) for m in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        synthetic_image_bytes(m, width, height, fmt)
+                        for m in ids
+                    ],
+                }
+            )
+
+    return df.select(df[id_col].alias("media_id")).mapInPandas(
+        fn, RESIZED_SCHEMA
+    )
 
 
 FRAME_SCHEMA = T.StructType(
