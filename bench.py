@@ -354,6 +354,101 @@ def warc_benches(spark, warc_path: str, total_bytes: int) -> dict[str, float]:
     return out
 
 
+def ensure_extracted(html_path: str) -> str:
+    """Run (once) the extraction deployment entrypoint over the cached
+    HTML corpus and return the extracted-parquet path — the input a
+    curation run starts from.  Subprocess for the usual fresh-JVM
+    hygiene; generation is cached and never counted in query time."""
+    import subprocess
+
+    out = CACHE / f"extracted_{Path(html_path).name}"
+    done = CACHE / f"extracted_{Path(html_path).name}._DONE"
+    if not done.exists():
+        t0 = time.time()
+        subprocess.run(
+            [
+                sys.executable, "jobs/extract_job.py",
+                "--input", html_path, "--output", str(out),
+            ],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        )
+        done.touch()
+        print(
+            f"# extracted curate-input corpus in {time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    return str(out)
+
+
+def curate_bench(extracted: str, sf_dir: str) -> dict[str, float]:
+    """End-to-end curation chain (jobs/curate_job.py) with the
+    representative production flags — revisit dedup, language, Gopher +
+    C4 gates, cross-snapshot exact+near dedup, MinHash-LSH near-dup,
+    domain cap, line + span dedup, LM head, classifier head, decontam,
+    PII, split, sharded training export.  Runs as the real deployment
+    subprocess (spark-submit analogue, fresh JVM); the reported seconds
+    are the job's own session wall-time (JVM boot excluded), and the
+    per-stage attribution lands in the summary's ``stage_seconds``
+    (recorded in BENCH.md).  Reference corpora (classifier positives,
+    decontam benchmarks, prior snapshot) come from the sf testdata —
+    deterministic, never synthesized here."""
+    import subprocess
+    import tempfile
+
+    ref = f"{sf_dir}/documents.parquet"
+    out_dir = CACHE / "curated_out"
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write("blocked.example\n")
+        blocklist = f.name
+    t0 = time.time()
+    sub = subprocess.run(
+        [
+            sys.executable, "jobs/curate_job.py",
+            "--input", extracted, "--output", str(out_dir),
+            "--latest-capture",
+            "--blocklist", blocklist,
+            "--lang", "en",
+            "--gopher",
+            "--c4-hard-drops",
+            "--incremental-ref", ref,
+            "--near-dup-ref", ref,
+            "--near-dup",
+            # the synthetic corpus is single-host (fixtures.html_url_for),
+            # so the cap stage runs its worst case — one mega-domain
+            # holding EVERY row through the salted two-stage rank; 40k
+            # trims ~20% (representative) instead of nuking the corpus
+            # and starving the stages after it
+            "--max-per-domain", "40000",
+            "--line-dedup",
+            "--span-dedup", "50",
+            "--lm-head", "0.9",
+            "--classifier-ref", ref,
+            "--classifier-head", "0.9",
+            "--decontam-ref", ref,
+            "--pii",
+            "--split", "train=0.99,val=0.005,test=0.005",
+            "--shards", "8",
+        ],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    )
+    wall = time.time() - t0
+    summary = json.loads(sub.stdout.strip().splitlines()[-1])
+    print(
+        "# curate summary: "
+        + json.dumps(summary)
+        + f" (subprocess wall {wall:.1f}s incl. JVM boot)",
+        file=sys.stderr,
+    )
+    return {
+        "curate_e2e": float(summary["seconds"]),
+        "curate_e2e_docs_in": float(summary["input_docs"]),
+        "curate_e2e_docs_out": float(summary["output_docs"]),
+        "curate_e2e_docs_per_sec": round(
+            summary["input_docs"] / summary["seconds"], 1
+        ),
+    }
+
+
 def main_bench() -> None:
     from ocr_spark.session import get_spark
 
@@ -387,6 +482,9 @@ def main_bench() -> None:
     queries.update(operator_benches(spark, SF_DIR))
     queries.update(link_benches(spark, html_path))
     queries.update(warc_benches(spark, warc_path, warc_bytes))
+    # the composed curation chain runs LAST and in its own subprocess —
+    # it can't poison the operator windows above, and nothing poisons it
+    queries.update(curate_bench(ensure_extracted(html_path), SF_DIR))
     print(
         json.dumps(
             {

@@ -221,7 +221,6 @@ def main() -> int:
         ).collect()[0]
         summary["input_docs"] = row["n"]
         summary["input_truncated_pages"] = int(row["trunc"])
-        _stage("input_scan")
     else:
         summary["input_docs"] = docs.count()
     _stage("input_scan")
