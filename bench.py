@@ -210,13 +210,16 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
             banded=banded64,
         ),
     )
+    # r1-r4 reported the bucket COUNT under "sim_hashed_hot_buckets";
+    # keep that series coherent and put the (new) timing under an
+    # explicit _sec key rather than silently repurposing the old one
     t0 = time.time()
-    out["sim_hashed_hot_buckets_n"] = float(
+    out["sim_hashed_hot_buckets"] = float(
         _sim.cosine_hot_buckets(
             banded=banded64, id_col="doc_id", max_bucket=200
         ).count()
     )
-    out["sim_hashed_hot_buckets"] = round(time.time() - t0, 3)
+    out["sim_hashed_hot_buckets_sec"] = round(time.time() - t0, 3)
     banded64.unpersist()
     # cluster assignment is EAGER (iterative label propagation with
     # per-round checkpoints), so wrap the whole call — pairs through
@@ -429,8 +432,13 @@ def curate_bench(extracted: str, sf_dir: str) -> dict[str, float]:
             "--split", "train=0.99,val=0.005,test=0.005",
             "--shards", "8",
         ],
-        cwd=REPO, capture_output=True, text=True, check=True,
+        cwd=REPO, capture_output=True, text=True,
     )
+    if sub.returncode != 0:
+        print(sub.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(
+            f"curate_job exited {sub.returncode} (stderr tail above)"
+        )
     wall = time.time() - t0
     summary = json.loads(sub.stdout.strip().splitlines()[-1])
     print(
@@ -474,17 +482,19 @@ def main_bench() -> None:
     ext = json.loads(sub.stdout.strip().splitlines()[-1])
     ext_sec, n_docs, n_pages = ext["ext_sec"], ext["n_docs"], ext["n_pages"]
     html_sec, n_html = ext["html_sec"], ext["n_html"]
-    spark = get_spark("bench-ops", cores=CPUS)
     queries = {
         "extract_e2e": round(ext_sec, 3),
         "extract_html_e2e": round(html_sec, 3),
     }
+    # the composed curation chain runs BEFORE the operator session's JVM
+    # exists: two 48g-heap JVMs coexisting starved the subprocess once
+    # (exit 1 under memory pressure on this 125 GB host), and its own
+    # subprocess gives it the usual fresh-JVM window
+    queries.update(curate_bench(ensure_extracted(html_path), SF_DIR))
+    spark = get_spark("bench-ops", cores=CPUS)
     queries.update(operator_benches(spark, SF_DIR))
     queries.update(link_benches(spark, html_path))
     queries.update(warc_benches(spark, warc_path, warc_bytes))
-    # the composed curation chain runs LAST and in its own subprocess —
-    # it can't poison the operator windows above, and nothing poisons it
-    queries.update(curate_bench(ensure_extracted(html_path), SF_DIR))
     print(
         json.dumps(
             {

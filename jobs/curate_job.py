@@ -177,6 +177,23 @@ def main() -> int:
         stage_seconds[name] = round(now - _stage_last[0], 2)
         _stage_last[0] = now
 
+    # rolling stage cache: persist THIS stage's output before counting
+    # it, so the count executes only this stage's work (an uncached
+    # count re-runs the entire upstream chain and charges the whole
+    # prefix to whichever stage counted — the early stages' attribution
+    # was cumulative, not per-stage); release the previous stage's cache
+    # right after, so at most two stage frames are pinned at once
+    _live = [None]
+
+    def _count(df):
+        cached = df.persist()
+        n = cached.count()
+        prev = _live[0]
+        if prev is not None:
+            prev.unpersist()
+        _live[0] = cached
+        return cached, n
+
     raw = spark.read.parquet(args.input)
     if "status" in raw.columns:
         raw = raw.filter(F.col("status") == "COMPLETED")
@@ -209,7 +226,7 @@ def main() -> int:
         ).select("url", "text")
     docs = docs.withColumn("doc_id", F.xxhash64("url"))
     if args.latest_capture:
-        summary["after_latest_capture"] = docs.count()
+        docs, summary["after_latest_capture"] = _count(docs)
         _stage("latest_capture")
     if "truncated_pages" in raw.columns:
         # decode-guard hits travel with the corpus: surface the total in
@@ -231,7 +248,7 @@ def main() -> int:
         with open(args.blocklist) as f:
             blocked = [ln.strip() for ln in f if ln.strip()]
         docs = filter_blocked_domains(docs, blocked)
-        summary["after_blocklist"] = docs.count()
+        docs, summary["after_blocklist"] = _count(docs)
         _stage("blocklist")
 
     if args.word_blocklist:
@@ -240,7 +257,7 @@ def main() -> int:
         with open(args.word_blocklist) as f:
             words = [ln.strip() for ln in f if ln.strip()]
         docs = blocked_words_filter(docs, words)
-        summary["after_word_blocklist"] = docs.count()
+        docs, summary["after_word_blocklist"] = _count(docs)
         _stage("word_blocklist")
 
     if args.c4_line_filter:
@@ -258,7 +275,7 @@ def main() -> int:
             .withColumnRenamed("clean_text", "text")
             .select("doc_id", "url", "text")
         )
-        summary["after_c4_line_filter"] = docs.count()
+        docs, summary["after_c4_line_filter"] = _count(docs)
         summary["c4_lines_removed"] = int(obs.get["lines_removed"] or 0)
         _stage("c4_line_filter")
 
@@ -270,7 +287,7 @@ def main() -> int:
             .filter(F.col("lang_pred") == args.lang)
             .select("doc_id", "url", "text")
         )
-        summary["after_lang"] = docs.count()
+        docs, summary["after_lang"] = _count(docs)
         _stage("lang")
 
     if args.gopher or args.min_quality is not None or args.c4_hard_drops:
@@ -289,7 +306,7 @@ def main() -> int:
         if args.c4_hard_drops:
             cond = cond & ~F.col("c4_has_curly") & ~F.col("c4_has_lorem")
         docs = scored.filter(cond).select("doc_id", "url", "text")
-        summary["after_quality"] = docs.count()
+        docs, summary["after_quality"] = _count(docs)
         _stage("quality")
 
     # exact dedup on (canonical url, content digest) always runs
@@ -300,8 +317,9 @@ def main() -> int:
     reps = exact_dedup(docs, text_col="text").select(
         F.col("representative").alias("doc_id")
     )
-    docs = docs.join(reps, "doc_id", "left_semi").cache()
-    summary["after_exact_dedup"] = docs.count()
+    docs, summary["after_exact_dedup"] = _count(
+        docs.join(reps, "doc_id", "left_semi")
+    )
     _stage("exact_dedup")
 
     if args.incremental_ref:
@@ -324,7 +342,7 @@ def main() -> int:
             docs, ref, text_col="text", bitmap=bitmap
         ).localCheckpoint()
         bitmap.unpersist()
-        summary["after_incremental"] = docs.count()
+        docs, summary["after_incremental"] = _count(docs)
         _stage("incremental")
 
     if args.near_dup_ref:
@@ -334,7 +352,7 @@ def main() -> int:
             "doc_id", F.xxhash64("text")
         )
         docs = incremental_near_dedup(docs, ref).localCheckpoint()
-        summary["after_incremental_near"] = docs.count()
+        docs, summary["after_incremental_near"] = _count(docs)
         _stage("incremental_near")
 
     if args.near_dup:
@@ -362,15 +380,18 @@ def main() -> int:
         summary["lsh_capped_buckets"] = lsh_hot_buckets(
             sigs, num_perm=8, max_bucket=args.max_bucket
         ).count()
-        docs = docs.join(losers, "doc_id", "left_anti").cache()
-        summary["after_near_dup"] = docs.count()
+        sigs.unpersist()
+        docs, summary["after_near_dup"] = _count(
+            docs.join(losers, "doc_id", "left_anti")
+        )
         _stage("near_dup")
 
     if args.max_per_domain is not None:
         from ocr_spark.operators.text_analysis import cap_per_domain
 
-        docs = cap_per_domain(docs, args.max_per_domain).cache()
-        summary["after_domain_cap"] = docs.count()
+        docs, summary["after_domain_cap"] = _count(
+            cap_per_domain(docs, args.max_per_domain)
+        )
         _stage("domain_cap")
 
     if args.line_dedup:
@@ -419,9 +440,10 @@ def main() -> int:
             )
         ).collect()[0][0]
         keep = scores.filter(F.col("mean_logprob") >= thr).select("doc_id")
-        docs = docs.join(keep, "doc_id", "left_semi").cache()
+        docs, summary["after_lm_head"] = _count(
+            docs.join(keep, "doc_id", "left_semi")
+        )
         summary["lm_threshold"] = thr
-        summary["after_lm_head"] = docs.count()
         _stage("lm_head")
 
     if args.classifier_head is not None:
@@ -463,9 +485,10 @@ def main() -> int:
         keep = scores.filter(F.col("mean_log_odds") >= cthr).select(
             "doc_id"
         )
-        docs = docs.join(keep, "doc_id", "left_semi").cache()
+        docs, summary["after_classifier_head"] = _count(
+            docs.join(keep, "doc_id", "left_semi")
+        )
         summary["classifier_threshold"] = cthr
-        summary["after_classifier_head"] = docs.count()
         _stage("classifier_head")
 
     if args.decontam_ref:
@@ -481,8 +504,8 @@ def main() -> int:
             bench,
             n=args.decontam_ngram,
             threshold=args.decontam_threshold,
-        ).cache()
-        summary["after_decontam"] = docs.count()
+)
+        docs, summary["after_decontam"] = _count(docs)
         _stage("decontam")
 
     if args.pii:

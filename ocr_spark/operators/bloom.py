@@ -86,6 +86,53 @@ def digest_expr(text_col: str) -> str:
 
 M_BITS_CAP_XXHASH = 1 << 62  # 63-bit words, non-negative masks (see above)
 
+FINGERPRINT_WORD = -1  # probe positions are non-negative, so -1 is free
+
+
+def bitmap_fingerprint(m_bits: int, k: int, hash_mode: str) -> int:
+    """Non-negative 63-bit fingerprint of the bitmap's build parameters
+    (+ the word layout version), stored in the reserved ``word = -1``
+    row of every :func:`bloom_bitmap`.  A bitmap persisted to parquet is
+    a long-lived artifact; probing it with DIFFERENT ``m_bits``/``k``/
+    ``hash_mode`` (or with a layout from another release) produces bloom
+    FALSE NEGATIVES — kept duplicates — with no error anywhere, so the
+    probe side refuses a mismatched artifact instead
+    (:func:`check_bitmap_fingerprint`).  The sentinel row is join-inert:
+    every probe joins on non-negative words."""
+    import hashlib as _hashlib
+
+    raw = f"bloom-layout-v1|{m_bits}|{k}|{hash_mode}|{WORD_BITS}".encode()
+    return int.from_bytes(_hashlib.md5(raw).digest()[:8], "big") >> 1
+
+
+def check_bitmap_fingerprint(
+    bitmap: DataFrame, m_bits: int, k: int, hash_mode: str
+) -> bool:
+    """Validate a (possibly stored) bitmap's fingerprint row against the
+    probe parameters.  Returns True when a fingerprint was present and
+    matched, False when the bitmap carries none (a pre-fingerprint
+    artifact — accepted, the caller owns the risk), and raises on a
+    mismatch.  One tiny filter job (pushed down on parquet bitmaps)."""
+    rows = (
+        bitmap.filter(F.col("word") == FINGERPRINT_WORD)
+        .select("mask")
+        .limit(2)
+        .collect()
+    )
+    if not rows:
+        return False
+    got = int(rows[0]["mask"])
+    want = bitmap_fingerprint(m_bits, k, hash_mode)
+    if got != want:
+        raise ValueError(
+            f"bloom bitmap fingerprint mismatch: the artifact was built "
+            f"with different (m_bits, k, hash_mode) than this probe "
+            f"(m_bits={m_bits}, k={k}, hash_mode={hash_mode!r}) — "
+            f"probing it would produce silent false negatives "
+            f"(kept duplicates)"
+        )
+    return True
+
 
 def _bound_hash_expr(digest: str, mode: str) -> str:
     """The per-row expression each bloom stage binds ONCE to a real
@@ -158,7 +205,7 @@ def bloom_bitmap(
     of raw text (identical output by construction)."""
     pos = ", ".join(_position_exprs("_blh", k, m_bits, hash_mode))
     dig = _digest_of(text_col, digest_col)
-    return (
+    words = (
         df.select(F.expr(_bound_hash_expr(dig, hash_mode)).alias("_blh"))
         .select(F.expr(f"explode(array({pos}))").alias("pos"))
         .select(
@@ -171,6 +218,15 @@ def bloom_bitmap(
         .groupBy("word")
         .agg(F.bit_or("_bit").alias("mask"))
     )
+    # reserved word=-1 row: the build-parameter fingerprint the probe
+    # side validates on stored artifacts (join-inert — see
+    # bitmap_fingerprint)
+    fp = bitmap_fingerprint(m_bits, k, hash_mode)
+    sentinel = df.sparkSession.range(1).select(
+        F.lit(FINGERPRINT_WORD).cast("bigint").alias("word"),
+        F.lit(fp).cast("bigint").alias("mask"),
+    )
+    return words.unionByName(sentinel)
 
 
 def bloom_flag(
@@ -350,6 +406,11 @@ def incremental_dedup(
     if probe_mode not in ("broadcast-k", "single-join"):
         raise ValueError(f"unknown probe_mode {probe_mode!r}")
     owned = bitmap is None
+    if not owned:
+        # a caller-provided bitmap is a long-lived artifact (persisted /
+        # parquet); refuse it if its build parameters don't match this
+        # probe's — a mismatch means silent false negatives
+        check_bitmap_fingerprint(bitmap, m_bits, k, hash_mode)
     old_dig = _digest_of(text_col, old_digest_col)
     if probe_mode == "single-join":
         if owned:
@@ -421,6 +482,7 @@ def oracle_bitmap_sql(
         f"((({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MERSENNE}) % {m_bits})"
         for j in range(k)
     )
+    fp = bitmap_fingerprint(m_bits, k, "portable")
     return f"""
 WITH old AS ({old_sql}),
 h AS (SELECT {h} AS h FROM old),
@@ -428,4 +490,6 @@ p AS (SELECT unnest([{pos}]) AS pos FROM h)
 SELECT pos // {WORD_BITS} AS word,
        bit_or(CAST(1 AS BIGINT) << CAST(pos % {WORD_BITS} AS INT)) AS mask
 FROM p GROUP BY 1
+UNION ALL
+SELECT CAST({FINGERPRINT_WORD} AS BIGINT) AS word, CAST({fp} AS BIGINT) AS mask
 """

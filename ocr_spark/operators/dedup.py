@@ -201,6 +201,50 @@ def lsh_candidate_pairs(
     )
 
 
+def _SIG_META(bits: int, hash_mode: str) -> dict:
+    """Column metadata :func:`simhash` stamps on its signature column so
+    a consumer handed a precomputed ``sig=`` frame can refuse a
+    parameter mismatch instead of silently slicing wrong-width bands."""
+    return {"simhash_bits": bits, "hash_mode": hash_mode}
+
+
+def _check_sig(sig: DataFrame, bits: int, hash_mode: str) -> None:
+    if "simhash" not in sig.columns:
+        raise ValueError(
+            "sig frame lacks a 'simhash' column — build it with "
+            "simhash(df, ...)"
+        )
+    meta = sig.schema["simhash"].metadata or {}
+    got = meta.get("simhash_bits")
+    if got is not None and int(got) != bits:
+        raise ValueError(
+            f"sig frame was built with bits={got}; this call passed "
+            f"bits={bits} — the band arithmetic would be silently wrong"
+        )
+    hm = meta.get("hash_mode")
+    if hm is not None and hm != hash_mode:
+        raise ValueError(
+            f"sig frame was built with hash_mode={hm!r}; this call "
+            f"passed hash_mode={hash_mode!r}"
+        )
+
+
+def _check_shingled(shingled: DataFrame, id_col: str, n: int) -> None:
+    missing = {id_col, "shingle"} - set(shingled.columns)
+    if missing:
+        raise ValueError(
+            f"shingled frame lacks columns {sorted(missing)} — build it "
+            f"with shingle_postings(df, text_col, {id_col!r}, n)"
+        )
+    meta = shingled.schema["shingle"].metadata or {}
+    got = meta.get("shingle_n")
+    if got is not None and int(got) != n:
+        raise ValueError(
+            f"shingled frame was built with n={got}; this call passed "
+            f"n={n} — the Jaccard width would be silently wrong"
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -229,6 +273,7 @@ def ngram_jaccard_pairs(
     if shingled is None:
         sh = shingle_postings(df, text_col, id_col, n)
     else:
+        _check_shingled(shingled, id_col, n)
         sh = shingled.select(id_col, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_posting is not None:
@@ -538,8 +583,18 @@ def shingle_postings(
     from.  For the capped+audited pairing, build it once, ``persist()``,
     pass to both via their ``shingled`` parameter, and unpersist after
     materializing (caller-owned lifecycle — bloom-bitmap contract)."""
-    return with_shingles(df, text_col, n).select(
-        id_col, F.explode("shingles").alias("shingle")
+    return (
+        with_shingles(df, text_col, n)
+        .select(id_col, F.explode("shingles").alias("shingle"))
+        .select(
+            id_col,
+            # the shingle width rides as column metadata so a consumer
+            # called with a DIFFERENT n can refuse the frame instead of
+            # silently computing the wrong-width Jaccard (never-silent
+            # policy).  Second projection: an alias ON the generator
+            # itself silently drops its metadata.
+            F.col("shingle").alias("shingle", metadata={"shingle_n": n}),
+        )
     )
 
 
@@ -562,6 +617,7 @@ def jaccard_hot_shingles(
             raise ValueError("pass df or a precomputed shingled frame")
         sh = shingle_postings(df, text_col, id_col, n)
     else:
+        _check_shingled(shingled, id_col, n)
         sh = shingled.select(id_col, "shingle")
     return (
         sh.groupBy("shingle")
@@ -632,7 +688,9 @@ def simhash(
             f"(CASE WHEN s{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
             for j in range(bits)
         )
-        return sums.select(id_col, F.expr(sig).alias("simhash"))
+        return sums.select(
+            id_col, F.expr(sig).alias("simhash", metadata=_SIG_META(bits, hash_mode))
+        )
     hashes = f"transform(split({text}, ' '), t -> {th})"
     bit_sum = (
         f"aggregate({hashes}, array_repeat(0L, {bits}), (acc, hv) -> "
@@ -644,7 +702,9 @@ def simhash(
         f"(s, j) -> CASE WHEN s > 0 THEN shiftleft(1L, j) ELSE 0L END), "
         f"0L, (acc, v) -> acc + v)"
     )
-    return df.select(id_col, F.expr(sig).alias("simhash"))
+    return df.select(
+        id_col, F.expr(sig).alias("simhash", metadata=_SIG_META(bits, hash_mode))
+    )
 
 
 def _simhash_buckets(
@@ -691,6 +751,8 @@ def simhash_hot_buckets(
     (caller owns the persist lifecycle — bloom-bitmap contract)."""
     if sig is None:
         sig = simhash(df, text_col, id_col, bits, hash_mode)
+    else:
+        _check_sig(sig, bits, hash_mode)
     return (
         _simhash_buckets(sig, id_col, bits, max_hamming)
         .groupBy("band", "key")
@@ -727,6 +789,8 @@ def simhash_near_dup_pairs(
     scale use ``bits=64`` so the band keyspace doesn't saturate."""
     if sig is None:
         sig = simhash(df, text_col, id_col, bits, hash_mode)
+    else:
+        _check_sig(sig, bits, hash_mode)
     buck = _simhash_buckets(sig, id_col, bits, max_hamming)
     if max_bucket is not None:
         hot = (

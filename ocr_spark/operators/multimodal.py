@@ -137,10 +137,19 @@ def decode_image(payload: bytes) -> imagecodec.DecodedImage:
     (ocr_spark.imagecodec — zlib inflate + all five PNG filters), PIL
     fallback for formats the stdlib codec can't cover (JPEG).  Raises
     NotImplementedError only for a format neither path handles — loudly,
-    never a wrong silent decode."""
+    never a wrong silent decode.
+
+    Corrupt-but-sniffed payloads (truncated IDAT zlib stream, cut chunk
+    header — routine in interrupted crawls) raise ``zlib.error`` /
+    ``struct.error`` / ``IndexError`` from inside the codec, not
+    ValueError; they get the same fallback-then-loud-failure treatment
+    instead of escaping as an opaque executor traceback."""
+    import struct
+    import zlib
+
     try:
         return imagecodec.sniff_decode(bytes(payload))
-    except ValueError as codec_err:
+    except (ValueError, zlib.error, struct.error, IndexError) as codec_err:
         try:
             import io
 

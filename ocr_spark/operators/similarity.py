@@ -595,15 +595,42 @@ def hyperplane_buckets(
                          F.expr(f"shiftright(sig, {half})").alias("key")),
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    ).select(
+        id_col,
+        "bk.band",
+        # the build parameters ride as column metadata so a consumer
+        # called with different planes/vec_col can refuse the frame
+        # instead of silently bucketing under the wrong geometry
+        F.col("bk.key").alias(
+            "key", metadata={"planes": planes, "vec_col": vec_col}
+        ),
+    )
 
 
-def _check_banded(banded: DataFrame, id_col: str) -> None:
+def _check_banded(
+    banded: DataFrame,
+    id_col: str,
+    planes: int | None = None,
+    vec_col: str | None = None,
+) -> None:
     missing = {id_col, "band", "key"} - set(banded.columns)
     if missing:
         raise ValueError(
             f"banded frame lacks columns {sorted(missing)} — build it "
             f"with hyperplane_buckets(df, vec_col, {id_col!r}, ...)"
+        )
+    meta = banded.schema["key"].metadata or {}
+    got = meta.get("planes")
+    if planes is not None and got is not None and int(got) != planes:
+        raise ValueError(
+            f"banded frame was built with planes={got}; this call passed "
+            f"planes={planes}"
+        )
+    gotv = meta.get("vec_col")
+    if vec_col is not None and gotv is not None and gotv != vec_col:
+        raise ValueError(
+            f"banded frame was built over vec_col={gotv!r}; this call "
+            f"passed vec_col={vec_col!r}"
         )
 
 
@@ -629,7 +656,7 @@ def cosine_hot_buckets(
             raise ValueError("pass df or a precomputed banded frame")
         banded = hyperplane_buckets(df, vec_col, id_col, planes, signs)
     else:
-        _check_banded(banded, id_col)
+        _check_banded(banded, id_col, planes, vec_col)
     return (
         banded.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -665,7 +692,7 @@ def cosine_pairs(
     if banded is None:
         banded = hyperplane_buckets(df, vec_col, id_col, planes, signs)
     else:
-        _check_banded(banded, id_col)
+        _check_banded(banded, id_col, planes, vec_col)
         banded = banded.select(id_col, "band", "key")
     if max_bucket is not None:
         hot = (
@@ -805,17 +832,21 @@ def ann_recall_report(
                 )
                 .collect()[0]
             )
+            # zero queries (empty truth) leaves the sums/min NULL —
+            # report zeros, not a TypeError
+            n_truth = int(agg["n_truth"] or 0)
+            n_hit = int(agg["n_hit"] or 0)
             rows.append(
                 (
                     m,
                     k,
                     int(agg["n_queries"]),
-                    int(agg["n_truth"]),
-                    int(agg["n_hit"]),
-                    float(agg["n_hit"]) / float(agg["n_truth"])
-                    if agg["n_truth"]
+                    n_truth,
+                    n_hit,
+                    float(n_hit) / float(n_truth) if n_truth else 0.0,
+                    float(agg["min_recall"])
+                    if agg["min_recall"] is not None
                     else 0.0,
-                    float(agg["min_recall"]),
                 )
             )
     finally:

@@ -609,17 +609,17 @@ def blocked_words_filter(
         return "'" + w.replace("'", "''") + "'"
 
     conds = []
-    # normalized text bound ONCE to a real column (the phrase branch
-    # references it per entry; CLAUDE.md bind-before-reuse)
-    ncol = "_bw_norm"
-    while ncol in df.columns:
-        ncol += "_"
-    bound = df.withColumn(
-        ncol,
-        F.expr(
-            f"regexp_replace(regexp_replace(lower(coalesce({text_col}, "
-            f"'')), '[^a-z0-9 ]', ' '), ' +', ' ')"
-        ),
+    # NOTE a column binding does NOT protect the normalize chain here:
+    # PushDownPredicates/CollapseProject substitute a once-referenced
+    # alias straight into the predicate, so anything inside a per-entry
+    # lambda would re-run the two regexp_replace passes PER ENTRY per
+    # row (measured in the optimized plan).  Both branches are therefore
+    # single-eval expressions: a split+overlap for single tokens and ONE
+    # rlike alternation for phrases (entries are pure [a-z0-9 ] after
+    # normalization, so the pattern needs no escaping).
+    ncol = (
+        f"regexp_replace(regexp_replace(lower(coalesce({text_col}, "
+        f"'')), '[^a-z0-9 ]', ' '), ' +', ' ')"
     )
     if singles:
         conds.append(
@@ -627,16 +627,15 @@ def blocked_words_filter(
             f"array({', '.join(_lit(w) for w in singles)}))"
         )
     if phrases:
-        # padded containment = whole-token phrase match on the collapsed
-        # text; the phrase array is a constant-folded literal
-        conds.append(
-            f"exists(array({', '.join(_lit(' ' + w + ' ') for w in phrases)}), "
-            f"p -> contains(concat(' ', {ncol}, ' '), p))"
-        )
+        # whole-token phrase match on the collapsed text: one regex pass
+        # per row (the alternation is a constant-folded literal), zero
+        # per-entry string copies
+        pat = "(^| )(" + "|".join(phrases) + ")( |$)"
+        conds.append(f"({ncol}) rlike {_lit(pat)}")
     hit = F.expr(" OR ".join(conds))
     if keep_flag:
-        return bound.withColumn("has_blocked_word", hit).drop(ncol)
-    return bound.filter(~hit).drop(ncol)
+        return df.withColumn("has_blocked_word", hit)
+    return df.filter(~hit)
 
 
 def corpus_gate_report(df: DataFrame, text_col: str = "text") -> DataFrame:

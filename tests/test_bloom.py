@@ -434,3 +434,71 @@ class TestIncrementalNearDedup:
         # the audit view names what the cap excluded — never silent
         sigs = minhash_signatures(old)
         assert lsh_hot_buckets(sigs, max_bucket=10).count() > 0
+
+
+class TestBitmapFingerprint:
+    """A persisted bitmap probed with different (m_bits, k, hash_mode)
+    produces bloom FALSE NEGATIVES — kept duplicates — with no error
+    anywhere, so every bitmap carries a reserved word=-1 fingerprint row
+    and the probe side refuses a mismatch (r5 review finding)."""
+
+    def test_bitmap_carries_join_inert_fingerprint_row(self, snapshots):
+        from ocr_spark.operators.bloom import (
+            FINGERPRINT_WORD,
+            bitmap_fingerprint,
+            bloom_bitmap,
+        )
+
+        old, _ = snapshots
+        bm = bloom_bitmap(old, "norm", 1 << 18, 4)
+        rows = bm.filter(F.col("word") == FINGERPRINT_WORD).collect()
+        assert len(rows) == 1
+        assert rows[0]["mask"] == bitmap_fingerprint(1 << 18, 4, "xxhash64")
+        # data words are all non-negative, so the sentinel can never
+        # collide with a probe join key
+        assert bm.filter("word < 0").count() == 1
+
+    def test_mismatched_probe_params_raise(self, snapshots):
+        from ocr_spark.operators.bloom import bloom_bitmap, incremental_dedup
+
+        old, new = snapshots
+        bm = bloom_bitmap(old, "norm", 1 << 18, 4).persist()
+        try:
+            for bad in (
+                dict(m_bits=1 << 20, k=4),          # different m
+                dict(m_bits=1 << 18, k=3),          # different k
+                dict(m_bits=1 << 18, k=4, hash_mode="portable"),
+            ):
+                with pytest.raises(ValueError, match="fingerprint"):
+                    incremental_dedup(
+                        new, old, "norm", bitmap=bm, **bad
+                    ).count()
+        finally:
+            bm.unpersist()
+
+    def test_matching_and_legacy_bitmaps_accepted(self, snapshots, tmp_path):
+        """A parquet round-trip keeps the fingerprint; a pre-fingerprint
+        artifact (no sentinel row) is accepted unchecked — same results
+        either way."""
+        from ocr_spark.operators.bloom import bloom_bitmap, incremental_dedup
+
+        old, new = snapshots
+        expect = _expected_kept(old, new)
+        path = str(tmp_path / "bm")
+        bloom_bitmap(old, "norm", 1 << 18, 4).write.parquet(path)
+        stored = new.sparkSession.read.parquet(path)
+        got = sorted(
+            r.doc_id
+            for r in incremental_dedup(
+                new, old, "norm", 1 << 18, 4, bitmap=stored
+            ).collect()
+        )
+        assert got == expect
+        legacy = stored.filter("word >= 0")
+        got2 = sorted(
+            r.doc_id
+            for r in incremental_dedup(
+                new, old, "norm", 1 << 18, 4, bitmap=legacy
+            ).collect()
+        )
+        assert got2 == expect

@@ -2614,3 +2614,135 @@ class TestCorpusGateReport:
         )
         assert plan.count("Exchange") == 1  # the single-row final agg
         assert "partial" in plan.lower()  # map-side combine
+
+
+class TestSharedFrameParamGuards:
+    """A precomputed shared frame (sig= / shingled= / banded=) built with
+    different parameters than the consuming call would silently bucket
+    under the wrong geometry (r5 review finding) — the producers stamp
+    their parameters as column metadata and the consumers refuse a
+    mismatch."""
+
+    def test_simhash_sig_bits_mismatch_raises(self, docs):
+        from ocr_spark.operators.dedup import (
+            simhash,
+            simhash_hot_buckets,
+            simhash_near_dup_pairs,
+        )
+
+        sig = simhash(docs, bits=64)
+        with pytest.raises(ValueError, match="bits=64"):
+            simhash_near_dup_pairs(docs, bits=16, sig=sig)
+        with pytest.raises(ValueError, match="bits=64"):
+            simhash_hot_buckets(docs, bits=16, sig=sig)
+        # matching params pass through (smoke: plan builds)
+        simhash_near_dup_pairs(docs, bits=64, sig=sig).schema
+
+    def test_simhash_sig_hash_mode_mismatch_raises(self, docs):
+        from ocr_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+        sig = simhash(docs, bits=16, hash_mode="portable")
+        with pytest.raises(ValueError, match="hash_mode"):
+            simhash_near_dup_pairs(docs, bits=16, sig=sig)
+
+    def test_shingle_postings_n_mismatch_raises(self, docs):
+        from ocr_spark.operators.dedup import (
+            jaccard_hot_shingles,
+            ngram_jaccard_pairs,
+            shingle_postings,
+        )
+
+        sh = shingle_postings(docs, n=3)
+        with pytest.raises(ValueError, match="n=3"):
+            ngram_jaccard_pairs(docs, n=5, shingled=sh)
+        with pytest.raises(ValueError, match="n=3"):
+            jaccard_hot_shingles(docs, n=5, shingled=sh)
+        ngram_jaccard_pairs(docs, n=3, shingled=sh).schema
+
+    def test_banded_planes_mismatch_raises(self, embs):
+        from ocr_spark.operators.similarity import (
+            cosine_hot_buckets,
+            cosine_pairs,
+            hyperplane_buckets,
+        )
+
+        banded = hyperplane_buckets(embs, planes=16)
+        with pytest.raises(ValueError, match="planes=16"):
+            cosine_pairs(embs, planes=32, banded=banded)
+        with pytest.raises(ValueError, match="planes=16"):
+            cosine_hot_buckets(planes=32, banded=banded)
+        cosine_pairs(embs, planes=16, banded=banded).schema
+
+    def test_metadata_survives_persist_and_select(self, docs):
+        """The guard rides column metadata, which must survive the
+        documented persist-and-share lifecycle."""
+        from ocr_spark.operators.dedup import shingle_postings
+
+        sh = shingle_postings(docs, n=4).select("doc_id", "shingle").persist()
+        try:
+            meta = sh.schema["shingle"].metadata
+            assert meta.get("shingle_n") == 4
+        finally:
+            sh.unpersist()
+
+
+class TestRecallReportEdgeCases:
+    def test_empty_query_set_reports_zeros(self, embs):
+        """Zero queries → zero-filled report rows, not a TypeError from
+        int(None) over the NULL empty-aggregate sums (r5 review
+        finding)."""
+        from ocr_spark.operators.similarity import ann_recall_report
+
+        rows = ann_recall_report(
+            embs, embs.filter("vec_id < 0"), k=5, methods=("lsh",)
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.n_queries, r.n_truth, r.n_hit) == (0, 0, 0)
+        assert r.recall == 0.0 and r.min_recall == 0.0
+
+
+class TestBlockedWordsPlanShape:
+    def test_phrase_branch_single_normalize_pass(self, spark):
+        """PushDownPredicates inlines a once-referenced alias into the
+        filter predicate, so an exists()-lambda phrase check re-ran the
+        two regexp_replace normalize passes over the whole document PER
+        ENTRY per row (measured in the optimized plan — r5 review
+        finding).  Pin the fixed shape: the normalize chain appears a
+        constant number of times regardless of entry count, and no
+        lambda wraps it."""
+        from ocr_spark.operators.text_analysis import blocked_words_filter
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        entries = [f"bad phrase {i}" for i in range(40)] + ["solo"]
+        plan = (
+            blocked_words_filter(df, entries)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("regexp_replace") <= 4
+        assert "lambdafunction" not in plan
+
+
+class TestImageDecodeCorruption:
+    def test_truncated_idat_fails_loudly_not_zlib_error(self, spark):
+        """A PNG with a cut IDAT stream (routine in interrupted crawls)
+        must surface through the typed decode-error path, not as an
+        opaque executor zlib traceback (r5 review finding)."""
+        import zlib
+
+        from ocr_spark import imagecodec as ic
+        from ocr_spark.operators.multimodal import decode_image
+
+        good = ic.png_encode(8, 8, bytes(i % 256 for i in range(8 * 8 * 3)), 3)
+        # cut the file mid-IDAT: keep the signature + IHDR, drop the tail
+        truncated = good[: len(good) - 24]
+        try:
+            decode_image(truncated)
+            raised = None
+        except (NotImplementedError, ValueError) as e:
+            raised = e
+        except zlib.error as e:  # pragma: no cover - the old failure
+            pytest.fail(f"raw zlib.error escaped the decode path: {e}")
+        assert raised is not None

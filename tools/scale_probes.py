@@ -11,10 +11,25 @@ known-bad plan shape for comparison); run manually::
                                           # the k-broadcast probe at
                                           # m = 2^28
 
-Both probes print one JSON line.  Methodology follows BENCH.md: fresh
-process per probe, best-of-2 per variant, JVM-side data generation with
-a localCheckpoint so the timed window is the operator, not the
-generator.
+Methodology (the bench-hygiene rules from BENCH.md, applied to A/Bs):
+
+- **One subprocess per timed variant.**  pyspark reuses the SAME JVM
+  within a Python process, and a payload-heavy plan poisons later
+  shuffle timings up to 10× (measured r4) — so variant A must never run
+  in variant B's JVM, and no untimed pre-pass (result-parity check, data
+  generation beyond the localCheckpoint) may share the timed JVM with a
+  LATER variant.  The orchestrator spawns ``<probe>-time <variant>``
+  subprocesses and merges their JSON; result parity runs in its own
+  final subprocess.
+- **Symmetric inputs.**  The bloom A/B probes ONE pre-built,
+  caller-persisted bitmap passed to both modes (the production artifact
+  posture) — an internally-built bitmap would let the persisting mode's
+  second rep skip the build that the other mode re-pays.
+- Best-of-2 per variant; JVM-side generation behind a localCheckpoint so
+  the timed window is the operator, not the generator.
+- Wall-time AND shuffle-write bytes (Spark UI REST) per variant: on one
+  host a shuffle is a memory copy, on 1000 executors it is the network,
+  so bytes are the cluster-relevant number local wall-clock can't show.
 
 ``ann`` replays the exact pre-r5 ``lsh_topk`` shape (the distinct and
 rerank carried ``c_vec``/``q_vec`` through the bucket join —
@@ -34,12 +49,16 @@ regime the single-join mode exists for.
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
+
+ANN_DEFAULTS = (200_000, 256, 2048)  # n, dim, n_queries
+BLOOM_DEFAULTS = (2_000_000, 2_000_000, 2**28)  # n_old, n_new, m_bits
 
 
 def _noop(df) -> None:
@@ -48,10 +67,7 @@ def _noop(df) -> None:
 
 def _shuffle_write_bytes(spark) -> int:
     """Total shuffle-write bytes across all completed stages so far
-    (Spark UI REST; the probes enable the UI for exactly this).  The
-    per-variant DELTA is the cluster-relevant number local wall-time
-    can't show: on one JVM a shuffle is a memory copy, on 1000
-    executors it is the network."""
+    (Spark UI REST; the probes enable the UI for exactly this)."""
     import urllib.request
 
     ui = spark.sparkContext.uiWebUrl
@@ -63,36 +79,33 @@ def _shuffle_write_bytes(spark) -> int:
     return sum(s.get("shuffleWriteBytes", 0) for s in stages)
 
 
-def _timed(df, reps: int = 2) -> tuple[float, int]:
-    """(best-of-reps seconds, shuffle-write bytes of ONE run)."""
-    spark = df.sparkSession
-    best = float("inf")
-    before = _shuffle_write_bytes(spark)
-    t0 = time.time()
-    _noop(df)
-    best = min(best, time.time() - t0)
-    bytes_one = _shuffle_write_bytes(spark) - before
-    for _ in range(reps - 1):
-        t0 = time.time()
-        _noop(df)
-        best = min(best, time.time() - t0)
-    return round(best, 2), bytes_one
-
-
-def probe_ann(n: int = 200_000, dim: int = 256, n_queries: int = 256) -> dict:
-    from pyspark.sql import functions as F
-
-    from ocr_spark.operators import similarity
-    from ocr_spark.operators.similarity import (
-        _dot,
-        _norm,
-        hyperplane_signature,
-    )
+def _spark(app: str):
     from ocr_spark.session import get_spark
 
-    spark = get_spark(
-        "ann-probe", cores=None, extra_conf={"spark.ui.enabled": "true"}
+    return get_spark(
+        app, cores=None, extra_conf={"spark.ui.enabled": "true"}
     )
+
+
+def _sub(argv: list[str]) -> dict:
+    """Run one probe subprocess (fresh JVM) and parse its JSON line."""
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve()), *argv],
+        capture_output=True,
+        text=True,
+    )
+    if out.returncode != 0:
+        print(out.stderr[-3000:], file=sys.stderr)
+        raise RuntimeError(f"probe subprocess {argv} exited {out.returncode}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+# --------------------------------------------------------------- ANN probe
+
+
+def _ann_corpus(spark, n: int, dim: int, n_queries: int):
+    from pyspark.sql import functions as F
+
     corpus = (
         spark.range(n)
         .select(
@@ -106,117 +119,158 @@ def probe_ann(n: int = 200_000, dim: int = 256, n_queries: int = 256) -> dict:
         .localCheckpoint()  # time the join machinery, not the generator
     )
     queries = corpus.filter(F.col("vec_id") < n_queries).localCheckpoint()
+    return corpus, queries
 
-    def lsh_topk_vec_through(df, qs_df, k=10, planes=16):
-        """The r4 shape, verbatim semantics: vectors ride the bucket
-        join and the distinct (similarity.py pre-r5; kept ONLY here,
-        as the A/B baseline)."""
-        from pyspark.sql import Window
 
-        half = planes // 2
-        mask = (1 << half) - 1
+def _lsh_topk_vec_through(df, qs_df, k=10, planes=16):
+    """The r4 shape, verbatim semantics: vectors ride the bucket join and
+    the distinct (similarity.py pre-r5; kept ONLY here, as the A/B
+    baseline)."""
+    from pyspark.sql import Window, functions as F
 
-        def banded(x, pref):
-            s = hyperplane_signature(
-                x.select("vec_id", "embedding"), "embedding", planes
-            )
-            withv = s.join(
-                x.select(
-                    F.col("vec_id"),
-                    F.col("embedding").alias(f"{pref}_vec"),
-                ),
-                "vec_id",
-            )
-            return withv.select(
-                F.col("vec_id").alias(f"{pref}_id"),
-                f"{pref}_vec",
-                F.explode(
-                    F.array(
-                        F.struct(
-                            F.lit(0).alias("band"),
-                            F.expr(f"sig & {mask}").alias("key"),
-                        ),
-                        F.struct(
-                            F.lit(1).alias("band"),
-                            F.expr(f"shiftright(sig, {half})").alias("key"),
-                        ),
-                    )
-                ).alias("bk"),
-            ).select(f"{pref}_id", f"{pref}_vec", "bk.band", "bk.key")
+    from ocr_spark.operators.similarity import (
+        _dot,
+        _norm,
+        hyperplane_signature,
+    )
 
-        cand = (
-            banded(df, "c")
-            .join(F.broadcast(banded(qs_df, "q")), on=["band", "key"])
-            .filter(F.col("c_id") != F.col("q_id"))
-            .select("q_id", "c_id", "c_vec", "q_vec")
-            .distinct()
-            .withColumn(
-                "cos",
-                F.expr(
-                    f"{_dot('c_vec', 'q_vec')} / "
-                    f"({_norm('c_vec')} * {_norm('q_vec')})"
-                ),
-            )
+    half = planes // 2
+    mask = (1 << half) - 1
+
+    def banded(x, pref):
+        s = hyperplane_signature(
+            x.select("vec_id", "embedding"), "embedding", planes
         )
-        w = Window.partitionBy("q_id").orderBy(
-            F.desc("cos"), F.col("c_id").asc()
+        withv = s.join(
+            x.select(
+                F.col("vec_id"),
+                F.col("embedding").alias(f"{pref}_vec"),
+            ),
+            "vec_id",
         )
-        return (
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(
-                F.col("q_id").alias("query_id"),
-                F.col("c_id").alias("neighbor_id"),
-                "rank",
-                "cos",
-            )
-        )
+        return withv.select(
+            F.col("vec_id").alias(f"{pref}_id"),
+            f"{pref}_vec",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("band"),
+                        F.expr(f"sig & {mask}").alias("key"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("band"),
+                        F.expr(f"shiftright(sig, {half})").alias("key"),
+                    ),
+                )
+            ).alias("bk"),
+        ).select(f"{pref}_id", f"{pref}_vec", "bk.band", "bk.key")
 
-    new_df = similarity.lsh_topk(corpus, queries, k=10)
-    old_df = lsh_topk_vec_through(corpus, queries, k=10)
-    # same candidates, same ranks — the A/B changes the plan only
-    mismatch = new_df.exceptAll(old_df).count() + old_df.exceptAll(
-        new_df
-    ).count()
-    id_sec, id_bytes = _timed(new_df)
-    old_sec, old_bytes = _timed(old_df)
+    cand = (
+        banded(df, "c")
+        .join(F.broadcast(banded(qs_df, "q")), on=["band", "key"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", "c_vec", "q_vec")
+        .distinct()
+        .withColumn(
+            "cos",
+            F.expr(
+                f"{_dot('c_vec', 'q_vec')} / "
+                f"({_norm('c_vec')} * {_norm('q_vec')})"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("c_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "rank",
+            "cos",
+        )
+    )
+
+
+def _ann_variant(spark, variant: str, n: int, dim: int, nq: int):
+    from ocr_spark.operators import similarity
+
+    corpus, queries = _ann_corpus(spark, n, dim, nq)
+    if variant == "id_only":
+        return similarity.lsh_topk(corpus, queries, k=10)
+    if variant == "vec_through":
+        return _lsh_topk_vec_through(corpus, queries, k=10)
+    raise SystemExit(f"unknown ann variant {variant!r}")
+
+
+def ann_time(variant: str, n: int, dim: int, nq: int) -> dict:
+    spark = _spark(f"ann-{variant}")
+    df = _ann_variant(spark, variant, n, dim, nq)
+    before = _shuffle_write_bytes(spark)
+    t0 = time.time()
+    _noop(df)
+    best = time.time() - t0
+    shuffle = _shuffle_write_bytes(spark) - before
+    t0 = time.time()
+    _noop(df)
+    best = min(best, time.time() - t0)
+    spark.stop()
+    return {
+        "variant": variant,
+        "sec": round(best, 2),
+        "shuffle_mb": round(shuffle / 2**20, 1),
+    }
+
+
+def ann_verify(n: int, dim: int, nq: int) -> dict:
+    spark = _spark("ann-verify")
+    new_df = _ann_variant(spark, "id_only", n, dim, nq)
+    old_df = _ann_variant(spark, "vec_through", n, dim, nq)
+    mismatch = (
+        new_df.exceptAll(old_df).count() + old_df.exceptAll(new_df).count()
+    )
+    spark.stop()
+    return {"result_mismatch_rows": mismatch}
+
+
+def probe_ann(n: int | None = None, dim: int | None = None,
+              nq: int | None = None) -> dict:
+    n, dim, nq = (
+        n or ANN_DEFAULTS[0],
+        dim or ANN_DEFAULTS[1],
+        nq or ANN_DEFAULTS[2],
+    )
+    args = [str(n), str(dim), str(nq)]
+    new = _sub(["ann-time", "id_only", *args])
+    old = _sub(["ann-time", "vec_through", *args])
+    parity = _sub(["ann-verify", *args])
     out = {
         "probe": "ann_idonly_vs_vecthrough",
         "n": n,
         "dim": dim,
-        "n_queries": n_queries,
-        "result_mismatch_rows": mismatch,
-        "id_only_sec": id_sec,
-        "vec_through_sec": old_sec,
-        "id_only_shuffle_mb": round(id_bytes / 2**20, 1),
-        "vec_through_shuffle_mb": round(old_bytes / 2**20, 1),
+        "n_queries": nq,
+        "result_mismatch_rows": parity["result_mismatch_rows"],
+        "id_only_sec": new["sec"],
+        "vec_through_sec": old["sec"],
+        "id_only_shuffle_mb": new["shuffle_mb"],
+        "vec_through_shuffle_mb": old["shuffle_mb"],
     }
     out["speedup"] = round(out["vec_through_sec"] / out["id_only_sec"], 2)
-    out["shuffle_reduction"] = (
-        round(old_bytes / id_bytes, 1) if id_bytes else None
-    )
-    spark.stop()
     return out
 
 
-def probe_bloom(
-    n_old: int = 2_000_000, n_new: int = 2_000_000, m_bits: int = 2**28
-) -> dict:
+# ------------------------------------------------------------- bloom probe
+
+
+def _bloom_corpora(spark, n_old: int, n_new: int):
     from pyspark.sql import functions as F
 
-    from ocr_spark.operators import bloom
-    from ocr_spark.session import get_spark
-
-    spark = get_spark(
-        "bloom-probe", cores=None, extra_conf={"spark.ui.enabled": "true"}
-    )
-
-    def corpus(n, offset, name):
+    def corpus(n, offset):
         return (
             spark.range(n)
             .select(
                 F.concat(
-                    F.lit(f"document body {name} number "),
+                    F.lit("document body old number "),
                     (F.col("id") + offset).cast("string"),
                 ).alias("text")
             )
@@ -225,51 +279,88 @@ def probe_bloom(
 
     # same text template for both sides: new ids start at n_old/2, so
     # half the new snapshot repeats old content (revisits), half is fresh
-    old = corpus(n_old, 0, "old")
-    new = corpus(n_new, n_old // 2, "old")
-    results = {
+    return corpus(n_old, 0), corpus(n_new, n_old // 2)
+
+
+def bloom_time(mode: str, n_old: int, n_new: int, m_bits: int) -> dict:
+    from ocr_spark.operators import bloom
+
+    spark = _spark(f"bloom-{mode}")
+    old, new = _bloom_corpora(spark, n_old, n_new)
+    # ONE caller-persisted bitmap probed by both modes (the production
+    # artifact posture) — built and materialized OUTSIDE the timed
+    # window, so the A/B times the probe machinery, not the build, and
+    # neither mode gets a cache the other lacks
+    bitmap = bloom.bloom_bitmap(old, m_bits=m_bits, k=4).persist()
+    bitmap_rows = bitmap.count()
+    best = float("inf")
+    kept = None
+    before = _shuffle_write_bytes(spark)
+    for rep in range(2):
+        t0 = time.time()
+        kept = bloom.incremental_dedup(
+            new, old, m_bits=m_bits, k=4, bitmap=bitmap, probe_mode=mode
+        ).count()
+        best = min(best, time.time() - t0)
+        if rep == 0:
+            shuffle = _shuffle_write_bytes(spark) - before
+    bitmap.unpersist()
+    spark.stop()
+    return {
+        "mode": mode,
+        "sec": round(best, 2),
+        "shuffle_mb": round(shuffle / 2**20, 1),
+        "kept_rows": kept,
+        "bitmap_rows": bitmap_rows,
+    }
+
+
+def probe_bloom(n_old: int | None = None, n_new: int | None = None,
+                m_bits: int | None = None) -> dict:
+    n_old, n_new, m_bits = (
+        n_old or BLOOM_DEFAULTS[0],
+        n_new or BLOOM_DEFAULTS[1],
+        m_bits or BLOOM_DEFAULTS[2],
+    )
+    args = [str(n_old), str(n_new), str(m_bits)]
+    single = _sub(["bloom-time", "single-join", *args])
+    bcast = _sub(["bloom-time", "broadcast-k", *args])
+    return {
         "probe": "bloom_singlejoin_vs_kbroadcast",
         "n_old": n_old,
         "n_new": n_new,
         "m_bits": m_bits,
         "k": 4,
+        "single_join_sec": single["sec"],
+        "single_join_shuffle_mb": single["shuffle_mb"],
+        "broadcast_k_sec": bcast["sec"],
+        "broadcast_k_shuffle_mb": bcast["shuffle_mb"],
+        "bitmap_rows": single["bitmap_rows"],
+        # the k-broadcast mode's distinguishing cost is not a shuffle: it
+        # ships the (word, mask) table to EVERY executor k times
+        "broadcast_k_payload_mb_per_executor": round(
+            single["bitmap_rows"] * 16 * 4 / 2**20, 1
+        ),
+        "rows_match": single["kept_rows"] == bcast["kept_rows"],
+        "kept_rows": single["kept_rows"],
     }
-    counts = {}
-    for mode in ("single-join", "broadcast-k"):
-        best = float("inf")
-        before = _shuffle_write_bytes(spark)
-        for rep in range(2):
-            t0 = time.time()
-            got = bloom.incremental_dedup(
-                new, old, m_bits=m_bits, k=4, probe_mode=mode
-            )
-            counts[mode] = got.count()
-            best = min(best, time.time() - t0)
-            if rep == 0:
-                results[mode.replace("-", "_") + "_shuffle_mb"] = round(
-                    (_shuffle_write_bytes(spark) - before) / 2**20, 1
-                )
-        results[mode.replace("-", "_") + "_sec"] = round(best, 2)
-    # the broadcast-k mode's distinguishing cost is not a shuffle: it
-    # ships the (word, mask) table to every executor k times.  Measure
-    # the table once and report the per-executor payload arithmetic.
-    bitmap_rows = bloom.bloom_bitmap(old, m_bits=m_bits, k=4).count()
-    results["bitmap_rows"] = bitmap_rows
-    results["broadcast_k_payload_mb_per_executor"] = round(
-        bitmap_rows * 16 * 4 / 2**20, 1
-    )
-    results["rows_match"] = counts["single-join"] == counts["broadcast-k"]
-    results["kept_rows"] = counts["single-join"]
-    spark.stop()
-    return results
 
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "ann"
-    extra = [int(float(x)) for x in sys.argv[2:]]
+    rest = sys.argv[2:]
     if which == "ann":
-        print(json.dumps(probe_ann(*extra)))
+        print(json.dumps(probe_ann(*[int(float(x)) for x in rest])))
     elif which == "bloom":
-        print(json.dumps(probe_bloom(*extra)))
+        print(json.dumps(probe_bloom(*[int(float(x)) for x in rest])))
+    elif which == "ann-time":
+        v, n, d, q = rest[0], *[int(float(x)) for x in rest[1:4]]
+        print(json.dumps(ann_time(v, n, d, q)))
+    elif which == "ann-verify":
+        n, d, q = [int(float(x)) for x in rest[:3]]
+        print(json.dumps(ann_verify(n, d, q)))
+    elif which == "bloom-time":
+        m, n_old, n_new, mb = rest[0], *[int(float(x)) for x in rest[1:4]]
+        print(json.dumps(bloom_time(m, n_old, n_new, mb)))
     else:
         raise SystemExit(f"unknown probe {which!r}")
