@@ -2205,7 +2205,7 @@ def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_start/doc_end and fail the driver's typed value hash (the r3 red
 # row; CLAUDE.md "DuckDB HUGEINT sums" trap).
 _PACK_SQL = """
-WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+WITH t AS (SELECT doc_id, len(string_split(coalesce(text, ''), ' ')) AS n_tok
            FROM documents),
 o AS (SELECT doc_id, n_tok,
         CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
@@ -2239,8 +2239,8 @@ def _q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle re-derives the manifest inline (same casts as _PACK_SQL) and
 # concatenates slices in doc_id order via list(... ORDER BY doc_id).
 _PACK_EXPORT_SQL = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
-                  len(string_split(text, ' ')) AS n_tok
+WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
+                  len(string_split(coalesce(text, ''), ' ')) AS n_tok
            FROM documents),
 o AS (SELECT doc_id, toks, n_tok,
         CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id

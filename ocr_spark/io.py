@@ -89,9 +89,16 @@ def read_extracted(
     if latest_only:
         from pyspark.sql import Window
 
+        # the orderBy must be TOTAL: two attempts sharing status + error
+        # (e.g. both FAILED with the same code at different page counts)
+        # would otherwise tie and row_number would pick by partition
+        # arrival order — lineage sums differing between identical reads.
+        # Final tie-break: a hash of the whole row (rows still tying are
+        # byte-identical, where the pick is irrelevant).
         w = Window.partitionBy("url").orderBy(
             F.when(F.col("status") == "COMPLETED", 0).otherwise(1),
             F.coalesce("error", F.lit("")),
+            F.xxhash64(F.to_json(F.struct("*"))),
         )
         df = (
             df.withColumn("_rn", F.row_number().over(w))
@@ -319,9 +326,12 @@ def write_digest_store(
     digests are idempotent membership facts, duplicates across appends
     are harmless to an anti-join/semi-join probe.
     """
-    digests = df.select(
-        F.expr(f"md5(coalesce({text_col}, ''))").alias("digest")
-    )
+    from .operators.bloom import digest_expr
+
+    # the ONE digest definition (bloom.digest_expr) — an inline copy
+    # could drift from what incremental_dedup probes, and a drifted
+    # store returns 'not seen' for everything with no error anywhere
+    digests = df.select(F.expr(digest_expr(text_col)).alias("digest"))
     w = (
         digests.write.mode("append")
         .format("parquet")

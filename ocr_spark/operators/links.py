@@ -88,11 +88,13 @@ def extract_outlinks(
             out: dict[str, list] = {f.name: [] for f in OUTLINKS_SCHEMA.fields}
             for url, payload in zip(pdf[url_col], pdf[html_col]):
                 data = bytes(payload) if payload is not None else b""
-                links, capped = scan_links(
-                    data, str(url), max_links=max_links
-                )
+                # a NULL url must not become the literal string 'None'
+                # (colliding keys across every null-url page); '' keys
+                # behave like an unparseable url downstream
+                u = str(url) if url is not None else ""
+                links, capped = scan_links(data, u, max_links=max_links)
                 for rec in links:
-                    out["url"].append(str(url))
+                    out["url"].append(u)
                     out["link_i"].append(rec["link_i"])
                     out["dst"].append(rec["dst"])
                     out["anchor"].append(rec["anchor"])
@@ -121,7 +123,8 @@ def page_metadata(
             for url, payload in zip(pdf[url_col], pdf[html_col]):
                 data = bytes(payload) if payload is not None else b""
                 meta = scan_meta(data)
-                out["url"].append(str(url))
+                # same NULL-url guard as extract_outlinks
+                out["url"].append(str(url) if url is not None else "")
                 out["title"].append(meta["title"])
                 out["description"].append(meta["description"])
                 out["canonical"].append(meta["canonical"])
@@ -221,20 +224,30 @@ def pagerank(
         )
     if fold not in ("sorted", "sum"):
         raise ValueError(f"unknown fold {fold!r}")
+    # nodes and cedges are referenced by EVERY iteration level of the
+    # final plan (and localCheckpoint only cuts lineage every
+    # checkpoint_every rounds), and Spark does not reuse-merge identical
+    # non-broadcast subtrees (CLAUDE.md, measured r4) — without the
+    # persists one action re-runs the union+distinct and the out-weight
+    # join up to checkpoint_every times each
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select(F.col("dst_host").alias("host")))
         .distinct()
+        .persist()
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        nodes.unpersist()
+        return edges.select(F.col("src_host").alias("host")).limit(
+            0
+        ).withColumn("rank", F.lit(0.0))
     out_w = edges.groupBy("src_host").agg(F.sum("w").alias("ow"))
     # contribution factor is rank-independent: weight / out-weight, fixed
     # per edge — computed once, reused every round
     cedges = edges.join(out_w, "src_host").select(
         "src_host", "dst_host", (F.col("w") / F.col("ow")).alias("cf")
-    )
+    ).persist()
     n_dbl = F.lit(float(n))
     base = (F.lit(1.0) - F.lit(damping)) / n_dbl
     ranks = nodes.select("host", (F.lit(1.0) / n_dbl).alias("rank"))
@@ -264,4 +277,8 @@ def pagerank(
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=False)
+    # materialize before releasing the shared subtrees the plan references
+    ranks = ranks.localCheckpoint()
+    nodes.unpersist()
+    cedges.unpersist()
     return ranks

@@ -79,7 +79,11 @@ def pack_sequences(
         )
     toks = df.select(
         id_col,
-        F.expr(f"size(split({text_col}, ' '))").alias("n_tok"),
+        # NULL text coalesces to '' (one empty token): size(split(NULL))
+        # is NULL, which silently DROPPED the document from the manifest
+        # via sequence(NULL) — violating the every-doc-in-a-chunk
+        # contract and the repo-wide NULL-cardinality lesson
+        F.expr(f"size(split(coalesce({text_col}, ''), ' '))").alias("n_tok"),
         F.floor(F.col(id_col) / F.lit(bucket_size))
         .cast("bigint")
         .alias("_bkt"),
@@ -156,7 +160,10 @@ def pack_export(
     concatenation of chunks round-trips the concatenated corpus
     (property-tested, tests/test_packing.py)."""
     toks = docs.select(
-        id_col, F.split(F.col(text_col), " ").alias("_toks")
+        id_col,
+        # same NULL coalesce as pack_sequences' n_tok — the manifest
+        # gives a NULL-text doc one empty token, so its slice must exist
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_toks"),
     )
     pieces = manifest.join(toks, id_col).select(
         "chunk_id",

@@ -179,6 +179,17 @@ def token_budget_sample(
     (plan-tested).  Partially EAGER like pack_sequences: the totals
     action runs at build time, exact and deterministic.
     """
+    clash = {
+        "_n_tok", "_h", "_bkt", "_strat", "_base", "_off", "_budget"
+    } & set(df.columns)
+    if clash:
+        # the two-phase prefix sum joins a driver-built base frame on
+        # these fixed names — a colliding input column would silently
+        # become the join key (never-silent policy: raise)
+        raise ValueError(
+            f"input already carries reserved helper column(s) "
+            f"{sorted(clash)}; rename them before token_budget_sample"
+        )
     for k, b in budgets.items():
         if b < 0:
             raise ValueError(f"budgets must be >= 0: {k}={b}")
@@ -293,6 +304,16 @@ def shard_corpus(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    clash = {"_h", "_bkt", "_base", "shard", "seq"} & set(df.columns)
+    if clash:
+        # "shard"/"seq" are this op's OUTPUT columns and the helpers join
+        # a driver-built base frame on fixed names — a colliding input
+        # (e.g. re-sharding an already-sharded table without dropping its
+        # old columns) would be silently wrong or ambiguous: raise
+        raise ValueError(
+            f"input already carries reserved column(s) {sorted(clash)}; "
+            f"drop or rename them before shard_corpus"
+        )
     salted = F.concat(
         F.lit(f"shard:{salt}:"),
         F.coalesce(F.col(id_col).cast("string"), F.lit("")),

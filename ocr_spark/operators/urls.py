@@ -107,7 +107,12 @@ def filter_blocked_domains(
     lits = ", ".join(
         "'" + b.lower().replace("'", "''") + "'" for b in blocked
     )
-    bound = df.withColumn(tmp, host_of(F.col(url_col)))
+    # a NULL url must behave like an unparseable one (host '', kept):
+    # a NULL host null-propagates through the exists() into a NULL
+    # filter condition, silently dropping the row regardless of the list
+    bound = df.withColumn(
+        tmp, F.coalesce(host_of(F.col(url_col)), F.lit(""))
+    )
     kept = bound.filter(
         ~F.expr(
             f"exists(array({lits}), b -> "

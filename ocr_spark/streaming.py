@@ -56,8 +56,27 @@ def stream_extract(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # overlapping input files can land the same url twice in ONE batch;
         # without this the assembly groupBy would double the doc's pages
-        # and commit the corruption as COMPLETED
-        todo = pending_pages(batch_df.dropDuplicates(["url"]), out_path)
+        # and commit the corruption as COMPLETED.  The pick is the NEWEST
+        # capture (ts, then content-digest tie-break) — dropDuplicates
+        # keeps an arbitrary partition-order row, so a checkpoint replay
+        # could commit a DIFFERENT capture's text than the first run,
+        # breaking idempotence (and the repo-wide latest-capture
+        # convention, urls.latest_capture)
+        cols = batch_df.columns
+        deduped = (
+            batch_df.groupBy("url")
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in cols]),
+                    F.struct(
+                        F.col("warc_ts"),
+                        F.md5(F.coalesce("html", F.lit(b""))),
+                    ),
+                ).alias("_row")
+            )
+            .select("_row.*")
+        )
+        todo = pending_pages(deduped, out_path)
         extracted = extract(todo, cfg)
         write_extracted(extracted, out_path, mode="append")
 
@@ -169,7 +188,10 @@ def stream_host_quota(
     keyed = pages.select(
         "url",
         host_of(F.col("url")).alias("host"),
-        F.octet_length("html").alias("n_bytes"),
+        # NULL payload counts as 0 bytes — octet_length(NULL) is NULL,
+        # which Arrow hands to the state function as float NaN and
+        # int(NaN) would kill the whole streaming query
+        F.coalesce(F.octet_length("html"), F.lit(0)).alias("n_bytes"),
     )
 
     def admit(key, pdfs, state):
@@ -243,7 +265,13 @@ def stream_exact_dedup(
     )
     keyed = (
         pages.select(
-            "url", F.md5("html").alias("digest"), "warc_ts"
+            "url",
+            # NULL payload coalesces to the empty digest (md5(NULL) is
+            # NULL — a NULL digest never equals anything, so NULL-payload
+            # pages would bypass the dedup AND emit a NULL join-back key;
+            # same module contract as bloom.digest_expr)
+            F.md5(F.coalesce("html", F.lit(b""))).alias("digest"),
+            "warc_ts",
         )
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["digest"])
@@ -298,7 +326,15 @@ def stream_incremental_filter(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(in_dir)
     )
-    keyed = pages.select("url", F.md5("html").alias("digest"), "warc_ts")
+    # same NULL-payload coalesce as stream_exact_dedup: a NULL digest
+    # computes real bloom positions via xxhash64 but can never match the
+    # verify anti-join, silently re-admitting content the prior snapshot
+    # kept as empty
+    keyed = pages.select(
+        "url",
+        F.md5(F.coalesce("html", F.lit(b""))).alias("digest"),
+        "warc_ts",
+    )
     bitmap = bloom_bitmap(
         old_digests, m_bits=m_bits, k=k, digest_col="digest"
     ).persist()

@@ -340,3 +340,70 @@ class TestStreamIncrementalFilter:
         )
         q.awaitTermination(120)
         assert spark.read.parquet(out_dir).count() == 10
+
+
+class TestNullPayloadStreams:
+    """NULL html pages are legal (PAGES_SCHEMA declares html nullable);
+    none of the streaming surfaces may crash on them or silently change
+    dedup semantics (r5 review findings)."""
+
+    def test_host_quota_counts_null_payload_as_zero(
+        self, spark, dirs, tmp_path
+    ):
+        from ocr_spark.fixtures import write_rows_parquet
+        from ocr_spark.streaming import stream_host_quota
+
+        rows = [
+            {"url": "https://n.example.com/p1", "warc_ts": None,
+             "html": None, "text": "", "lang": "en"},
+            {"url": "https://n.example.com/p2", "warc_ts": None,
+             "html": b"x" * 40, "text": "", "lang": "en"},
+        ]
+        write_rows_parquet(dirs["in"] / "w0.parquet", rows)
+        out_dir = str(tmp_path / "qo")
+        q = stream_host_quota(
+            spark, str(dirs["in"]), out_dir, dirs["ckpt"],
+            max_bytes_per_host=100,
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.url, r.n_bytes)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        # pre-fix this crashed the query: octet_length(NULL) -> NaN ->
+        # int(NaN) ValueError inside applyInPandasWithState
+        assert got == [
+            ("https://n.example.com/p1", 0),
+            ("https://n.example.com/p2", 40),
+        ]
+
+    def test_incremental_filter_null_payload_matches_empty(
+        self, spark, dirs, tmp_path
+    ):
+        """A NULL-payload page must dedup against a prior snapshot's
+        EMPTY-payload digest (md5(coalesce(html, '')) both sides): the
+        old md5(html) gave it a NULL digest that never matched, silently
+        re-admitting it — and emitted digest=NULL as the join-back key."""
+        from ocr_spark.fixtures import write_rows_parquet
+        from ocr_spark.streaming import stream_incremental_filter
+
+        rows = [
+            {"url": "https://n.example.com/null", "warc_ts": None,
+             "html": None, "text": "", "lang": "en"},
+            {"url": "https://n.example.com/fresh", "warc_ts": None,
+             "html": b"new content", "text": "", "lang": "en"},
+        ]
+        write_rows_parquet(dirs["in"] / "w0.parquet", rows)
+        # prior snapshot kept an empty-payload page -> digest md5('')
+        old = spark.createDataFrame(
+            [("d41d8cd98f00b204e9800998ecf8427e",)], "digest string"
+        )
+        out_dir = str(tmp_path / "inc")
+        q = stream_incremental_filter(
+            spark, str(dirs["in"]), out_dir, dirs["ckpt"], old,
+            m_bits=1 << 16,
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out_dir).collect()
+        assert [r.url for r in got] == ["https://n.example.com/fresh"]
+        assert all(r.digest is not None for r in got)

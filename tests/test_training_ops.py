@@ -2746,3 +2746,67 @@ class TestImageDecodeCorruption:
         except zlib.error as e:  # pragma: no cover - the old failure
             pytest.fail(f"raw zlib.error escaped the decode path: {e}")
         assert raised is not None
+
+
+class TestNullRowSemantics:
+    """NULL text/url rows must not silently vanish or corrupt keys
+    (r5 review findings; the bloom-module lesson generalized)."""
+
+    def test_pack_sequences_keeps_null_text_docs(self, spark):
+        from ocr_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, None), (2, "d e")],
+            "doc_id bigint, text string",
+        )
+        m = pack_sequences(df, seq_len=4).collect()
+        # pre-fix the NULL doc vanished (sequence(NULL) explodes to zero
+        # rows); now it occupies one empty token like text=''
+        assert sorted({r.doc_id for r in m}) == [0, 1, 2]
+        null_doc = [r for r in m if r.doc_id == 1]
+        assert len(null_doc) == 1 and null_doc[0].n_tok == 1
+
+    def test_filter_blocked_domains_keeps_null_url(self, spark):
+        from ocr_spark.operators.urls import filter_blocked_domains
+
+        df = spark.createDataFrame(
+            [(None,), ("http://evil.com/x",), ("http://fine.com/y",)],
+            "url string",
+        )
+        kept = [
+            r.url for r in filter_blocked_domains(df, ["evil.com"]).collect()
+        ]
+        # NULL url = unparseable host = kept (pre-fix: three-valued
+        # exists() silently dropped it regardless of the list)
+        assert sorted(kept, key=str) == [None, "http://fine.com/y"]
+
+    def test_outlinks_null_url_not_stringified(self, spark):
+        from ocr_spark.operators.links import extract_outlinks
+
+        html = b'<html><body><a href="http://t.example/x">t</a></body></html>'
+        df = spark.createDataFrame(
+            [(None, bytearray(html))], "url string, html binary"
+        )
+        rows = extract_outlinks(df).collect()
+        assert rows, "outlink scan should still run on a null-url page"
+        assert all(r.url == "" for r in rows)  # never the string 'None'
+
+
+class TestSplitsReservedColumns:
+    def test_shard_corpus_refuses_colliding_columns(self, docs):
+        from ocr_spark.operators.splits import shard_corpus
+
+        sharded = shard_corpus(docs, 4)
+        # re-sharding an already-sharded table without dropping shard/seq
+        # would silently mis-join or emit ambiguous columns: raise
+        with pytest.raises(ValueError, match="reserved"):
+            shard_corpus(sharded, 8)
+        # dropping the outputs makes it legal again
+        shard_corpus(sharded.drop("shard", "seq"), 8).schema
+
+    def test_token_budget_refuses_colliding_columns(self, docs):
+        from ocr_spark.operators.splits import token_budget_sample
+
+        bad = docs.withColumn("_h", F.lit(1))
+        with pytest.raises(ValueError, match="reserved"):
+            token_budget_sample(bad, {"web": 100})
