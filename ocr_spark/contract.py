@@ -444,7 +444,8 @@ def _q_dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_FILTER_SQL = """
 SELECT doc_id, n_chars FROM documents
 WHERE doc_id IN (
-  SELECT min(doc_id) FROM documents GROUP BY md5(substr(text, 1, 16)))
+  SELECT min(doc_id) FROM documents
+  GROUP BY md5(coalesce(substr(text, 1, 16), '')))
 """
 
 
@@ -752,7 +753,7 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXACT_DEDUP_SQL = """
-SELECT md5(substr(text, 1, 16)) AS digest,
+SELECT md5(coalesce(substr(text, 1, 16), '')) AS digest,
        min(doc_id) AS representative, count(*) AS n_copies
 FROM documents GROUP BY 1
 """
@@ -1255,6 +1256,9 @@ def _lang_sql(source: str = "documents") -> str:
             f" WHEN length(text) > 0 AND s_{lg} * {den} > "
             f"length(text) * {num} THEN '{lg}'"
         )
+    # zero-vote → 'und' guard, mirrored from language_id (lockstep)
+    zero = " AND ".join(f"v_{lg} = 0" for lg in langs)
+    case += f" WHEN {zero} THEN 'und'"
     for lg in langs:
         others = " AND ".join(f"v_{lg} >= v_{o}" for o in langs if o != lg)
         case += f" WHEN {others} THEN '{lg}'"
@@ -2012,7 +2016,8 @@ def _line_dedup_sql(source: str, delim: str) -> str:
     paragraphs) and the corpus CTE body."""
     return f"""
 WITH corpus AS ({source}),
-ls AS (SELECT doc_id, string_split(text, {delim}) AS ls FROM corpus),
+ls AS (SELECT doc_id, string_split(coalesce(text, ''), {delim}) AS ls
+       FROM corpus),
 lines AS (
   SELECT doc_id, s.li, s.line FROM (
     SELECT doc_id,

@@ -44,7 +44,15 @@ def exact_dedup(
     Shuffles on the 128-bit digest, not the text — at 100 TB the shuffle
     payload is 16 bytes + id per row."""
     return (
-        df.select(F.md5(F.col(text_col).cast("string")).alias("digest"), id_col)
+        # NULL text coalesces to '' (the bloom.digest_expr convention):
+        # md5(NULL) is NULL, which made every failed-extraction doc share
+        # ONE NULL group-key while '' docs sat in another
+        df.select(
+            F.expr(
+                f"md5(coalesce(cast({text_col} AS string), ''))"
+            ).alias("digest"),
+            id_col,
+        )
         .groupBy("digest")
         .agg(
             F.min(id_col).alias("representative"),
@@ -116,6 +124,13 @@ def minhash_signatures(
 def _banded_keys(
     signatures: DataFrame, id_col: str, num_perm: int, bands: int
 ) -> DataFrame:
+    if not 0 < bands <= num_perm or num_perm % bands != 0:
+        # bands > num_perm would give every doc the same empty band key
+        # (a full-corpus quadratic bucket); a non-divisor silently drops
+        # the trailing permutations, changing recall with no error
+        raise ValueError(
+            f"bands={bands} must evenly divide num_perm={num_perm}"
+        )
     rows_per_band = num_perm // bands
     band_cols = []
     for b in range(bands):
@@ -353,9 +368,13 @@ def corpus_line_dedup(
         )
     lines = df.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
-            "li", "line"
-        ),
+        # NULL text coalesces to '' (one empty line, kept): posexplode of
+        # a NULL array emits zero rows, and the doc would silently vanish
+        # from the output — curate_job's inner join then dropped it from
+        # the corpus entirely
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), delimiter)
+        ).alias("li", "line"),
     )
     digested = lines.withColumn(
         "digest",
@@ -1006,8 +1025,12 @@ def incremental_near_dedup(
     ``old_df`` — the near-dup layer of monthly-recrawl dedup
     (:func:`ocr_spark.operators.bloom.incremental_dedup` removes exact
     re-captures; this removes the rewrites/re-templates at MinHash-LSH
-    granularity).  An exact copy always drops: identical text ⇒
-    identical signature ⇒ shared band keys.
+    granularity).  An exact copy with ≥ ``n`` words always drops:
+    identical text ⇒ identical signature ⇒ shared band keys.  Documents
+    SHORTER than ``n`` words have no shingles, hence no signature, and
+    are NEVER matched by this layer (they pass through untouched) —
+    run the exact incremental pass alongside, as curate_job does: it
+    catches short exact re-captures with no length floor.
 
     Plan: signatures on both sides (explode + map-side-min groupBy),
     banded cross join on (band, key), distinct matched new ids,

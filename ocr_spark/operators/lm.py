@@ -98,7 +98,11 @@ def lm_score(
     if broadcast_counts:
         vocab = F.broadcast(vocab)
     totals = counts.agg(
-        F.sum("c").cast("bigint").alias("_N"),
+        # empty counts frame: sum over zero rows is NULL, which would
+        # NULL every document's score; coalesce to 0 so the smoothed
+        # model degrades to the uniform ln(1/1) = 0 instead
+        # (classifier.py guards its identical aggregate the same way)
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("_N"),
         F.count(F.lit(1)).cast("bigint").alias("_V"),
     )
     joined = (

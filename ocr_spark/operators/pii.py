@@ -55,7 +55,11 @@ def scrub_pii(
     Patterns ride as Column literals (F.lit) — a SQL string literal would
     eat the backslash classes (the CLAUDE.md regex trap)."""
     email, ipv4, phone = F.lit(EMAIL_RE), F.lit(IPV4_RE), F.lit(PHONE_RE)
-    t0 = F.col(text_col)
+    # NULL text coalesces to '' (repo-wide NULL-row policy): regexp_*
+    # would otherwise emit NULL counts and a NULL clean_text, and the
+    # derived pii_drop would become a NULL predicate that silently drops
+    # the document in any downstream filter
+    t0 = F.coalesce(F.col(text_col), F.lit(""))
     t1 = F.regexp_replace(t0, email, F.lit(EMAIL_TOKEN))
     t2 = F.regexp_replace(t1, ipv4, F.lit(IP_TOKEN))
     t3 = F.regexp_replace(t2, phone, F.lit(PHONE_TOKEN))

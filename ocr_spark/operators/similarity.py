@@ -169,22 +169,13 @@ def lsh_topk(
 
     Recall is tunable via planes/bands; the join is a bucket equi-join that
     scales linearly with corpus size instead of |Q|×|corpus|."""
-    half = planes // 2
-    mask = (1 << half) - 1
-
     def banded(x: DataFrame, idc: str, vecc: str, pref: str) -> DataFrame:
-        s = hyperplane_signature(x.select(idc, vecc), vecc, planes, signs=signs)
-        return s.select(
-            F.col(idc).alias(f"{pref}_id"),
-            F.explode(
-                F.array(
-                    F.struct(F.lit(0).alias("band"),
-                             F.expr(f"sig & {mask}").alias("key")),
-                    F.struct(F.lit(1).alias("band"),
-                             F.expr(f"shiftright(sig, {half})").alias("key")),
-                )
-            ).alias("bk"),
-        ).select(f"{pref}_id", "bk.band", "bk.key")
+        # ONE banding implementation repo-wide: hyperplane_buckets is the
+        # shared (id, band, key) subtree cosine_pairs and the audits use —
+        # a local re-implementation would have to be kept in sync by hand
+        return hyperplane_buckets(
+            x, vec_col=vecc, id_col=idc, planes=planes, signs=signs
+        ).withColumnRenamed(idc, f"{pref}_id")
 
     # The bucket join and its distinct carry ONLY (q_id, c_id) — the
     # id-only pair rule (CLAUDE.md; measured 13× on cosine_pairs at r4):

@@ -71,6 +71,11 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             f" WHEN length({text_col}) > 0 AND "
             f"s_{lang} * {den} > length({text_col}) * {num} THEN '{lang}'"
         )
+    # zero votes everywhere = no evidence: 'und', not the argmax
+    # tie-break (which silently called every stopword-free document
+    # 'en', the first profile)
+    zero = " AND ".join(f"v_{lang} = 0" for lang in langs)
+    case += f" WHEN {zero} THEN 'und'"
     for lang in langs:
         others = " AND ".join(
             f"v_{lang} >= v_{o}" for o in langs if o != lang
@@ -85,9 +90,17 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features: lengths, ratios, and a composite score —
     the boilerplate/garbage filter stage of a webtext training pipeline."""
-    words = f"split({text_col}, ' ')"
+    # the word array is bound ONCE to a collision-free column: three
+    # sibling projection columns reference it, and higher-order-function
+    # expressions are interpreted (no codegen subexpression elimination),
+    # so inlining the split would re-tokenize the document per column
+    tmp = "_qw"
+    while tmp in df.columns:
+        tmp += "_"
+    bound = df.withColumn(tmp, F.expr(f"split({text_col}, ' ')"))
+    words = f"`{tmp}`"
     stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-    return df.select(
+    return bound.select(
         "*",
         F.length(text_col).alias("n_chars_m"),
         F.expr(f"size({words})").alias("n_words"),
@@ -97,7 +110,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("n_stopwords"),
         F.expr(f"regexp_count({text_col}, '[0-9]')").alias("n_digits"),
         F.expr(f"regexp_count({text_col}, '[.,;:!?]')").alias("n_punct"),
-    ).select(
+    ).drop(tmp).select(
         "*",
         F.expr(
             "CAST(n_distinct_words AS DOUBLE) / n_words"
@@ -203,8 +216,14 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     and short/long-word fractions — each an auditable boolean column plus
     an overall keep flag.  Pure expressions; thresholds are the published
     defaults scaled to this corpus's synthetic text."""
-    words = f"split({text_col}, ' ')"
-    return df.select(
+    # bound once for the same reason as quality_features: four sibling
+    # columns reference the array and HOF exprs don't CSE
+    tmp = "_gw"
+    while tmp in df.columns:
+        tmp += "_"
+    bound = df.withColumn(tmp, F.expr(f"split({text_col}, ' ')"))
+    words = f"`{tmp}`"
+    return bound.select(
         "*",
         F.expr(f"size({words})").alias("g_words"),
         F.expr(
@@ -219,7 +238,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"CAST(size(filter({words}, w -> length(w) <= 2)) AS DOUBLE)"
             f" / size({words})"
         ).alias("g_short_word_frac"),
-    ).withColumn(
+    ).drop(tmp).withColumn(
         "g_keep",
         (F.col("g_words").between(5, 10_000_000))
         & (F.col("g_mean_word_len").between(2.0, 12.0))
@@ -491,22 +510,28 @@ def cap_per_domain(
     window."""
     from .urls import host_of
 
-    d = df.withColumn("_domain", host_of(F.col(url_col)))
+    # collision-free temp names (repo convention): a fixed '_domain'
+    # would silently overwrite-and-drop a same-named caller column
+    dom = "_domain"
+    while dom in df.columns:
+        dom += "_"
+    slt, r1, rk = dom + "_salt", dom + "_r1", dom + "_rank"
+    d = df.withColumn(dom, host_of(F.col(url_col)))
     if salts > 1:
-        w1 = Window.partitionBy("_domain", "_salt").orderBy(order_col)
+        w1 = Window.partitionBy(dom, slt).orderBy(order_col)
         d = (
             d.withColumn(
-                "_salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salts))
+                slt, F.pmod(F.xxhash64(F.col(order_col)), F.lit(salts))
             )
-            .withColumn("_r1", F.row_number().over(w1))
-            .filter(F.col("_r1") <= n)
-            .drop("_r1", "_salt")
+            .withColumn(r1, F.row_number().over(w1))
+            .filter(F.col(r1) <= n)
+            .drop(r1, slt)
         )
-    w = Window.partitionBy("_domain").orderBy(order_col)
+    w = Window.partitionBy(dom).orderBy(order_col)
     return (
-        d.withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") <= n)
-        .drop("_rank", "_domain")
+        d.withColumn(rk, F.row_number().over(w))
+        .filter(F.col(rk) <= n)
+        .drop(rk, dom)
     )
 
 

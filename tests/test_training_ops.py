@@ -1240,9 +1240,10 @@ class TestScriptLanguageId:
         assert got[3] == "ja"   # kana rule outranks Han on mixed text
         assert got[4] == "ko"
         assert got[5] == "de"
-        # zero votes tie-break to the first profile (long-standing,
-        # oracle-pinned behavior): empty text classifies as 'en'
-        assert got[6] == "en"
+        # zero votes = no evidence: 'und' (r5 fix — the argmax tie-break
+        # used to call every stopword-free document 'en'; oracle updated
+        # in lockstep)
+        assert got[6] == "und"
 
     def test_single_block_scripts_detected(self, spark):
         from ocr_spark.operators.text_analysis import language_id
@@ -2810,3 +2811,112 @@ class TestSplitsReservedColumns:
         bad = docs.withColumn("_h", F.lit(1))
         with pytest.raises(ValueError, match="reserved"):
             token_budget_sample(bad, {"web": 100})
+
+
+class TestThirdPassGuards:
+    """Round-5 third review pass: zero-evidence language calls, NULL
+    digests, bands arithmetic, empty-model scores."""
+
+    def test_language_id_zero_votes_is_und_not_en(self, spark):
+        from ocr_spark.operators.text_analysis import language_id
+
+        df = spark.createDataFrame(
+            [
+                (1, "ciao mondo come stai oggi"),   # no profile stopwords
+                (2, "the cat sat on the mat"),       # clearly en
+                (3, ""),                             # empty
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+        # pre-fix: zero votes tied at 0 and the argmax chain called
+        # everything 'en' (the first profile)
+        assert got == {1: "und", 2: "en", 3: "und"}
+
+    def test_exact_dedup_null_text_equals_empty(self, spark):
+        from ocr_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, None), (4, "real")],
+            "doc_id bigint, text string",
+        )
+        rows = {r.digest: r for r in exact_dedup(df).collect()}
+        assert len(rows) == 2  # {null≡empty, real}
+        empty_group = [r for r in rows.values() if r.n_copies == 3]
+        assert len(empty_group) == 1
+        assert empty_group[0].representative == 1
+        assert all(r.digest is not None for r in rows.values())
+
+    def test_line_dedup_keeps_null_text_doc(self, spark):
+        from ocr_spark.operators.dedup import corpus_line_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a real line that is long enough\nsecond line here ok"),
+             (2, None)],
+            "doc_id bigint, text string",
+        )
+        got = {r.doc_id: r for r in corpus_line_dedup(df).collect()}
+        # pre-fix doc 2 vanished (posexplode of NULL emits zero rows) and
+        # curate_job's inner join dropped it from the corpus
+        assert set(got) == {1, 2}
+        assert got[2].clean_text == "" and got[2].n_lines == 1
+
+    def test_lsh_bands_must_divide_num_perm(self, docs):
+        from ocr_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(docs, num_perm=8)
+        for bad in (16, 3, 0):
+            with pytest.raises(ValueError, match="evenly divide"):
+                lsh_candidate_pairs(sigs, num_perm=8, bands=bad)
+
+    def test_lm_score_empty_counts_scores_zero_not_null(self, spark):
+        from ocr_spark.operators.lm import lm_score, unigram_counts
+
+        docs = spark.createDataFrame(
+            [(1, "some words here")], "doc_id bigint, text string"
+        )
+        empty_ref = spark.createDataFrame([], "doc_id bigint, text string")
+        r = lm_score(docs, unigram_counts(empty_ref)).collect()[0]
+        # smoothed uniform: every token scores ln((0+1)/(0+0+1)) = 0
+        assert r.mean_logprob == 0.0
+
+    def test_pii_null_text_zero_counts(self, spark):
+        from ocr_spark.operators.pii import pii_document_flags
+
+        df = spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+        r = pii_document_flags(df).collect()[0]
+        assert (r.n_emails, r.n_ips, r.n_phones) == (0, 0, 0)
+        assert r.clean_text == "" and r.pii_drop is False
+
+    def test_cap_per_domain_preserves_user_domain_column(self, spark):
+        from ocr_spark.operators.text_analysis import cap_per_domain
+
+        df = spark.createDataFrame(
+            [(i, f"https://h{i % 2}.com/p{i}", "keepme")
+             for i in range(6)],
+            "doc_id bigint, url string, _domain string",
+        )
+        out = cap_per_domain(df, 2)
+        assert "_domain" in out.columns
+        rows = out.collect()
+        assert len(rows) == 4  # 2 per host
+        assert all(r._domain == "keepme" for r in rows)
+
+    def test_incremental_near_dedup_short_doc_passthrough(self, spark):
+        """Documents shorter than n words have no shingles and pass the
+        NEAR layer untouched (documented contract) — the exact layer is
+        the one that catches short re-captures."""
+        from ocr_spark.operators.bloom import incremental_dedup
+        from ocr_spark.operators.dedup import incremental_near_dedup
+
+        old = spark.createDataFrame(
+            [(1, "hi there")], "doc_id bigint, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, "hi there")], "doc_id bigint, text string"
+        )
+        assert incremental_near_dedup(new, old).count() == 1  # passes near
+        assert incremental_dedup(new, old).count() == 0       # exact drops
