@@ -84,6 +84,12 @@ def main() -> int:
                          "'warc-stream': same, via the bounded-memory "
                          "streaming reader (archives must be on a "
                          "filesystem executors mount)")
+    ap.add_argument("--all-captures", action="store_true",
+                    help="WARC input only: keep EVERY capture of a url "
+                         "instead of the default newest-capture pick. "
+                         "Without the dedup, two captures of one url in "
+                         "the same run would merge into a single "
+                         "corrupted document at the assembly groupBy")
     ap.add_argument("--page-partitions", type=int, default=None)
     ap.add_argument("--max-attempts", type=int, default=3,
                     help="per-url FAILED retry budget before a url is "
@@ -148,6 +154,17 @@ def main() -> int:
             )
             result["warc_files"] = audit["files"]
             result["warc_errors_total"] = int(audit["errs"])
+            # the groupBy above only sees files that produced ROWS; a
+            # warcinfo/metadata-only archive contributes nothing and
+            # would vanish from the audit — count the LISTING too so a
+            # silently-empty file is visible as listed > contributing
+            result["warc_files_listed"] = (
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.warc.gz")
+                .load(args.input)
+                .select("path")
+                .count()
+            )
             # sentinel rows (url='' carriers for all-error files) are
             # audit-only; lineage columns are dropped so the checkpoint
             # schema matches the parquet/Iceberg paths
@@ -165,9 +182,45 @@ def main() -> int:
             pages = pages.filter(F.col("warc_ts") >= F.lit(args.since))
         if args.until:
             pages = pages.filter(F.col("warc_ts") < F.lit(args.until))
+        if (
+            args.input_format in ("warc", "warc-stream")
+            and not args.all_captures
+        ):
+            # raw crawl input routinely carries the same url more than
+            # once (revisits; response + conversion records across
+            # files); without this pick the assembly groupBy(url) would
+            # MERGE the captures into one corrupted document and the
+            # url-keyed checkpoint would make it permanent.  Newest
+            # capture wins, content-digest tie-break — the deterministic
+            # rule stream_extract and curate --latest-capture use.
+            from pyspark.sql import Observation
+
+            obs = Observation("warc_captures")
+            cols = pages.columns
+            pages = (
+                pages.observe(obs, F.count(F.lit(1)).alias("captures"))
+                .groupBy("url")
+                .agg(
+                    F.max_by(
+                        F.struct(*[F.col(c) for c in cols]),
+                        F.struct(
+                            F.col("warc_ts"),
+                            F.md5(F.coalesce("html", F.lit(b""))),
+                        ),
+                    ).alias("_row")
+                )
+                .select("_row.*")
+            )
+        else:
+            obs = None
         result["docs_attempted_this_pass"] = run_resumable(
             pages, args.output, cfg, max_attempts=args.max_attempts
         )
+        if obs is not None and result["docs_attempted_this_pass"]:
+            # captures seen vs urls attempted = the revisit volume this
+            # pass dropped (rides the real job via Observation — no
+            # extra pass)
+            result["warc_captures_seen"] = int(obs.get["captures"])
         _summarize_output(
             read_extracted(spark, args.output, latest_only=True), result
         )

@@ -148,7 +148,13 @@ def _prescan_charset(data: bytes) -> str | None:
     """The declared document charset per the HTML5 prescan, or None."""
     head = data[:1024].decode("latin-1")  # byte-transparent view
     for m in _META_RE.finditer(head):
-        attrs = dict(_scan_attrs(m.group(1)))
+        # first-wins on duplicate attributes (the HTML5 rule, and the
+        # convention every other scanner here uses) — dict() is
+        # last-wins, so <meta charset="utf-8" charset="koi8-r"> would
+        # decode with the wrong codec
+        attrs: dict = {}
+        for name, value in _scan_attrs(m.group(1)):
+            attrs.setdefault(name, value)
         charset = attrs.get("charset", "").strip()
         if charset:
             return charset
@@ -525,6 +531,11 @@ def _fast_feed(text: str, c: "_BlockCollector") -> None:
 # stays bounded no matter what the crawl contains.
 MAX_HTML_BYTES = 4 * 1024 * 1024
 
+# Title capture cap (scan_meta): an unclosed <title> is RCDATA-to-EOF in
+# a spec parser, which would make the metadata title the ENTIRE page
+# text; real titles are well under this.
+MAX_TITLE_CHARS = 2048
+
 # Block-count companion to the byte guard: the downstream page kernels
 # (coverage probe, consolidation — reference-exact loops) are O(blocks ×
 # lines) per page, so a 4 MiB page of thousands of TINY blocks is still a
@@ -724,9 +735,6 @@ def scan_links(
         rec, cur = cur, None
         if rec is None:
             return
-        if max_links is not None and len(links) >= max_links:
-            capped = True
-            return
         href = _clean_href(rec["href"])
         if not href or href.startswith("#") or _SKIP_SCHEME_RE.match(href):
             return
@@ -735,6 +743,12 @@ def scan_links(
         except ValueError:
             return
         if not _HTTPS_RE.match(dst):
+            return
+        # the cap counts only KEEPABLE links: a dropped-anyway anchor
+        # (fragment/mailto/js) past the cap must not set the capped flag
+        # the recall audit reads
+        if max_links is not None and len(links) >= max_links:
+            capped = True
             return
         rel_tokens = rec["rel"].lower().split()
         anchor = _WS_RE.sub(" ", " ".join(rec["parts"])).strip()
@@ -846,18 +860,31 @@ def scan_meta(
         "nofollow_page": False,
     }
     in_title = False
+    svg_depth = 0  # an <svg><title> is the GRAPHIC's label, not the page's
+    title_len = 0
     title_parts: list[str] = []
+
+    def _take(piece: str) -> None:
+        # an unclosed <title> (RCDATA runs to EOF in a real parser) must
+        # not swallow the rest of the page as the title — cap the capture
+        nonlocal title_len
+        if title_len < MAX_TITLE_CHARS:
+            title_parts.append(piece[: MAX_TITLE_CHARS - title_len])
+            title_len += len(piece)
+
     pos, n = 0, len(text)
     while pos < n:
         lt = text.find("<", pos)
         if lt < 0:
             if in_title:
-                title_parts.append(_unesc(text[pos:]))
+                _take(_unesc(text[pos:]))
             break
         if lt > pos and in_title:
-            title_parts.append(_unesc(text[pos:lt]))
+            _take(_unesc(text[pos:lt]))
         m = _TAG_CLOSE_RE.match(text, lt)
         if m:
+            if m.group(1).lower() == "svg" and svg_depth > 0:
+                svg_depth -= 1
             if m.group(1).lower() == "title" and in_title:
                 in_title = False
                 if out["title"] is None:
@@ -870,9 +897,17 @@ def scan_meta(
         if m:
             tag = m.group(1).lower()
             pos = m.end()
-            if tag == "title" and out["title"] is None and m.group(3) != "/":
+            if tag == "svg" and m.group(3) != "/":
+                svg_depth += 1
+            elif (
+                tag == "title"
+                and out["title"] is None
+                and m.group(3) != "/"
+                and svg_depth == 0
+            ):
                 in_title = True
                 title_parts = []
+                title_len = 0
             elif tag == "html" and out["lang"] is None:
                 for name, value in _scan_attrs(m.group(2)):
                     if name == "lang" and value:
@@ -917,7 +952,7 @@ def scan_meta(
             pos = m.end()
             continue
         if in_title:
-            title_parts.append("<")
+            _take("<")
         pos = lt + 1
     if in_title and out["title"] is None:
         out["title"] = _WS_RE.sub(" ", " ".join(title_parts)).strip()

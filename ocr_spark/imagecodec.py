@@ -44,6 +44,12 @@ class DecodedImage(NamedTuple):
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Hard ceiling on the decoded (filtered) byte count a PNG may inflate to
+# (~128 MB ≈ a 6500² RGBA frame): crawl payloads are hostile input, and
+# the IHDR-implied size must be bounded BEFORE the inflate, or a few-KB
+# decompression bomb OOMs the executor.
+MAX_DECODED_BYTES = 128 * 1024 * 1024
 # PNG color type → channel count (bit depth 8 only)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
@@ -192,12 +198,23 @@ def png_decode(data: bytes) -> DecodedImage:
         pos += 12 + clen
     if width < 0:
         raise ValueError("corrupt PNG: no IHDR")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    want = (stride + 1) * height
+    if want > MAX_DECODED_BYTES:
         raise ValueError(
-            f"corrupt PNG: {len(raw)} filtered bytes, "
-            f"want {(stride + 1) * height}"
+            f"PNG dimensions {width}x{height}x{channels} exceed the "
+            f"{MAX_DECODED_BYTES}-byte decode cap"
+        )
+    # bounded inflate: an unbounded zlib.decompress lets a few-KB
+    # crafted IDAT (a decompression bomb) or a lying IHDR allocate
+    # gigabytes on the executor before the size check ever runs — the
+    # decompressor is never allowed to emit more than the IHDR-implied
+    # byte count (+1 to detect oversize output as corruption)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), want + 1)
+    if len(raw) != want or d.unconsumed_tail:
+        raise ValueError(
+            f"corrupt PNG: {len(raw)} filtered bytes, want {want}"
         )
     out = bytearray(stride * height)
     prior = bytes(stride)
@@ -235,7 +252,14 @@ def ppm_decode(data: bytes) -> DecodedImage:
         while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
         fields.append(int(data[start:pos]))
-    pos += 1  # single whitespace after maxval
+    # single whitespace terminator after maxval — but CRLF-writing
+    # tooling emits '\r\n', and treating the '\n' as the first pixel
+    # byte would shift EVERY channel value silently (the length check
+    # can still pass via trailing bytes); consume the pair as one
+    if data[pos : pos + 2] == b"\r\n":
+        pos += 2
+    else:
+        pos += 1
     width, height, maxval = fields
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")

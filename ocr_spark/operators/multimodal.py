@@ -390,6 +390,9 @@ def sample_frames(
     """One row per sampled frame index (0, every, 2·every, …) — the
     fan-out shape of video-frame extraction; frame content is the
     deterministic digest of (payload, index) until a real codec exists."""
+    if every < 1:
+        # fail on the driver, not as an opaque range() error in the UDF
+        raise ValueError(f"every must be >= 1, got {every}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -49,21 +49,33 @@ def gunzip_members(data: bytes) -> bytes:
     both flavours with one code path.  A torn final member yields the
     bytes decoded so far (the record parser then counts the torn tail
     as an error instead of raising here)."""
+    return _gunzip_members_ex(data)[0]
+
+
+def _gunzip_members_ex(data: bytes) -> tuple[bytes, bool]:
+    """(decompressed bytes, corrupt) — ``corrupt`` is True when a member
+    ABORTED on a zlib error (a bit-flip, not mere truncation).  The
+    erroring member contributes no bytes, so if the prior members end at
+    a record boundary the parser would otherwise finish CLEANLY and the
+    file's lost tail would be silent — the reader turns the flag into an
+    error row instead (never-silent policy).  Truncation (incomplete
+    final member) keeps its partial bytes and surfaces through the
+    parser's torn-record rows, as before."""
     if data[:2] != b"\x1f\x8b":
-        return data
+        return data, False
     out: list[bytes] = []
     while data:
         d = zlib.decompressobj(wbits=31)
         try:
             out.append(d.decompress(data))
         except zlib.error:
-            break
+            return b"".join(out), True
         if not d.eof:  # torn final member — keep what decoded
             break
         data = d.unused_data
         if data[:2] != b"\x1f\x8b":
             break
-    return b"".join(out)
+    return b"".join(out), False
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -80,8 +92,65 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
+# bound on a decoded HTTP body (content-encoding inflate): hostile crawl
+# payloads must not be able to balloon an executor; well above the 4 MiB
+# HTML decode guard that applies downstream anyway.
+MAX_HTTP_BODY_BYTES = 64 * 1024 * 1024
+
+
+def _dechunk(body: bytes) -> bytes | None:
+    """Decode Transfer-Encoding: chunked framing; None when malformed
+    (the caller then hands the RAW body to the payload sniffer, whose
+    failure is a visible per-doc PARSE_ERROR — never silent)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            return None
+        size_tok = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) are not content
+        if pos + size > len(body) or len(out) + size > MAX_HTTP_BODY_BYTES:
+            return None
+        out += body[pos:pos + size]
+        pos += size + 2  # chunk data + its CRLF
+
+
+def _decode_content(body: bytes, encoding: str) -> bytes | None:
+    """Decode Content-Encoding gzip/deflate with a bounded inflate;
+    None when corrupt/oversize (raw-body fallback, same rationale as
+    :func:`_dechunk`)."""
+    # deflate is zlib-wrapped per spec but raw in the wild — try both
+    variants = (31,) if encoding in ("gzip", "x-gzip") else (15, -15)
+    for wb in variants:
+        try:
+            d = zlib.decompressobj(wbits=wb)
+            out = d.decompress(body, MAX_HTTP_BODY_BYTES + 1)
+        except zlib.error:
+            continue
+        if len(out) > MAX_HTTP_BODY_BYTES or d.unconsumed_tail or not out:
+            continue
+        return out
+    return None
+
+
 def split_http_payload(payload: bytes) -> bytes:
-    """HTTP response payload → body bytes (header block stripped).
+    """HTTP response payload → body bytes: header block stripped,
+    Transfer-Encoding: chunked framing removed, Content-Encoding
+    gzip/deflate inflated (bounded).
+
+    wget/heritrix archives preserve the wire bytes, so without the
+    transfer decode a chunked page reaches the HTML parser with hex
+    chunk-size lines interleaved into the text (silent corruption) and
+    a gzip body fails the sniff as an opaque PARSE_ERROR.  Malformed
+    framing/encoding falls back to the RAW body — the sniffer's failure
+    is a visible per-doc error, never a wrong silent decode.
 
     Payloads that do not start with ``HTTP/`` are returned whole (a
     ``conversion`` record, or a server that spoke garbage — the
@@ -89,7 +158,20 @@ def split_http_payload(payload: bytes) -> bytes:
     if not payload.startswith(b"HTTP/"):
         return payload
     idx = payload.find(_SEP)
-    return payload[idx + 4:] if idx >= 0 else b""
+    if idx < 0:
+        return b""
+    headers = _parse_headers(payload[:idx])
+    body = payload[idx + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        dechunked = _dechunk(body)
+        if dechunked is not None:
+            body = dechunked
+    ce = headers.get("content-encoding", "").strip().lower()
+    if ce in ("gzip", "x-gzip", "deflate"):
+        decoded = _decode_content(body, ce)
+        if decoded is not None:
+            body = decoded
+    return body
 
 
 def iter_warc_records(data: bytes):
@@ -99,7 +181,7 @@ def iter_warc_records(data: bytes):
     Walks by Content-Length (never scans payload bytes for markers — a
     payload may legally contain ``WARC/1.0``)."""
     raw_len = len(data)
-    data = gunzip_members(data)
+    data, corrupt = _gunzip_members_ex(data)
     if raw_len and not data:  # gzip stream decoded to nothing: not silence
         yield {"_error": "torn-gzip"}, b""
         return
@@ -109,7 +191,7 @@ def iter_warc_records(data: bytes):
         while pos < n and data[pos:pos + 2] == _CRLF:
             pos += 2
         if pos >= n:
-            return
+            break
         if not data.startswith(b"WARC/", pos):
             yield {"_error": "bad-magic"}, b""
             return
@@ -129,9 +211,13 @@ def iter_warc_records(data: bytes):
             return
         yield headers, data[body_start:body_start + length]
         pos = body_start + length
+    if corrupt:
+        # a member aborted mid-file: everything after it is lost even
+        # though the records before it parsed cleanly
+        yield {"_error": "corrupt-gzip-member"}, b""
 
 
-def _stream_decompress(fileobj, chunk: int):
+def _stream_decompress(fileobj, chunk: int, corrupt_flag: list | None = None):
     """Yield decompressed chunks from a (possibly multistream-gzip) file
     object — ``gunzip_members`` re-expressed incrementally, so a 1 GiB
     crawl archive never materializes its ~4 GiB decompressed form.
@@ -169,7 +255,9 @@ def _stream_decompress(fileobj, chunk: int):
         try:
             out = d.decompress(pending)
         except zlib.error:
-            return  # torn member — keep what decoded
+            if corrupt_flag is not None:
+                corrupt_flag[0] = True
+            return  # corrupt member — keep what decoded, flag the abort
         if out:
             yield out
         if d.eof:
@@ -189,7 +277,12 @@ def iter_warc_records_stream(fileobj, chunk: int = 1 << 20):
     parsed (the buffer version's ~5× file size).  Yields the identical
     ``(headers, payload)`` / ``{'_error': ...}`` protocol — parity with
     the buffer version is pinned byte-for-byte across chunk sizes in
-    tests/test_warc.py."""
+    tests/test_warc.py for well-formed AND truncated archives.  On a
+    CORRUPT gzip member (bit-flip, not truncation) both readers surface
+    at least one error row and lose the file's tail, but the salvaged
+    prefix of the corrupt member itself may differ: the buffer reader
+    discards that member's bytes wholesale, the stream reader keeps the
+    chunks decoded before the abort."""
     raw_seen = 0
     real_read = fileobj.read
 
@@ -200,7 +293,8 @@ def iter_warc_records_stream(fileobj, chunk: int = 1 << 20):
         return b
 
     reader = type("R", (), {"read": staticmethod(counted_read)})()
-    gen = _stream_decompress(reader, chunk)
+    corrupt = [False]
+    gen = _stream_decompress(reader, chunk, corrupt)
     buf = bytearray()
     eof = False
     saw_output = False
@@ -231,6 +325,10 @@ def iter_warc_records_stream(fileobj, chunk: int = 1 << 20):
             else:
                 break
         if not buf and eof:
+            if corrupt[0]:
+                # same never-silent rule as the buffer reader: a member
+                # aborted on a zlib error loses the file's tail
+                yield {"_error": "corrupt-gzip-member"}, b""
             return
         while len(buf) < 5 and not eof:
             fill()

@@ -172,3 +172,74 @@ class TestRgbAndResize:
         assert up.pixels[0:3] == px[0:3]
         with pytest.raises(ValueError, match="positive"):
             ic.resize_nearest(img, 0, 4)
+
+
+class TestHostileInputs:
+    def test_png_decompression_bomb_rejected_before_inflate(self):
+        """A few-KB IDAT claiming huge dimensions must fail fast on the
+        IHDR-implied size, never allocate gigabytes (r5 review finding:
+        unbounded zlib.decompress ran before the size check)."""
+        import struct
+        import time
+        import zlib
+
+        import pytest
+
+        from ocr_spark import imagecodec as ic
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 0, 0, 0, 0)
+        idat = zlib.compress(b"\x00" * 1_000_000, 9)  # ~1 KB compressed
+        bomb = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        )
+        t0 = time.time()
+        with pytest.raises(ValueError, match="decode cap"):
+            ic.png_decode(bomb)
+        assert time.time() - t0 < 2.0
+
+    def test_png_oversize_idat_within_cap_rejected_bounded(self):
+        """IHDR small but IDAT inflates to more: the bounded inflate
+        stops at want+1 bytes and reports corruption."""
+        import struct
+        import zlib
+
+        import pytest
+
+        from ocr_spark import imagecodec as ic
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # wants 10 B
+        idat = zlib.compress(b"\x00" * 100_000)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="filtered bytes"):
+            ic.png_decode(png)
+
+    def test_ppm_crlf_header_decodes_exact(self):
+        """CRLF after maxval (Windows tooling) must not shift every
+        pixel by one byte (r5 review finding — the old off-by-one could
+        still pass the length check via a trailing byte)."""
+        from ocr_spark import imagecodec as ic
+
+        rgb = bytes(range(2 * 2 * 3))
+        crlf_ppm = b"P6\n2 2\n255\r\n" + rgb + b"\n"
+        img = ic.ppm_decode(crlf_ppm)
+        assert (img.width, img.height, img.pixels) == (2, 2, rgb)
+        # the plain single-\n form still round-trips
+        assert ic.ppm_decode(ic.ppm_encode(2, 2, rgb)).pixels == rgb

@@ -129,6 +129,54 @@ class TestJobs:
         assert summary["docs_in_output"] == 4
         assert summary["failed_docs"] == 0
 
+    def test_extract_job_warc_duplicate_captures_newest_wins(
+        self, tmp_path
+    ):
+        """Two captures of one url in a raw crawl batch must not MERGE
+        into a single corrupted document at the assembly groupBy (r5
+        review finding): the job defaults to a newest-capture pick and
+        reports the capture volume it saw."""
+        from ocr_spark.fixtures import make_html_doc
+        from ocr_spark.warc import build_record, build_warc
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        html_a = make_html_doc(0)["html"]
+        html_b = make_html_doc(5)["html"]  # different content, same url
+        url = "http://crawl.test/revisit"
+        (d / "a.warc.gz").write_bytes(
+            build_warc([build_record(url, "2025-01-01T00:00:00Z", html_a)])
+        )
+        (d / "b.warc.gz").write_bytes(
+            build_warc([build_record(url, "2025-02-01T00:00:00Z", html_b)])
+        )
+        out = tmp_path / "extracted_revisit"
+        summary = _run(
+            [
+                "jobs/extract_job.py",
+                "--input", str(d),
+                "--format", "warc",
+                "--output", str(out),
+            ]
+        )
+        assert summary["warc_captures_seen"] == 2
+        assert summary["docs_attempted_this_pass"] == 1
+        assert summary["docs_in_output"] == 1
+        assert summary["warc_files_listed"] == 2
+        # the committed text is the NEWEST capture's extraction
+        import duckdb
+
+        got = duckdb.sql(
+            f"SELECT text, n_pages FROM read_parquet('{out}/**/*.parquet', "
+            "hive_partitioning=1)"
+        ).fetchall()
+        assert len(got) == 1
+        from ocr_spark.oracle import extract_document
+
+        want = extract_document(html_b, "en")["text"]
+        assert got[0][0] == want
+        assert got[0][1] == 1  # never the merged 2-page corruption
+
     def test_curate_job_full_chain(self, extracted_dir, tmp_path):
         blocklist = tmp_path / "blocked.txt"
         blocklist.write_text("blocked.example\n")

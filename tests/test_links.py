@@ -289,3 +289,61 @@ class TestPageRank:
             )._jdf.queryExecution().executedPlan().toString()
             assert "CartesianProduct" not in plan
             assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestMetaAndCapEdgeCases:
+    """r5 fourth-pass review fixes over the scan_meta/scan_links walks."""
+
+    def test_svg_title_never_becomes_page_title(self):
+        from ocr_spark.htmlpage import scan_meta
+
+        html = (
+            b"<html><body><svg><title>menu icon</title></svg>"
+            b"<p>content</p></body></html>"
+        )
+        assert scan_meta(html)["title"] is None
+        # a real head title still wins with svg present
+        html2 = (
+            b"<html><head><title>Real Title</title></head>"
+            b"<body><svg><title>icon</title></svg></body></html>"
+        )
+        assert scan_meta(html2)["title"] == "Real Title"
+
+    def test_unclosed_title_does_not_swallow_page(self):
+        from ocr_spark.htmlpage import MAX_TITLE_CHARS, scan_meta
+
+        page_text = b"word " * 5000
+        html = b"<html><head><title>Foo</head><body>" + page_text
+        title = scan_meta(html)["title"]
+        assert title is not None
+        assert title.startswith("Foo")
+        assert len(title) <= MAX_TITLE_CHARS + 1
+
+    def test_duplicate_charset_attr_first_wins(self):
+        from ocr_spark.htmlpage import decode_html_bytes
+
+        # HTML5: repeated attributes are ignored; last-wins would decode
+        # this page as koi8-r and mojibake the text
+        html = (
+            '<html><head><meta charset="utf-8" charset="koi8-r"></head>'
+            "<body><p>résumé</p></body></html>"
+        ).encode("utf-8")
+        assert "résumé" in decode_html_bytes(html)
+
+    def test_links_capped_only_for_keepable_links(self):
+        from ocr_spark.htmlpage import scan_links
+
+        body = "".join(
+            f'<a href="http://t.example/{i}">k{i}</a>' for i in range(3)
+        )
+        # over-cap anchors that would be dropped anyway (fragment, js)
+        body += '<a href="#top">top</a><a href="javascript:x()">js</a>'
+        html = f"<html><body>{body}</body></html>".encode()
+        links, capped = scan_links(html, "http://t.example/", max_links=3)
+        assert len(links) == 3
+        assert capped is False  # nothing keepable was dropped
+        # one more KEEPABLE link past the cap flips the flag
+        body += '<a href="http://t.example/extra">x</a>'
+        html = f"<html><body>{body}</body></html>".encode()
+        links, capped = scan_links(html, "http://t.example/", max_links=3)
+        assert len(links) == 3 and capped is True

@@ -279,3 +279,101 @@ class TestSparkReader:
             ).mapInPandas(
                 _warc_stream_fn("", 256, 1 << 20), WARC_PAGES_SCHEMA
             ).collect()
+
+
+class TestHttpBodyDecoding:
+    """Transfer-Encoding / Content-Encoding bodies (wget/heritrix
+    archives preserve the wire bytes; r5 review finding — without the
+    decode, chunk-size lines interleave into the extracted text)."""
+
+    def test_chunked_body_dechunked(self):
+        body = b"7\r\n<html><\r\n6\r\n/html>\r\n0\r\n\r\n"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+        )
+        assert split_http_payload(payload) == b"<html></html>"
+
+    def test_chunked_with_extension_and_trailer(self):
+        body = b"5;ext=1\r\nhello\r\n0\r\nX-T: v\r\n\r\n"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+        )
+        assert split_http_payload(payload) == b"hello"
+
+    def test_malformed_chunk_framing_falls_back_to_raw(self):
+        body = b"ZZZ\r\nnot hex\r\n"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+        )
+        # raw body handed to the sniffer (visible failure downstream),
+        # never an exception or a silent wrong decode
+        assert split_http_payload(payload) == body
+
+    def test_gzip_content_encoding_inflated(self):
+        import gzip
+
+        html = b"<html><body>compressed page</body></html>"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            + gzip.compress(html)
+        )
+        assert split_http_payload(payload) == html
+
+    def test_chunked_then_gzip_layering(self):
+        import gzip
+
+        gz = gzip.compress(b"<p>layered</p>")
+        chunked = (
+            b"%x\r\n" % len(gz) + gz + b"\r\n0\r\n\r\n"
+        )
+        payload = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + chunked
+        )
+        assert split_http_payload(payload) == b"<p>layered</p>"
+
+    def test_corrupt_gzip_body_falls_back_to_raw(self):
+        bad = b"\x1f\x8bgarbage-not-gzip"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bad
+        )
+        assert split_http_payload(payload) == bad
+
+
+class TestCorruptMember:
+    def test_mid_member_corruption_surfaces_in_both_readers(self):
+        """A bit-flip inside a NON-final gzip member loses the file's
+        tail; pre-fix the buffer reader finished CLEANLY at the prior
+        record boundary and the loss was silent (r5 review finding).
+        Both readers must now count at least one error while agreeing
+        on the records before the corruption."""
+        import io
+
+        good = _file([b"<html>a</html>", b"<html>b</html>"])
+        # find the second member boundary (next gzip magic after pos 0)
+        split = good.find(b"\x1f\x8b", 2)
+        assert split > 0
+        corrupted = (
+            good[:split]
+            + good[split:split + 12]
+            + bytes([good[split + 12] ^ 0xFF])
+            + good[split + 13:]
+        )
+
+        def classify(records):
+            pages, errs = [], 0
+            for h, p in records:
+                if "_error" in h:
+                    errs += 1
+                elif h.get("warc-type") == "response":
+                    pages.append(h["warc-target-uri"])
+            return pages, errs
+
+        buf_pages, buf_errs = classify(iter_warc_records(corrupted))
+        st_pages, st_errs = classify(
+            iter_warc_records_stream(io.BytesIO(corrupted), chunk=7)
+        )
+        assert buf_errs >= 1 and st_errs >= 1
+        # the clean prefix agrees: record 0 parsed, record 1 lost
+        assert buf_pages == ["http://ex.com/0"]
+        assert st_pages[:1] == ["http://ex.com/0"]
