@@ -75,8 +75,14 @@ def overlap_pct_matrix(
     yo_min = np.maximum(b[:, 1], boxes[None, :, 1])
     yo_max = np.minimum(b[:, 3], boxes[None, :, 3])
     inter = (xo_max - xo_min) * (yo_max - yo_min)
-    pct = inter / area1
     empty = (xo_max <= xo_min) | (yo_max <= yo_min)
+    # a zero-area block (sub-pixel collapse after the int cast) divides
+    # 0/0 here; every such cell is ALSO empty (zero width/height cannot
+    # overlap positively) and overwritten below, but the raw divide
+    # would spam RuntimeWarnings — or fail outright under
+    # np.seterr(invalid='raise') — for output that never changes
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pct = inter / area1
     pct[empty] = 0.0
     return pct
 

@@ -50,12 +50,3 @@ def portable_hash_col(col: Column) -> Column:
 
 def xxhash_col(col: Column) -> Column:
     return F.xxhash64(col)
-
-
-def minhash_perm_exprs(h: str, num_perm: int = 8) -> list[str]:
-    """SQL expressions ``pmod(a_j*H + b_j, p)`` for each permutation j —
-    identical arithmetic in Spark and DuckDB (inputs are nonneg 48-bit)."""
-    return [
-        f"(({MINHASH_A[j]} * {h} + {MINHASH_B[j]}) % {MERSENNE})"
-        for j in range(num_perm)
-    ]

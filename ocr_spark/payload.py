@@ -57,7 +57,13 @@ def _decode_spans(raw: bytes) -> list[str]:
     # validation layer that costs ~40% of the decode on these short
     # tokens (measured; this loop runs once per line of every document)
     a2b = binascii.a2b_base64
-    return [a2b(tok).decode("utf-8") for tok in raw.split(b",")]
+    # strict_mode: a corrupted span token must RAISE into the per-doc
+    # PARSE_ERROR lineage — the default decoder silently DISCARDS
+    # non-alphabet bytes, shipping shifted/shortened text as COMPLETED
+    return [
+        a2b(tok, strict_mode=True).decode("utf-8")
+        for tok in raw.split(b",")
+    ]
 
 
 def encode_page(page: dict[str, Any]) -> bytes:
@@ -148,10 +154,35 @@ def decode_doc(data: bytes) -> dict[str, Any]:
         raise ValueError("bad doc header")
     dpi, kind = int(m.group(1)), m.group(2).decode("ascii")
     pages, page_bytes = [], []
-    for pm in _PAGE_RE.finditer(data):
-        # groups are already captured — no second regex pass per page
+    # linear index scan, not _PAGE_RE.finditer over the whole payload:
+    # the non-greedy regex re-scans to EOF at every unclosed tag
+    # (measured quadratic — 10.5 s at 218 KiB of crafted input; a 4 MiB
+    # bomb extrapolates to ~an hour in ONE task), and it silently
+    # DROPPED pages with a corrupted open tag / absorbed the next page
+    # into one missing its close tag.  The scan is byte-identical on
+    # well-formed payloads (non-greedy = up-to-first-close, exactly what
+    # find() does; '<' cannot occur inside base64 span bodies) and
+    # RAISES on structural corruption — a corrupt document must be a
+    # visible PARSE_ERROR row, never a shorter COMPLETED one.
+    pos = 0
+    while True:
+        start = data.find(b"<page ", pos)
+        if start < 0:
+            break
+        end = data.find(b"</page>", start)
+        if end < 0:
+            raise ValueError("corrupt sgdoc: unclosed <page>")
+        seg = data[start:end + 7]
+        pm = _PAGE_RE.match(seg)
+        if pm is None:
+            raise ValueError("corrupt sgdoc: malformed <page> header")
         pages.append(_page_from_groups(*pm.groups()))
-        page_bytes.append(pm.group(0))
+        page_bytes.append(seg)
+        pos = end + 7
+    if data.count(b"</page>") != len(pages):
+        # an orphan close tag means some page's OPEN tag was corrupted —
+        # its content vanished from the parse
+        raise ValueError("corrupt sgdoc: page open/close tag mismatch")
     order = sorted(range(len(pages)), key=lambda k: pages[k]["i"])
     return {
         "dpi": dpi,

@@ -158,3 +158,69 @@ class TestConsolidationProperties:
         layout, lines = page
         for b in consolidate_blocks(lines, layout):
             assert len(b["lines"]) > 0
+
+
+class TestPayloadCorruption:
+    """Structural sgdoc corruption must be a LOUD PARSE_ERROR, never a
+    shorter COMPLETED document, and never a quadratic parse (r5 review:
+    the non-greedy page regex measured 10.5 s on 218 KiB of unclosed
+    tags and silently dropped/absorbed pages with corrupt tags)."""
+
+    def _doc(self, n_pages=2):
+        from ocr_spark.fixtures import make_doc
+
+        return make_doc(3)["html"]
+
+    def test_unclosed_page_raises(self):
+        import pytest
+
+        from ocr_spark.payload import decode_doc
+
+        data = self._doc()
+        cut = data.rfind(b"</page>")
+        with pytest.raises(ValueError, match="unclosed"):
+            decode_doc(data[:cut] + data[cut + 7:])
+
+    def test_corrupt_open_tag_raises_not_silent_drop(self):
+        import pytest
+
+        from ocr_spark.payload import decode_doc
+
+        data = self._doc()
+        assert decode_doc(data)["pages"]  # sanity: well-formed parses
+        broken = data.replace(b"<page ", b"<pgae ", 1)
+        with pytest.raises(ValueError, match="mismatch|unclosed"):
+            decode_doc(broken)
+
+    def test_unclosed_tag_bomb_fails_fast(self):
+        import time
+
+        import pytest
+
+        from ocr_spark.payload import MAGIC, decode_doc
+
+        bomb = (
+            MAGIC + b'<doc dpi="200" kind="A">'
+            + b'<page i="0" w="612.0" h="792.0">' * 8000
+            + b"</doc>"
+        )
+        t0 = time.time()
+        with pytest.raises(ValueError):
+            decode_doc(bomb)
+        assert time.time() - t0 < 1.0  # was ~10.5 s quadratic
+
+    def test_corrupt_span_base64_raises(self):
+        import binascii
+
+        import pytest
+
+        from ocr_spark.payload import decode_doc
+
+        data = self._doc()
+        i = data.find(b' s="')
+        assert i > 0
+        # flip a span byte to a non-alphabet char: must raise into the
+        # PARSE_ERROR path, not silently decode shifted text
+        broken = data[: i + 4] + b"!" + data[i + 5:]
+        with pytest.raises((ValueError, binascii.Error)):
+            decode_doc(broken)
