@@ -2998,9 +2998,19 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prove engine parity only; the kernels' real gate is the golden pytest
 # suite), and (4) the two rows-only non-SQL-expressible checks last.
 _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # (1) newest + previously-unchecked oracle rows — r5: the new recall
-    # ledger first, then the entries whose implementation changed this
-    # round (id-only lsh/ivf rerank joins, moved up from group (2))
+    # (1) newest + previously-unchecked oracle rows — r5: entries whose
+    # VALUES changed this round lead (the language_id zero-vote fix
+    # changed lang_pred for stopword-free docs — a stale r3 green would
+    # be misleading), then the new recall ledger and every entry whose
+    # implementation changed (id-only lsh/ivf rerank joins, NULL-digest
+    # dedup convention, pack coalesce, quality split binding, pii
+    # coalesce)
+    "text_language_id": (_q_language_id, _lang_sql()),
+    "text_language_id_cjk": (_q_language_id_cjk, _cjk_sql()),
+    "text_language_id_scripts": (_q_language_id_scripts, _scripts_sql()),
+    "text_quality": (_q_quality, _quality_sql()),
+    "text_quality_filter": (_q_quality_filter, _quality_filter_sql()),
+    "pii_scrub": (_q_pii_scrub, _pii_sql()),
     "sim_recall_report": (_q_recall_report, _RECALL_REPORT_SQL),
     "mm_decode_stats": (_q_decode_stats, _DECODE_STATS_SQL),
     "mm_resize_stats": (_q_resize_stats, _RESIZE_STATS_SQL),
@@ -3059,13 +3069,8 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "sim_quantized_topk": (_q_quant_topk, _QUANT_TOPK_SQL),
     "sim_near_dup": (_q_near_dup, _NEAR_DUP_SQL),
     # text analysis
-    "text_language_id": (_q_language_id, _lang_sql()),
-    "text_language_id_cjk": (_q_language_id_cjk, _cjk_sql()),
-    "text_language_id_scripts": (_q_language_id_scripts, _scripts_sql()),
-    "text_quality": (_q_quality, _quality_sql()),
     "text_token_count": (_q_token_count, _TOKEN_SQL),
     "text_fingerprint": (_q_fingerprint, _FINGERPRINT_SQL),
-    "text_quality_filter": (_q_quality_filter, _quality_filter_sql()),
     "text_token_freq": (_q_token_freq, _TOKEN_FREQ_SQL),
     "text_repetition": (_q_repetition, _REPETITION_SQL),
     "text_gopher_rules": (_q_gopher, _GOPHER_SQL),
@@ -3077,7 +3082,6 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "corpus_split": (_q_assign_split, _SPLIT_SQL),
     "corpus_sample": (_q_sample, _SAMPLE_SQL),
     "corpus_stratified_sample": (_q_stratified, _STRATIFIED_SQL),
-    "pii_scrub": (_q_pii_scrub, _pii_sql()),
     "text_dup_lines": (_q_dup_lines, _DUP_LINES_SQL),
     # extraction-semantic analogues with independent Spark plans
     # (SURVEY.md §2: P1-P5, F3/F7, S6, A2, A4)
