@@ -1633,6 +1633,107 @@ FROM px GROUP BY media_id, i
 """
 
 
+# mm audio decode/resample/features — REAL decoded samples vs an ANALYTIC
+# oracle, the audio twin of the image rows above.  The fixture WAV for
+# seed s holds sample ((7·i + 13·c + s) % 4001 − 2000) on channel c of
+# frame i (multimodal.synthetic_wav_bytes); the Spark side round-trips it
+# through the stdlib RIFF codec (chunk walk, PCM frame unpack, signed
+# conversion), the DuckDB side recomputes the stats from the formula.
+# Any wrong channel interleave, sign convention, byte order, or index map
+# breaks the hash.  480 frames / 8 bands and the 8000→3000 rate map keep
+# every boundary an exact integer division.
+
+_MM_AU_N, _MM_AU_RATE, _MM_AU_CH = 480, 8000, 2
+_MM_AU_V = "((7 * i + 13 * c + media_id) % 4001 - 2000)"
+_MM_AU_SAMPLES_CTE = f"""
+s AS (SELECT media_id, fi.i, ci.c, {_MM_AU_V} AS v
+      FROM ids CROSS JOIN range({_MM_AU_N}) fi(i)
+               CROSS JOIN range({_MM_AU_CH}) ci(c))
+"""
+
+
+def _q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = multimodal.synthetic_audio(
+        _mm_ids(spark, sf_dir), _MM_AU_N, _MM_AU_RATE, _MM_AU_CH
+    )
+    return multimodal.decode_audio_stats(au)
+
+
+_AUDIO_STATS_SQL = f"""
+WITH {_MM_IDS_CTE},
+{_MM_AU_SAMPLES_CTE}
+SELECT media_id,
+  CAST({_MM_AU_RATE} AS INTEGER) AS sample_rate,
+  CAST({_MM_AU_CH} AS INTEGER) AS n_channels,
+  CAST({_MM_AU_N} AS INTEGER) AS n_frames,
+  CAST({_MM_AU_N * 1000 // _MM_AU_RATE} AS INTEGER) AS duration_ms,
+  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+  CAST(max(abs(v)) AS INTEGER) AS peak
+FROM s GROUP BY media_id
+"""
+
+
+_MM_AU_RRATE = 3000
+_MM_AU_RN = _MM_AU_N * _MM_AU_RRATE // _MM_AU_RATE
+
+
+def _q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generate → resample (decode, nearest-frame, WAV re-encode) →
+    decode again → stats: two full codec round trips plus the exact
+    integer index mapping src(j) = j·in_rate//out_rate."""
+    au = multimodal.synthetic_audio(
+        _mm_ids(spark, sf_dir), _MM_AU_N, _MM_AU_RATE, _MM_AU_CH
+    )
+    return multimodal.decode_audio_stats(
+        multimodal.resample_audio(au, _MM_AU_RRATE)
+    )
+
+
+_AUDIO_RESAMPLE_SQL = f"""
+WITH {_MM_IDS_CTE},
+s AS (SELECT media_id,
+             ((7 * ((fj.j * {_MM_AU_RATE}) // {_MM_AU_RRATE})
+               + 13 * ci.c + media_id) % 4001 - 2000) AS v
+      FROM ids CROSS JOIN range({_MM_AU_RN}) fj(j)
+               CROSS JOIN range({_MM_AU_CH}) ci(c))
+SELECT media_id,
+  CAST({_MM_AU_RRATE} AS INTEGER) AS sample_rate,
+  CAST({_MM_AU_CH} AS INTEGER) AS n_channels,
+  CAST({_MM_AU_RN} AS INTEGER) AS n_frames,
+  CAST({_MM_AU_RN * 1000 // _MM_AU_RRATE} AS INTEGER) AS duration_ms,
+  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+  CAST(max(abs(v)) AS INTEGER) AS peak
+FROM s GROUP BY media_id
+"""
+
+
+_MM_AU_BANDS = 8
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-sample band features, hash-compared UNROUNDED: each value
+    is one IEEE division of exact integer sums (no transcendentals), so
+    both engines produce bit-identical doubles."""
+    au = multimodal.synthetic_audio(
+        _mm_ids(spark, sf_dir), _MM_AU_N, _MM_AU_RATE, _MM_AU_CH
+    )
+    feats = multimodal.audio_features(au, n_bands=_MM_AU_BANDS)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("i", "feature")
+    ).select("media_id", "i", "feature")
+
+
+_AUDIO_FEATURES_SQL = f"""
+WITH {_MM_IDS_CTE},
+{_MM_AU_SAMPLES_CTE}
+SELECT media_id,
+  CAST(i // {_MM_AU_N // _MM_AU_BANDS} AS INTEGER) AS i,
+  CAST(sum(abs(v)) AS DOUBLE)
+    / {_MM_AU_CH * (_MM_AU_N // _MM_AU_BANDS)} AS feature
+FROM s GROUP BY media_id, i // {_MM_AU_N // _MM_AU_BANDS}
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic dataset split (salted-hash buckets, portable mode)
 
@@ -3005,6 +3106,9 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # implementation changed (id-only lsh/ivf rerank joins, NULL-digest
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
+    "mm_audio_stats": (_q_audio_stats, _AUDIO_STATS_SQL),
+    "mm_audio_resample": (_q_audio_resample, _AUDIO_RESAMPLE_SQL),
+    "mm_audio_features": (_q_audio_features, _AUDIO_FEATURES_SQL),
     "text_language_id": (_q_language_id, _lang_sql()),
     "text_language_id_cjk": (_q_language_id_cjk, _cjk_sql()),
     "text_language_id_scripts": (_q_language_id_scripts, _scripts_sql()),

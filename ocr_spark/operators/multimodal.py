@@ -13,6 +13,12 @@ frame-sample run as Arrow-batched ``mapInPandas`` stages.
   environment-blocked codec).  decode → resize → features → ANN runs
   end-to-end in this container; mm_decode_stats / mm_resize_stats /
   mm_image_features oracle-check the decoded pixels analytically.
+- ``decode_audio_stats`` / ``resample_audio`` / ``audio_features`` — REAL
+  decode via the pure-stdlib WAV codec (ocr_spark.audiocodec: RIFF PCM
+  8/16-bit).  decode → resample → band features → ANN runs end-to-end in
+  this container; mm_audio_stats / mm_audio_resample / mm_audio_features
+  oracle-check the decoded samples analytically (MP3/AAC stay
+  environment-blocked).
 - ``sample_frames``    — REAL plumbing over the fake decode: deterministic
   frame-index sampling, one output row per sampled frame (video codecs
   stay environment-blocked).
@@ -26,7 +32,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, types as T
 
-from .. import imagecodec
+from .. import audiocodec, imagecodec
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -414,3 +420,202 @@ def sample_frames(
     return df.select(
         df[id_col].alias("media_id"), df[payload_col].alias(payload_col)
     ).mapInPandas(fn, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio branch — REAL decode via the pure-stdlib WAV codec
+# (ocr_spark.audiocodec), the audio twin of decode_image_stats /
+# resize_images / image_features: decode → resample → band features → ANN
+# runs end-to-end in this container.  MP3/AAC stay environment-blocked;
+# a production cluster swaps a vectorized decoder into the same
+# mapInPandas seam (the plumbing — schema, Arrow batching, partitioning —
+# is identical either way).
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("duration_ms", T.IntegerType(), False),
+        T.StructField("sum_abs", T.LongType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_audio_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode each WAV payload and emit exact integer sample stats —
+    every sample participates in ``sum_abs``, so a wrong channel
+    interleave, sign convention, or chunk walk changes the output (the
+    mm_audio_stats oracle recomputes them analytically in SQL).
+    ``duration_ms = n_frames * 1000 // rate`` stays integer-exact."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_STATS_SCHEMA.fields}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                au = audiocodec.wav_decode(bytes(payload))
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(au.sample_rate)
+                out["n_channels"].append(au.n_channels)
+                out["n_frames"].append(au.n_frames)
+                out["duration_ms"].append(
+                    au.n_frames * 1000 // au.sample_rate
+                )
+                out["sum_abs"].append(sum(abs(v) for v in au.samples))
+                out["peak"].append(
+                    max((abs(v) for v in au.samples), default=0)
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(
+        df[id_col].alias("media_id"), df[payload_col].alias(payload_col)
+    ).mapInPandas(fn, AUDIO_STATS_SCHEMA)
+
+
+def resample_audio(
+    df: DataFrame,
+    out_rate: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """WAV in → rate-converted WAV out (decode → nearest-frame resample →
+    re-encode), the audio-normalization stage of a multimodal training
+    pipeline.  The index map is exact integer arithmetic
+    (``src = j * in_rate // out_rate``), so mm_audio_resample replays two
+    full codec round trips plus the mapping in SQL."""
+    if out_rate < 1:
+        # fail on the driver, not as an opaque error inside the UDF
+        raise ValueError(f"out_rate must be >= 1, got {out_rate}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                au = audiocodec.resample_nearest(
+                    audiocodec.wav_decode(bytes(payload)), out_rate
+                )
+                ids.append(int(mid))
+                payloads.append(
+                    audiocodec.wav_encode(
+                        au.samples, au.sample_rate, au.n_channels,
+                        au.sample_width,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(
+        df[id_col].alias("media_id"), df[payload_col].alias(payload_col)
+    ).mapInPandas(fn, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    n_bands: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode → per-band mean |amplitude| vector (``array<double>``,
+    length ``n_bands``) — a real decoded-sample embedding ready for the
+    ANN operators downstream, the audio twin of :func:`image_features`.
+
+    Band b covers frames [b·F//n_bands, (b+1)·F//n_bands) (exact integer
+    boundaries); its feature is sum(|s| over the band, all channels) /
+    (n_channels · band_frames) — one IEEE division of exact integers, so
+    values are bit-deterministic across partitionings and engines (no
+    transcendentals; the round(·,9) policy does not apply)."""
+    if n_bands <= 0:
+        raise ValueError("n_bands must be positive")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                au = audiocodec.wav_decode(bytes(payload))
+                nf, ch = au.n_frames, au.n_channels
+                if nf < n_bands:
+                    raise ValueError(
+                        f"audio {int(mid)} has {nf} frames; needs >= "
+                        f"{n_bands} for {n_bands} bands"
+                    )
+                vec = []
+                for b in range(n_bands):
+                    f0 = b * nf // n_bands
+                    f1 = (b + 1) * nf // n_bands
+                    s = sum(
+                        abs(v) for v in au.samples[f0 * ch : f1 * ch]
+                    )
+                    vec.append(s / float(ch * (f1 - f0)))
+                ids.append(int(mid))
+                feats.append(vec)
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return df.select(
+        df[id_col].alias("media_id"), df[payload_col].alias(payload_col)
+    ).mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
+def synthetic_wav_bytes(
+    seed: int,
+    n_frames: int = 480,
+    sample_rate: int = 8000,
+    n_channels: int = 2,
+    sample_width: int = 2,
+) -> bytes:
+    """Deterministic test-fixture audio: channel c of frame i holds
+    sample ((7·i + 13·c + seed) % 4001) − 2000 — closed-form values a
+    SQL oracle recomputes analytically (seed must be non-negative so
+    ``%`` agrees across Python/Spark/DuckDB).  The range tiles the
+    signed-16-bit domain's center, exercising both signs."""
+    if seed < 0:
+        raise ValueError("seed must be non-negative (cross-engine %)")
+    samples = [
+        (7 * i + 13 * c + seed) % 4001 - 2000
+        for i in range(n_frames)
+        for c in range(n_channels)
+    ]
+    return audiocodec.wav_encode(
+        samples, sample_rate, n_channels, sample_width
+    )
+
+
+def synthetic_audio(
+    df: DataFrame,
+    n_frames: int = 480,
+    sample_rate: int = 8000,
+    n_channels: int = 2,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id) → (media_id, payload) of :func:`synthetic_wav_bytes` — a
+    distributed deterministic audio source for tests/contracts (no audio
+    libraries exist in this container to produce real corpora)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(m) for m in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        synthetic_wav_bytes(
+                            m, n_frames, sample_rate, n_channels
+                        )
+                        for m in ids
+                    ],
+                }
+            )
+
+    return df.select(df[id_col].alias("media_id")).mapInPandas(
+        fn, RESIZED_SCHEMA
+    )
