@@ -248,6 +248,26 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
     # each token once (the old per-bit re-split shape paid a bits× factor
     # exactly here: corpus-scale bits=64 on the longest documents)
     timed("dedup_simhash64_50kword_docs", dedup.simhash(long_docs, bits=64))
+    # BPE tokenizer: the sf corpus has a degenerate 31-word vocabulary
+    # (train rounds would measure pure job latency), so train over a
+    # JVM-synthesized corpus with a real vocab shape: 100k docs x 40
+    # words drawn Zipf-free from 5k distinct words.  bpe_train is eager
+    # (one bounded top-1 fetch per round) — wrap the whole call.
+    from ocr_spark.operators import bpe
+
+    bpe_docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 40), i -> "
+            "concat('w', conv(pmod(xxhash64(id, i), 5000), 10, 36))))"
+        ).alias("text"),
+    ).localCheckpoint()  # time the trainer, not the generator
+    t0 = time.time()
+    merges = bpe.bpe_train(
+        bpe.word_counts(bpe_docs), 16, state_partitions=8
+    )
+    out["bpe_train16_5kvocab"] = round(time.time() - t0, 3)
+    timed("bpe_apply_100kdocs", bpe.bpe_apply(bpe_docs, merges))
     return out
 
 

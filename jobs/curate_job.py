@@ -36,7 +36,9 @@ corpus-global line dedup → duplicate-SPAN dedup (optional; Lee et al.
 2022 substring granularity) → CCNet-style LM head cut (optional;
 self-trained unigram, threshold reported) → benchmark decontamination
 (optional; word n-gram overlap vs a broadcast eval set) → PII scrub →
-deterministic split/sample assignment.  Every stage is a
+BPE tokenizer training + tokenization (optional; the vocabulary is
+learned from the post-curation text and the export gains token
+columns) → deterministic split/sample assignment.  Every stage is a
 pure DataFrame plan; the one JSON summary line reports what each stage
 removed so a production run is auditable end-to-end.
 """
@@ -155,6 +157,14 @@ def main() -> int:
                          "directories (shard=K/), each sorted by the "
                          "deterministic within-shard rank — the "
                          "training-export layout")
+    ap.add_argument("--bpe-merges", type=int, default=None, metavar="N",
+                    help="train an N-merge BPE vocabulary on the curated "
+                         "corpus and add bpe_tokens/bpe_n_tokens columns "
+                         "to the export; the learned merge list lands in "
+                         "the summary (the tokenizer artifact)")
+    ap.add_argument("--bpe-min-count", type=int, default=2,
+                    help="stop BPE training early when no pair reaches "
+                         "this count")
     ap.add_argument("--salt", default="v1",
                     help="hash salt for split/sample assignment")
     args = ap.parse_args()
@@ -516,6 +526,29 @@ def main() -> int:
             .drop("text")
             .withColumnRenamed("clean_text", "text")
         )
+
+    if args.bpe_merges is not None:
+        # tokenizer training BELONGS after curation: the vocabulary must
+        # be learned from exactly the text the model will train on, not
+        # from the pre-filter crawl.  The merge list goes into the
+        # summary — without it the token columns are undecodable.
+        from ocr_spark.operators.bpe import bpe_apply, bpe_train, word_counts
+
+        merges = bpe_train(
+            word_counts(docs),
+            args.bpe_merges,
+            min_count=args.bpe_min_count,
+            state_partitions=spark.sparkContext.defaultParallelism,
+        )
+        summary["bpe_merges_learned"] = len(merges)
+        summary["bpe_merges"] = [[left, right] for left, right in merges]
+        toks = bpe_apply(docs, merges).select(
+            "doc_id",
+            F.col("tokens").alias("bpe_tokens"),
+            F.col("n_tokens").alias("bpe_n_tokens"),
+        )
+        docs = docs.join(toks, "doc_id")
+        _stage("bpe_tokenize")
 
     if args.sample is not None:
         from ocr_spark.operators.splits import deterministic_sample

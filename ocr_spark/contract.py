@@ -3086,6 +3086,110 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links_ops.pagerank(edges, iters=_PAGERANK_ITERS, fold="sorted")
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer (operators/bpe.py).  Three seams, each oracle-checked:
+#
+# - bpe_pair_counts: round-1 pair statistics over the char-split word
+#   table — the aggregation every training round repeats.  Words are
+#   filtered to printable ASCII in BOTH engines: Spark splits chars as
+#   UTF-16 units, DuckDB as code points, so astral-plane words would
+#   diverge (BMP agreement probed; the general path is pytest-pinned).
+# - bpe_apply_chars: apply with ZERO merges — n_tokens and an md5 over
+#   the US-joined token stream check the whole distinct-word-join +
+#   ordered-reassembly plumbing against the analytic char split.  The
+#   tokenizer runs in Python (code points), so no ASCII filter is
+#   needed; the '' word (consecutive spaces) tokenizes to [END], which
+#   the oracle states via list_filter (DuckDB splits '' into ['']).
+# - bpe_apply_one_merge: ONE merge ('e', END).  left != right means
+#   greedy non-overlapping == plain occurrence count, so the oracle can
+#   state the merged stream in closed form: words ending in 'e' lose
+#   their last char and gain an 'e ' token.
+
+_BPE_ASCII = "^[!-~]+$"
+
+
+def _q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bpe
+
+    wc = bpe.word_counts(_t(spark, sf_dir, "documents")).filter(
+        F.col("word").rlike(_BPE_ASCII)
+    )
+    # left/right are SQL keywords — alias for the oracle's sake
+    return bpe.pair_counts(bpe.initial_state(wc)).select(
+        F.col("left").alias("lsym"), F.col("right").alias("rsym"), "c"
+    )
+
+
+_BPE_PAIRS_SQL = f"""
+WITH w AS (SELECT word, count(*) AS cnt
+           FROM (SELECT unnest(string_split(lower(coalesce(text, '')), ' '))
+                   AS word FROM documents)
+           WHERE word <> '' AND regexp_matches(word, '{_BPE_ASCII}')
+           GROUP BY word),
+s AS (SELECT cnt, list_concat(string_split(word, ''), [' ']) AS syms FROM w),
+p0 AS (SELECT cnt, unnest(range(0, len(syms) - 1)) AS i, syms FROM s)
+SELECT syms[i + 1] AS lsym, syms[i + 2] AS rsym,
+       CAST(sum(cnt) AS BIGINT) AS c
+FROM p0 GROUP BY lsym, rsym
+"""
+
+
+def _q_bpe_apply_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bpe
+
+    res = bpe.bpe_apply(_t(spark, sf_dir, "documents"), [])
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.array_join("tokens", "\x1f")).alias("tok_md5"),
+    )
+
+
+_BPE_CHARS_SQL = """
+WITH t AS (SELECT doc_id,
+                  string_split(lower(coalesce(text, '')), ' ') AS ws
+           FROM documents),
+tok AS (SELECT doc_id,
+          flatten(list_transform(ws, w -> list_concat(
+            list_filter(string_split(w, ''), s -> s <> ''), [' ']))) AS toks
+        FROM t)
+SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+       md5(array_to_string(toks, chr(31))) AS tok_md5
+FROM tok
+"""
+
+
+def _q_bpe_apply_one_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bpe
+
+    res = bpe.bpe_apply(
+        _t(spark, sf_dir, "documents"), [("e", bpe.END)]
+    )
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.array_join("tokens", "\x1f")).alias("tok_md5"),
+    )
+
+
+_BPE_ONE_MERGE_SQL = """
+WITH t AS (SELECT doc_id,
+                  string_split(lower(coalesce(text, '')), ' ') AS ws
+           FROM documents),
+tok AS (SELECT doc_id,
+          flatten(list_transform(ws, w -> CASE
+            WHEN w LIKE '%e'
+              THEN list_concat(string_split(w, '')[1:len(w) - 1], ['e '])
+            ELSE list_concat(
+              list_filter(string_split(w, ''), s -> s <> ''), [' '])
+            END)) AS toks
+        FROM t)
+SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+       md5(array_to_string(toks, chr(31))) AS tok_md5
+FROM tok
+"""
+
+
 # registry
 
 #
@@ -3106,6 +3210,9 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # implementation changed (id-only lsh/ivf rerank joins, NULL-digest
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
+    "bpe_pair_counts": (_q_bpe_pair_counts, _BPE_PAIRS_SQL),
+    "bpe_apply_chars": (_q_bpe_apply_chars, _BPE_CHARS_SQL),
+    "bpe_apply_one_merge": (_q_bpe_apply_one_merge, _BPE_ONE_MERGE_SQL),
     "mm_audio_stats": (_q_audio_stats, _AUDIO_STATS_SQL),
     "mm_audio_resample": (_q_audio_resample, _AUDIO_RESAMPLE_SQL),
     "mm_audio_features": (_q_audio_features, _AUDIO_FEATURES_SQL),

@@ -378,3 +378,40 @@ class TestJobs:
             assert s[0] == 0 and s[-1] == len(s) - 1  # dense rank
             seqs.append(len(s))
         assert sum(seqs) == summary["output_docs"]
+
+    def test_curate_job_bpe_tokenize(self, extracted_dir, tmp_path):
+        """--bpe-merges trains the vocabulary on the CURATED corpus and
+        the export carries decodable token columns: concat(bpe_tokens)
+        round-trips to the lowercased text + trailing end marker, and
+        the summary holds the merge list (the tokenizer artifact)."""
+        out = tmp_path / "bpe"
+        summary = _run(
+            [
+                "jobs/curate_job.py",
+                "--input", str(extracted_dir),
+                "--output", str(out),
+                "--bpe-merges", "12",
+            ]
+        )
+        assert 0 < summary["bpe_merges_learned"] <= 12
+        merges = [tuple(m) for m in summary["bpe_merges"]]
+        assert len(merges) == summary["bpe_merges_learned"]
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(out).to_pylist()
+        assert len(t) == summary["output_docs"]
+        from ocr_spark.operators.bpe import tokenize_word
+
+        ranks = {m: i for i, m in enumerate(merges)}
+        for row in t:
+            toks = row["bpe_tokens"]
+            assert row["bpe_n_tokens"] == len(toks)
+            # decodable: concat == lowercased text + one trailing marker
+            assert "".join(toks) == row["text"].lower() + " "
+            # and exactly what the reference tokenizer produces
+            want = [
+                tk
+                for w in row["text"].lower().split(" ")
+                for tk in tokenize_word(w, ranks)
+            ]
+            assert toks == want
