@@ -10,6 +10,9 @@ known-bad plan shape for comparison); run manually::
     python tools/scale_probes.py bloom    # single-join bitmap probe vs
                                           # the k-broadcast probe at
                                           # m = 2^28
+    python tools/scale_probes.py bpe      # distinct-word tokenize+join
+                                          # (bpe_apply) vs tokenizing
+                                          # every word occurrence
 
 Methodology (the bench-hygiene rules from BENCH.md, applied to A/Bs):
 
@@ -346,6 +349,167 @@ def probe_bloom(n_old: int | None = None, n_new: int | None = None,
     }
 
 
+# --------------------------------------------------------------- BPE probe
+
+BPE_DEFAULTS = (500_000, 40, 5_000, 64)  # n_docs, words/doc, vocab, merges
+
+
+def _bpe_corpus(spark, n_docs: int, wpd: int, vocab: int):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                f"concat_ws(' ', transform(sequence(1, {wpd}), i -> "
+                f"concat('w', conv(pmod(xxhash64(id, i), {vocab}), "
+                "10, 36))))"
+            ).alias("text"),
+        )
+        .localCheckpoint()
+    )
+
+
+def _bpe_apply_per_occurrence(docs, merges):
+    """The shape ``bpe_apply`` avoids: tokenize EVERY word occurrence in
+    the UDF (all occurrence rows cross the Arrow boundary and re-hit the
+    per-batch memo) instead of tokenizing the distinct vocabulary once
+    and joining.  Memoization is kept IN BOTH variants so the A/B
+    isolates the plan shape (Arrow row volume + join), not a strawman
+    missing cache."""
+    from pyspark.sql import functions as F, types as T
+
+    from ocr_spark.operators.bpe import tokenize_word
+
+    text = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    words = docs.select(
+        "doc_id", F.posexplode(F.split(text, " ")).alias("_pos", "word")
+    )
+    bc = docs.sparkSession.sparkContext.broadcast(
+        {p: i for i, p in enumerate(merges)}
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("_pos", T.IntegerType(), False),
+            T.StructField("toks", T.ArrayType(T.StringType()), False),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        ranks = bc.value
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks = []
+            for w in pdf["word"]:
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = tokenize_word(w, ranks)
+                toks.append(got)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "_pos": pdf["_pos"], "toks": toks}
+            )
+
+    return (
+        words.mapInPandas(fn, schema)
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            "doc_id", "tokens", F.size("tokens").cast("int").alias("n_tokens")
+        )
+    )
+
+
+def bpe_time(variant: str, n_docs: int, wpd: int, vocab: int,
+             n_merges: int) -> dict:
+    from ocr_spark.operators import bpe
+
+    spark = _spark(f"bpe-{variant}")
+    docs = _bpe_corpus(spark, n_docs, wpd, vocab)
+    # train OUTSIDE the timed window, identically in both subprocesses
+    # (same deterministic corpus → same merges); training is light, the
+    # r4 JVM-poisoning lesson concerned payload-heavy stages
+    merges = bpe.bpe_train(
+        bpe.word_counts(docs), n_merges, state_partitions=8
+    )
+    if variant == "distinct_join":
+        df = bpe.bpe_apply(docs, merges)
+    elif variant == "per_occurrence":
+        df = _bpe_apply_per_occurrence(docs, merges)
+    else:
+        raise SystemExit(f"unknown bpe variant {variant!r}")
+    before = _shuffle_write_bytes(spark)
+    t0 = time.time()
+    _noop(df)
+    best = time.time() - t0
+    shuffle = _shuffle_write_bytes(spark) - before
+    t0 = time.time()
+    _noop(df)
+    best = min(best, time.time() - t0)
+    spark.stop()
+    return {
+        "variant": variant,
+        "sec": round(best, 2),
+        "shuffle_mb": round(shuffle / 2**20, 1),
+        "merges_learned": len(merges),
+    }
+
+
+def bpe_verify(n_docs: int, wpd: int, vocab: int, n_merges: int) -> dict:
+    from ocr_spark.operators import bpe
+
+    spark = _spark("bpe-verify")
+    docs = _bpe_corpus(spark, n_docs, wpd, vocab)
+    merges = bpe.bpe_train(
+        bpe.word_counts(docs), n_merges, state_partitions=8
+    )
+    a = bpe.bpe_apply(docs, merges)
+    b = _bpe_apply_per_occurrence(docs, merges)
+    mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+    spark.stop()
+    return {"result_mismatch_rows": mismatch}
+
+
+def probe_bpe(n_docs: int | None = None, wpd: int | None = None,
+              vocab: int | None = None, n_merges: int | None = None) -> dict:
+    n_docs, wpd, vocab, n_merges = (
+        n_docs or BPE_DEFAULTS[0],
+        wpd or BPE_DEFAULTS[1],
+        vocab or BPE_DEFAULTS[2],
+        n_merges or BPE_DEFAULTS[3],
+    )
+    args = [str(n_docs), str(wpd), str(vocab), str(n_merges)]
+    dj = _sub(["bpe-time", "distinct_join", *args])
+    po = _sub(["bpe-time", "per_occurrence", *args])
+    parity = _sub(["bpe-verify", *args])
+    out = {
+        "probe": "bpe_distinctjoin_vs_peroccurrence",
+        "n_docs": n_docs,
+        "words_per_doc": wpd,
+        "vocab": vocab,
+        "n_merges": n_merges,
+        "result_mismatch_rows": parity["result_mismatch_rows"],
+        "distinct_join_sec": dj["sec"],
+        "per_occurrence_sec": po["sec"],
+        "distinct_join_shuffle_mb": dj["shuffle_mb"],
+        "per_occurrence_shuffle_mb": po["shuffle_mb"],
+    }
+    out["speedup"] = round(
+        out["per_occurrence_sec"] / out["distinct_join_sec"], 2
+    )
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "ann"
     rest = sys.argv[2:]
@@ -353,6 +517,8 @@ if __name__ == "__main__":
         print(json.dumps(probe_ann(*[int(float(x)) for x in rest])))
     elif which == "bloom":
         print(json.dumps(probe_bloom(*[int(float(x)) for x in rest])))
+    elif which == "bpe":
+        print(json.dumps(probe_bpe(*[int(float(x)) for x in rest])))
     elif which == "ann-time":
         v, n, d, q = rest[0], *[int(float(x)) for x in rest[1:4]]
         print(json.dumps(ann_time(v, n, d, q)))
@@ -362,5 +528,11 @@ if __name__ == "__main__":
     elif which == "bloom-time":
         m, n_old, n_new, mb = rest[0], *[int(float(x)) for x in rest[1:4]]
         print(json.dumps(bloom_time(m, n_old, n_new, mb)))
+    elif which == "bpe-time":
+        v, nd, wp, vc, nm = rest[0], *[int(float(x)) for x in rest[1:5]]
+        print(json.dumps(bpe_time(v, nd, wp, vc, nm)))
+    elif which == "bpe-verify":
+        nd, wp, vc, nm = [int(float(x)) for x in rest[:4]]
+        print(json.dumps(bpe_verify(nd, wp, vc, nm)))
     else:
         raise SystemExit(f"unknown probe {which!r}")
