@@ -1465,7 +1465,8 @@ WITH m AS (SELECT doc_id AS media_id, sha256(text) AS sha, text,
                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
            FROM documents)
 SELECT media_id, n_bytes, sha,
-       CASE WHEN starts_with(text, 'RIFF') THEN 'audio/wav'
+       CASE WHEN starts_with(text, 'GIF8') THEN 'image/gif'
+            WHEN starts_with(text, 'RIFF') THEN 'audio/wav'
             WHEN starts_with(text, chr(26) || chr(69) || chr(2019))
               THEN 'video/webm'
             ELSE 'application/octet-stream' END AS kind,
@@ -1731,6 +1732,42 @@ SELECT media_id,
   CAST(sum(abs(v)) AS DOUBLE)
     / {_MM_AU_CH * (_MM_AU_N // _MM_AU_BANDS)} AS feature
 FROM s GROUP BY media_id, i // {_MM_AU_N // _MM_AU_BANDS}
+"""
+
+
+# mm GIF frame decode — REAL LZW + compositing vs an ANALYTIC oracle.
+# The fixture animation for seed s (multimodal.synthetic_gif_bytes) has
+# palette entry i = ((7i)%256, (11i+3)%256, (13i+5)%256) and frame f
+# paints pixel (x, y) with index (x + 2y + 5f + s) % 256; the Spark side
+# decodes the real GIF89a bytes (variable-width LZW with mid-stream
+# CLEARs, sub-block reassembly, full-canvas compositing), the DuckDB
+# side recomputes the channel sums from the two formulas.  A wrong code
+# width, reset, palette lookup, or frame index breaks the hash.
+
+_MM_GIF_F, _MM_GIF_EVERY = 6, 2
+_MM_GIF_IDX = f"((x + 2 * y + 5 * f + media_id) % 256)"
+
+
+def _q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gifs = multimodal.synthetic_gifs(
+        _mm_ids(spark, sf_dir), _MM_W, _MM_H, _MM_GIF_F
+    )
+    return multimodal.decode_gif_frames(gifs, every=_MM_GIF_EVERY)
+
+
+_GIF_FRAMES_SQL = f"""
+WITH {_MM_IDS_CTE},
+fr AS (SELECT media_id, unnest(range(0, {_MM_GIF_F}, {_MM_GIF_EVERY})) AS f
+       FROM ids),
+px AS (SELECT media_id, f, {_MM_GIF_IDX} AS i
+       FROM fr CROSS JOIN range({_MM_W}) xs(x) CROSS JOIN range({_MM_H}) ys(y))
+SELECT media_id, CAST(f AS INTEGER) AS frame_i,
+  CAST({_MM_W} AS INTEGER) AS width, CAST({_MM_H} AS INTEGER) AS height,
+  CAST({_MM_GIF_F} AS INTEGER) AS n_frames,
+  CAST(sum((7 * i) % 256) AS BIGINT) AS sum_r,
+  CAST(sum((11 * i + 3) % 256) AS BIGINT) AS sum_g,
+  CAST(sum((13 * i + 5) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY media_id, f
 """
 
 
@@ -3210,6 +3247,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # implementation changed (id-only lsh/ivf rerank joins, NULL-digest
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
+    "mm_gif_frames": (_q_gif_frames, _GIF_FRAMES_SQL),
     "bpe_pair_counts": (_q_bpe_pair_counts, _BPE_PAIRS_SQL),
     "bpe_apply_chars": (_q_bpe_apply_chars, _BPE_CHARS_SQL),
     "bpe_apply_one_merge": (_q_bpe_apply_one_merge, _BPE_ONE_MERGE_SQL),

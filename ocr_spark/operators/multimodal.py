@@ -19,9 +19,14 @@ frame-sample run as Arrow-batched ``mapInPandas`` stages.
   this container; mm_audio_stats / mm_audio_resample / mm_audio_features
   oracle-check the decoded samples analytically (MP3/AAC stay
   environment-blocked).
+- ``decode_gif_frames`` / ``gif_frame_features`` — REAL frame decode via
+  the pure-stdlib GIF codec (ocr_spark.gifcodec: LZW, interlace,
+  transparency, disposal compositing): sampled composited frames →
+  per-frame grid features → ANN runs end-to-end in this container;
+  mm_gif_frames oracle-checks the composited pixels analytically.
 - ``sample_frames``    — REAL plumbing over the fake decode: deterministic
-  frame-index sampling, one output row per sampled frame (video codecs
-  stay environment-blocked).
+  frame-index sampling, one output row per sampled frame (true video
+  codecs — webm/mp4 — stay environment-blocked).
 """
 
 from __future__ import annotations
@@ -49,6 +54,7 @@ MEDIA_META_SCHEMA = T.StructType(
 _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF8", "image/gif"),
     (b"RIFF", "audio/wav"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
 ]
@@ -611,6 +617,192 @@ def synthetic_audio(
                         synthetic_wav_bytes(
                             m, n_frames, sample_rate, n_channels
                         )
+                        for m in ids
+                    ],
+                }
+            )
+
+    return df.select(df[id_col].alias("media_id")).mapInPandas(
+        fn, RESIZED_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# animation / frame branch — REAL decode via the pure-stdlib GIF codec
+# (ocr_spark.gifcodec): LZW + compositing make frame sampling runnable
+# on the web's native animation format (sample_frames keeps the
+# digest-fake path for the containers that stay environment-blocked —
+# webm/mp4 need real video codecs).
+
+GIF_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_i", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+)
+
+
+def decode_gif_frames(
+    df: DataFrame,
+    every: int = 1,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """GIF payloads → one row per SAMPLED composited frame (indices 0,
+    ``every``, 2·``every``, …) with exact per-channel pixel sums — the
+    runnable twin of :func:`sample_frames`: every canvas pixel of every
+    sampled frame participates, so a wrong LZW reset, interlace pass,
+    transparency skip, or disposal rect changes the output (the
+    mm_gif_frames oracle recomputes the sums analytically)."""
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import gifcodec
+
+        for pdf in batches:
+            out = {k.name: [] for k in GIF_FRAME_STATS_SCHEMA.fields}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = gifcodec.gif_decode(bytes(payload))
+                for fi in range(0, len(dec.frames), every):
+                    px = dec.frames[fi]
+                    out["media_id"].append(int(mid))
+                    out["frame_i"].append(fi)
+                    out["width"].append(dec.width)
+                    out["height"].append(dec.height)
+                    out["n_frames"].append(len(dec.frames))
+                    out["sum_r"].append(sum(px[0::3]))
+                    out["sum_g"].append(sum(px[1::3]))
+                    out["sum_b"].append(sum(px[2::3]))
+            yield pd.DataFrame(out)
+
+    return df.select(
+        df[id_col].alias("media_id"), df[payload_col].alias(payload_col)
+    ).mapInPandas(fn, GIF_FRAME_STATS_SCHEMA)
+
+
+GIF_FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_i", T.IntegerType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def gif_frame_features(
+    df: DataFrame,
+    every: int = 1,
+    grid: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Sampled GIF frames → ``grid×grid`` mean-pooled intensity vectors
+    (one ``array<double>`` per frame, the :func:`image_features` cell
+    map applied per frame) — ANN-ready per-frame embeddings, the shape a
+    video-similarity pipeline fans out to.  Exact integer sums + one
+    IEEE division per cell: bit-deterministic across partitionings and
+    engines."""
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+    if grid <= 0:
+        raise ValueError("grid must be positive")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .. import gifcodec
+
+        for pdf in batches:
+            ids, fis, feats = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = gifcodec.gif_decode(bytes(payload))
+                if dec.width < grid or dec.height < grid:
+                    raise ValueError(
+                        f"gif {int(mid)} canvas {dec.width}x{dec.height} "
+                        f"needs >= {grid}px per side for a {grid}x{grid} grid"
+                    )
+                for fi in range(0, len(dec.frames), every):
+                    arr = np.frombuffer(
+                        dec.frames[fi], dtype=np.uint8
+                    ).reshape(dec.height, dec.width, 3)
+                    vec = []
+                    for cy in range(grid):
+                        y0 = cy * dec.height // grid
+                        y1 = (cy + 1) * dec.height // grid
+                        for cx in range(grid):
+                            x0 = cx * dec.width // grid
+                            x1 = (cx + 1) * dec.width // grid
+                            cell = arr[y0:y1, x0:x1]
+                            vec.append(
+                                int(cell.sum(dtype=np.int64))
+                                / float(3 * cell.shape[0] * cell.shape[1])
+                            )
+                    ids.append(int(mid))
+                    fis.append(fi)
+                    feats.append(vec)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_i": fis, "features": feats}
+            )
+
+    return df.select(
+        df[id_col].alias("media_id"), df[payload_col].alias(payload_col)
+    ).mapInPandas(fn, GIF_FRAME_FEATURES_SCHEMA)
+
+
+def synthetic_gif_bytes(
+    seed: int, width: int = 24, height: int = 16, n_frames: int = 6
+) -> bytes:
+    """Deterministic animated-GIF fixture: the global palette holds
+    entry i = ((7i) % 256, (11i + 3) % 256, (13i + 5) % 256) and frame f
+    paints pixel (x, y) with index (x + 2y + 5f + seed) % 256 — both
+    closed-form, so a SQL oracle recomputes composited-frame channel
+    sums analytically (seed must be non-negative for cross-engine %).
+    Full-canvas frames; the literal LZW writer re-CLEARs mid-stream, so
+    decoding exercises the reset path on every frame."""
+    if seed < 0:
+        raise ValueError("seed must be non-negative (cross-engine %)")
+    from .. import gifcodec
+
+    palette = b"".join(
+        bytes(((7 * i) % 256, (11 * i + 3) % 256, (13 * i + 5) % 256))
+        for i in range(256)
+    )
+    frames = [
+        bytes(
+            (x + 2 * y + 5 * f + seed) % 256
+            for y in range(height)
+            for x in range(width)
+        )
+        for f in range(n_frames)
+    ]
+    return gifcodec.gif_encode(width, height, frames, palette)
+
+
+def synthetic_gifs(
+    df: DataFrame,
+    width: int = 24,
+    height: int = 16,
+    n_frames: int = 6,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id) → (media_id, payload) of :func:`synthetic_gif_bytes` — a
+    distributed deterministic animation source for tests/contracts."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(m) for m in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        synthetic_gif_bytes(m, width, height, n_frames)
                         for m in ids
                     ],
                 }
