@@ -1029,6 +1029,90 @@ def _q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Product-quantization ADC top-k (similarity.train_pq_codebooks /
+# pq_encode / pq_topk), SEED codebooks (iters=0) so the oracle derives
+# the same centroids in SQL: subspace j's codebook = the 8 lowest-id
+# vectors' j-th subvectors.  Encode = argmax(dot − 0.5·|c|²) per
+# (vector, subspace) with lowest-cid ties (window mirror of the argmax
+# struct); ip/rnorm fold the per-subspace values in j order
+# (list_reduce over a j-ordered list == Spark's 0-seeded fold);
+# cos rounded to 6 (the ANN-family convention — absorbs the
+# list_aggregate-vs-fold last-ulp association slack the other rows
+# already carry).
+
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 8, 8  # dim 64 → 8 subspaces of 8
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.train_pq_codebooks(
+        emb, m=_PQ_M, ksub=_PQ_KSUB, iters=0
+    )
+    codes = similarity.pq_encode(emb, books)
+    res = similarity.pq_topk(
+        codes, emb.filter(F.col("vec_id") < 5), books, k=10
+    )
+    return res.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
+    )
+
+
+def _pq_dot(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b)
+
+
+_PQ_SQL = f"""
+WITH seeds AS (SELECT vec_id, embedding FROM embeddings
+               ORDER BY vec_id LIMIT {_PQ_KSUB}),
+cents AS (SELECT sj.j,
+            row_number() OVER (PARTITION BY sj.j ORDER BY s.vec_id) - 1
+              AS cid,
+            s.embedding[sj.j * {_PQ_DSUB} + 1 : sj.j * {_PQ_DSUB} + {_PQ_DSUB}]
+              AS cvec
+          FROM seeds s CROSS JOIN range({_PQ_M}) sj(j)),
+sub AS (SELECT e.vec_id, sj.j,
+          e.embedding[sj.j * {_PQ_DSUB} + 1 : sj.j * {_PQ_DSUB} + {_PQ_DSUB}]
+            AS sv
+        FROM embeddings e CROSS JOIN range({_PQ_M}) sj(j)),
+enc AS (SELECT vec_id, j, cid, nsq FROM (
+          SELECT sub.vec_id, sub.j, c.cid,
+            {_pq_dot('sub.sv', 'c.cvec')} - 0.5 * {_pq_dot('c.cvec', 'c.cvec')}
+              AS score,
+            {_pq_dot('c.cvec', 'c.cvec')} AS nsq,
+            row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                               ORDER BY {_pq_dot('sub.sv', 'c.cvec')}
+                                 - 0.5 * {_pq_dot('c.cvec', 'c.cvec')} DESC,
+                               c.cid ASC) AS rk
+          FROM sub JOIN cents c ON c.j = sub.j)
+        WHERE rk = 1),
+rn AS (SELECT vec_id AS c_id,
+              sqrt(list_reduce(list(nsq ORDER BY j), (a, b) -> a + b))
+                AS rnorm
+       FROM enc GROUP BY vec_id),
+qn AS (SELECT vec_id AS q_id,
+              sqrt({_pq_dot('embedding', 'embedding')}) AS qnorm
+       FROM embeddings WHERE vec_id < 5),
+ipx AS (SELECT qs.vec_id AS q_id, enc.vec_id AS c_id,
+          list_reduce(list({_pq_dot('qs.sv', 'c.cvec')} ORDER BY enc.j),
+                      (a, b) -> a + b) AS ip
+        FROM enc
+        JOIN cents c ON c.j = enc.j AND c.cid = enc.cid
+        JOIN sub qs ON qs.j = enc.j
+        WHERE qs.vec_id < 5 AND qs.vec_id <> enc.vec_id
+        GROUP BY qs.vec_id, enc.vec_id),
+scored AS (SELECT ipx.q_id, ipx.c_id,
+             CASE WHEN rn.rnorm = 0 OR qn.qnorm = 0 THEN 0
+                  ELSE ipx.ip / (qn.qnorm * rn.rnorm) END AS cos
+           FROM ipx JOIN rn ON rn.c_id = ipx.c_id
+                    JOIN qn ON qn.q_id = ipx.q_id)
+SELECT q_id AS query_id, c_id AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cos, 6) AS cos_r
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos DESC, c_id ASC) AS rank FROM scored)
+WHERE rank <= 10
+"""
+
+
 def _topk_ids(scored_cte: str, qc: str = "q_id", cc: str = "c_id") -> str:
     """rank<=10 (query_id, neighbor_id) projection over a scored CTE."""
     return f"""
@@ -3248,6 +3332,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
     "mm_gif_frames": (_q_gif_frames, _GIF_FRAMES_SQL),
+    "sim_pq_topk": (_q_pq_topk, _PQ_SQL),
     "bpe_pair_counts": (_q_bpe_pair_counts, _BPE_PAIRS_SQL),
     "bpe_apply_chars": (_q_bpe_apply_chars, _BPE_CHARS_SQL),
     "bpe_apply_one_merge": (_q_bpe_apply_one_merge, _BPE_ONE_MERGE_SQL),

@@ -753,6 +753,9 @@ def ann_recall_report(
     train_iters: int = 0,
     salts: int = 32,
     methods: tuple[str, ...] = ("lsh", "ivf", "quantized"),
+    pq_m: int = 8,
+    pq_ksub: int = 16,
+    pq_iters: int = 0,
 ) -> DataFrame:
     """Recall ledger for the approximate ANN paths: one row per method
     with its recall@k against :func:`cosine_topk_bruteforce` ground
@@ -772,7 +775,7 @@ def ann_recall_report(
     collect of ``len(methods)`` aggregate rows — the job-summary
     exception to the no-collect policy) so the truth cache can be
     released before returning."""
-    known = {"lsh", "ivf", "quantized"}
+    known = {"lsh", "ivf", "quantized", "pq"}
     bad = set(methods) - known
     if bad:
         raise ValueError(f"unknown methods {sorted(bad)}; pick from {sorted(known)}")
@@ -793,6 +796,14 @@ def ann_recall_report(
                 approx = ivf_topk(
                     df, queries, k, vec_col, id_col,
                     n_centroids, n_probe, train_iters,
+                )
+            elif m == "pq":
+                books = train_pq_codebooks(
+                    df, pq_m, pq_ksub, vec_col, id_col, pq_iters
+                )
+                approx = pq_topk(
+                    pq_encode(df, books, vec_col, id_col),
+                    queries, books, k, vec_col, id_col, salts,
                 )
             else:
                 approx = cosine_topk_quantized(
@@ -847,3 +858,209 @@ def ann_recall_report(
         "method string, k int, n_queries bigint, n_truth bigint, "
         "n_hit bigint, recall double, min_recall double",
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" — the FAISS IVF-PQ memory regime): vectors
+# compress to m subspace codes (one byte each at ksub <= 256), and query
+# scoring is Asymmetric Distance Computation — a per-query lookup table
+# of subspace dot products, so a candidate costs m table lookups instead
+# of a dim-length dot.  At 10^12 x 768-dim, float64 vectors are ~6 TB,
+# int8 ~0.75 TB, and m=96 PQ codes ~96 GB — the tier where the corpus
+# side of ANN fits in cluster memory.  Encode is a pure projection
+# (argmin L2 per subspace over inlined centroid literals — the
+# nearest_cell_expr posture: no shuffle, no crossJoin); scoring carries
+# (codes, rnorm) only, never the vectors.
+
+
+def _sq_norm(a: str) -> str:
+    """Squared-L2 fold (no sqrt) — constant-folded when ``a`` is a
+    literal, and the exact expression the DuckDB oracle mirrors."""
+    return f"aggregate({a}, 0D, (acc, x) -> acc + x * x)"
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 0,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace codebooks: ``m`` lists of ``ksub`` (cid, centroid)
+    pairs over dim/m-length subvectors.
+
+    ``iters=0`` seeds each subspace with the ``ksub`` lowest-id vectors'
+    subvectors (the static pick ivf_topk uses untrained — and the mode
+    the sim_pq_topk oracle re-derives in SQL); ``iters>0`` runs the
+    deterministic Lloyd of :func:`train_centroids` per subspace (same
+    bounded-sample guidance).  Raises when the dimension does not tile
+    ``m`` — silently padding a subspace would corrupt every code."""
+    if m < 1 or ksub < 1:
+        raise ValueError(f"m={m} and ksub={ksub} must be >= 1")
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"dim {dim} does not tile m={m} subspaces")
+    dsub = dim // m
+    books: list[list[tuple[int, list[float]]]] = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
+        )
+        if iters > 0:
+            books.append(
+                train_centroids(sub, vec_col, id_col, ksub, iters)
+            )
+        else:
+            seed = (
+                sub.orderBy(F.col(id_col).asc()).limit(ksub).collect()
+            )
+            books.append(
+                [
+                    (i, [float(v) for v in r[vec_col]])
+                    for i, r in enumerate(seed)
+                ]
+            )
+    return books
+
+
+def _pq_bind_subvecs(df: DataFrame, m: int, dsub: int, vec_col: str):
+    """Bind each subvector to a real column — every subspace expression
+    references its slice ksub times, and an inlined slice would re-slice
+    per centroid (the CLAUDE.md bind-before-lambda rule)."""
+    cols = []
+    out = df
+    for j in range(m):
+        c = f"_pqs{j}"
+        while c in out.columns:
+            c += "_"
+        out = out.withColumn(
+            c, F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        )
+        cols.append(c)
+    return out, cols
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus → ``(id, codes array<int>, rnorm double)``.
+
+    ``codes[j]`` is the argmin-L2 centroid of subspace ``j`` (expressed
+    as argmax of ``dot(x_j, c) - 0.5·|c|²`` over inlined literals, ties
+    to the lowest cid — one shuffle-free projection, the
+    :func:`nearest_cell_expr` posture per subspace).  ``rnorm`` is the
+    L2 norm of the RECONSTRUCTION (sqrt of the chosen centroids' squared
+    norms, folded in subspace order) — the denominator ADC cosine needs,
+    carried as one double so scoring never touches the original
+    vector."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+    bound, subcols = _pq_bind_subvecs(
+        df.select(F.col(id_col), F.col(vec_col)), m, dsub, vec_col
+    )
+    code_exprs = []
+    for j, book in enumerate(codebooks):
+        structs = []
+        for cid, cvec in book:
+            lit = _vec_literal(cvec)
+            score = (
+                f"({_dot(f'`{subcols[j]}`', lit)}) - 0.5D * {_sq_norm(lit)}"
+            )
+            structs.append(
+                f"named_struct('s', {score}, 'ncid', {-int(cid)}L)"
+            )
+        code_exprs.append(
+            f"CAST(-(array_max(array({', '.join(structs)})).ncid) AS INT)"
+        )
+    coded = bound.select(
+        F.col(id_col),
+        F.expr(f"array({', '.join(code_exprs)})").alias("codes"),
+    )
+    # squared norms per (subspace, cid), as SQL folds over the literals
+    # (constant-folded; bit-identical to the oracle's fold by
+    # construction, unlike a Python-side sum)
+    nsq = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(_sq_norm(_vec_literal(cvec)) for _, cvec in book)
+            + ")"
+            for book in codebooks
+        )
+        + ")"
+    )
+    rnorm = (
+        f"sqrt(aggregate(zip_with(codes, {nsq}, "
+        f"(c, ns) -> element_at(ns, c + 1)), 0D, (acc, v) -> acc + v))"
+    )
+    return coded.select(id_col, "codes", F.expr(rnorm).alias("rnorm"))
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salts: int = 32,
+) -> DataFrame:
+    """Approximate top-k by ADC cosine over PQ codes.
+
+    Queries (small side) compute one lookup table each — ``luts[j][c] =
+    dot(q_j, centroid_{j,c})`` over the inlined codebooks, plus the
+    exact query norm — and broadcast; each candidate then costs ``m``
+    array lookups folded in subspace order, one division, and the
+    salted two-stage exact rank.  The corpus side ships 4-byte codes
+    and one double — never vectors (the id-only-pair-join rule applied
+    to the scoring payload itself).  Scores approximate the true cosine
+    to the quantization error; measure with
+    :func:`ann_recall_report(methods=("pq",))` before trusting at
+    scale.  Zero reconstructions or zero queries score 0, not NaN."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+    qb, subcols = _pq_bind_subvecs(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col)
+        ),
+        m,
+        dsub,
+        vec_col,
+    )
+    lut_exprs = []
+    for j, book in enumerate(codebooks):
+        dots = ", ".join(
+            _dot(f"`{subcols[j]}`", _vec_literal(cvec)) for _, cvec in book
+        )
+        lut_exprs.append(f"array({dots})")
+    q = F.broadcast(
+        qb.select(
+            "query_id",
+            F.expr(f"array({', '.join(lut_exprs)})").alias("_luts"),
+            F.expr(_norm(vec_col)).alias("_qn"),
+        )
+    )
+    ip = (
+        "aggregate(transform(codes, (c, j) -> "
+        "element_at(element_at(_luts, j + 1), c + 1)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    scored = corpus_codes.join(
+        q, F.col(id_col) != F.col("query_id")
+    ).withColumn(
+        "cos",
+        F.expr(
+            f"CASE WHEN rnorm = 0D OR _qn = 0D THEN 0D "
+            f"ELSE ({ip}) / (_qn * rnorm) END"
+        ),
+    )
+    return _two_stage_topk(scored, k, id_col, salts)

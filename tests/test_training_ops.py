@@ -2920,3 +2920,129 @@ class TestThirdPassGuards:
         )
         assert incremental_near_dedup(new, old).count() == 1  # passes near
         assert incremental_dedup(new, old).count() == 0       # exact drops
+
+
+class TestProductQuantization:
+    """PQ encode + ADC top-k (operators/similarity.py): exactness when
+    the codebook can represent the corpus, python differential for the
+    argmin encode, plan shape, and the recall-ledger wiring."""
+
+    def test_encode_matches_python_argmin(self, embs):
+        import numpy as np
+
+        from ocr_spark.operators.similarity import (
+            pq_encode,
+            train_pq_codebooks,
+        )
+
+        books = train_pq_codebooks(embs, m=8, ksub=8)
+        got = {
+            r.vec_id: (list(r.codes), r.rnorm)
+            for r in pq_encode(embs.filter("vec_id < 40"), books).collect()
+        }
+        src = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in embs.filter("vec_id < 40").collect()
+        }
+        for vid, v in src.items():
+            codes, rnorm = got[vid]
+            rsq = 0.0
+            for j in range(8):
+                sub = v[8 * j : 8 * (j + 1)]
+                cents = [np.array(c, dtype=np.float64) for _, c in books[j]]
+                want = min(
+                    range(8),
+                    key=lambda c: (float(np.sum((sub - cents[c]) ** 2)), c),
+                )
+                assert codes[j] == want, (vid, j)
+                rsq += float(cents[codes[j]] @ cents[codes[j]])
+            assert abs(rnorm - rsq**0.5) < 1e-9, vid
+
+    def test_adc_topk_exact_when_codebook_represents_corpus(self, spark):
+        """Corpus vectors drawn FROM the codebook entries reconstruct
+        exactly, so ADC cosine == true cosine and PQ top-k must equal
+        brute force rank-for-rank."""
+        import hashlib
+
+        from ocr_spark.operators.similarity import (
+            cosine_topk_bruteforce,
+            pq_encode,
+            pq_topk,
+            train_pq_codebooks,
+        )
+
+        m, dsub, ksub = 4, 4, 8
+
+        def subpattern(c, j):
+            return [
+                (hashlib.md5(f"{c}:{j}:{d}".encode()).digest()[0] - 127.5)
+                / 127.5
+                for d in range(dsub)
+            ]
+
+        # the 8 lowest ids enumerate the 8 patterns in every subspace —
+        # the seed codebook IS the vocabulary of subvectors
+        rows = []
+        for i in range(120):
+            c = i % ksub
+            rows.append(
+                (i, [x for j in range(m) for x in subpattern(c, j)])
+            )
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).cache()
+        books = train_pq_codebooks(df, m=m, ksub=ksub)
+        codes = pq_encode(df, books)
+        queries = df.filter("vec_id IN (3, 17)")
+        got = sorted(
+            (r.query_id, r.rank, r.neighbor_id, round(r.cos, 9))
+            for r in pq_topk(codes, queries, books, k=5).collect()
+        )
+        want = sorted(
+            (r.query_id, r.rank, r.neighbor_id, round(r.cos, 9))
+            for r in cosine_topk_bruteforce(df, queries, k=5).collect()
+        )
+        assert got == want
+
+    def test_dim_must_tile_subspaces(self, embs):
+        from ocr_spark.operators.similarity import train_pq_codebooks
+
+        with pytest.raises(ValueError, match="tile"):
+            train_pq_codebooks(embs, m=7)
+
+    def test_encode_is_pure_projection(self, embs):
+        from ocr_spark.operators.similarity import (
+            pq_encode,
+            train_pq_codebooks,
+        )
+
+        books = train_pq_codebooks(embs, m=8, ksub=8)
+        plan = (
+            pq_encode(embs, books)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for op in ("Join", "Window", "CartesianProduct"):
+            assert op not in plan, op
+        # the cached fixture scan aside, encoding adds no exchange
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_recall_ledger_reports_pq(self, embs):
+        from ocr_spark.operators.similarity import ann_recall_report
+
+        rows = {
+            r.method: r
+            for r in ann_recall_report(
+                embs,
+                embs.filter("vec_id < 3"),
+                k=5,
+                methods=("pq", "quantized"),
+                pq_m=8,
+                pq_ksub=8,
+            ).collect()
+        }
+        assert set(rows) == {"pq", "quantized"}
+        pq = rows["pq"]
+        assert pq.n_truth == 15 and 0.0 <= pq.recall <= 1.0
+        # int8 quantization is near-lossless; seed-codebook PQ is the
+        # coarsest path — the ledger exists to surface exactly that gap
+        assert rows["quantized"].recall >= pq.recall
