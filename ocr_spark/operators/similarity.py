@@ -946,6 +946,51 @@ def _pq_bind_subvecs(df: DataFrame, m: int, dsub: int, vec_col: str):
     return out, cols
 
 
+def _pq_codes_expr(
+    codebooks: list[list[tuple[int, list[float]]]], subcols: list[str]
+) -> str:
+    """``array(code_0, …, code_{m-1})`` — per subspace the argmin-L2
+    centroid as argmax of ``dot(x_j, c) - 0.5·|c|²`` over inlined
+    literals, ties to the lowest cid (the nearest_cell_expr posture)."""
+    code_exprs = []
+    for j, book in enumerate(codebooks):
+        structs = []
+        for cid, cvec in book:
+            lit = _vec_literal(cvec)
+            score = (
+                f"({_dot(f'`{subcols[j]}`', lit)}) - 0.5D * {_sq_norm(lit)}"
+            )
+            structs.append(
+                f"named_struct('s', {score}, 'ncid', {-int(cid)}L)"
+            )
+        code_exprs.append(
+            f"CAST(-(array_max(array({', '.join(structs)})).ncid) AS INT)"
+        )
+    return f"array({', '.join(code_exprs)})"
+
+
+def _pq_rnorm_expr(codebooks: list[list[tuple[int, list[float]]]]) -> str:
+    """Reconstruction norm from a ``codes`` column: sqrt of the chosen
+    centroids' squared norms folded in subspace order.  The per-(j, cid)
+    squared norms are SQL folds over the literals (constant-folded;
+    bit-identical to the oracle's fold by construction, unlike a
+    Python-side sum)."""
+    nsq = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(_sq_norm(_vec_literal(cvec)) for _, cvec in book)
+            + ")"
+            for book in codebooks
+        )
+        + ")"
+    )
+    return (
+        f"sqrt(aggregate(zip_with(codes, {nsq}, "
+        f"(c, ns) -> element_at(ns, c + 1)), 0D, (acc, v) -> acc + v))"
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[tuple[int, list[float]]]],
@@ -967,42 +1012,13 @@ def pq_encode(
     bound, subcols = _pq_bind_subvecs(
         df.select(F.col(id_col), F.col(vec_col)), m, dsub, vec_col
     )
-    code_exprs = []
-    for j, book in enumerate(codebooks):
-        structs = []
-        for cid, cvec in book:
-            lit = _vec_literal(cvec)
-            score = (
-                f"({_dot(f'`{subcols[j]}`', lit)}) - 0.5D * {_sq_norm(lit)}"
-            )
-            structs.append(
-                f"named_struct('s', {score}, 'ncid', {-int(cid)}L)"
-            )
-        code_exprs.append(
-            f"CAST(-(array_max(array({', '.join(structs)})).ncid) AS INT)"
-        )
     coded = bound.select(
         F.col(id_col),
-        F.expr(f"array({', '.join(code_exprs)})").alias("codes"),
+        F.expr(_pq_codes_expr(codebooks, subcols)).alias("codes"),
     )
-    # squared norms per (subspace, cid), as SQL folds over the literals
-    # (constant-folded; bit-identical to the oracle's fold by
-    # construction, unlike a Python-side sum)
-    nsq = (
-        "array("
-        + ", ".join(
-            "array("
-            + ", ".join(_sq_norm(_vec_literal(cvec)) for _, cvec in book)
-            + ")"
-            for book in codebooks
-        )
-        + ")"
+    return coded.select(
+        id_col, "codes", F.expr(_pq_rnorm_expr(codebooks)).alias("rnorm")
     )
-    rnorm = (
-        f"sqrt(aggregate(zip_with(codes, {nsq}, "
-        f"(c, ns) -> element_at(ns, c + 1)), 0D, (acc, v) -> acc + v))"
-    )
-    return coded.select(id_col, "codes", F.expr(rnorm).alias("rnorm"))
 
 
 def pq_topk(
@@ -1062,5 +1078,124 @@ def pq_topk(
             f"CASE WHEN rnorm = 0D OR _qn = 0D THEN 0D "
             f"ELSE ({ip}) / (_qn * rnorm) END"
         ),
+    )
+    return _two_stage_topk(scored, k, id_col, salts)
+
+
+def ivf_pq_encode(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-pass IVF-PQ index build: ``(id, cell, codes, rnorm)``.
+
+    Cell assignment (cosine argmax over the coarse centroids) and PQ
+    encoding (argmin-L2 per subspace) happen in the SAME shuffle-free
+    projection — the write-once artifact a deployment stores (bucketed
+    by ``cell``) instead of the vectors: ~(4 + m + 8) bytes per vector.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+    tmp = "_rnorm"
+    while tmp in df.columns:
+        tmp += "_"
+    bound, subcols = _pq_bind_subvecs(
+        df.select(F.col(id_col), F.col(vec_col)), m, dsub, vec_col
+    )
+    bound = bound.withColumn(tmp, F.expr(_norm(vec_col)))
+    coded = bound.select(
+        F.col(id_col),
+        F.expr(
+            nearest_cell_expr(vec_col, cents, norm_expr=f"`{tmp}`")
+        ).alias("cell"),
+        F.expr(_pq_codes_expr(codebooks, subcols)).alias("codes"),
+    )
+    return coded.select(
+        id_col, "cell", "codes",
+        F.expr(_pq_rnorm_expr(codebooks)).alias("rnorm"),
+    )
+
+
+def ivf_pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 2,
+    salts: int = 32,
+) -> DataFrame:
+    """The full FAISS IVF-PQ shape: probe the query's ``n_probe`` nearest
+    cells, ADC-score the PQ codes inside them, salted exact rank.
+
+    ``encoded`` is :func:`ivf_pq_encode`'s output (read it bucketed by
+    ``cell`` at 10^12 scale so the probe join has no corpus-side
+    exchange).  Each query touches ~``n_probe / n_centroids`` of the
+    codes, and every touched candidate costs ``m`` lookups — the two
+    approximations compose, so measure both at once:
+    ``ivf_pq_topk(n_probe=n_centroids) == pq_topk`` EXACTLY (same codes,
+    full probe — pinned in tests), and recall vs brute force is the
+    ledger's job.  No distinct is needed on the probe join: a corpus row
+    lives in exactly one cell, so (q, c) pairs are unique by
+    construction."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0][1])
+    tmp = "_qnorm"
+    while tmp in queries.columns:
+        tmp += "_"
+    qb, subcols = _pq_bind_subvecs(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        m,
+        dsub,
+        vec_col,
+    )
+    qb = qb.withColumn(tmp, F.expr(_norm(vec_col)))
+    # top-n_probe cells via the sorted-struct slice (the ivf_topk query
+    # shape: no Window, no crossJoin — identical ordering to a
+    # row_number over (ccos DESC, cid ASC))
+    structs = []
+    for cid, cvec in cents:
+        lit = _vec_literal(cvec)
+        ccos = f"({_dot(vec_col, lit)}) / (`{tmp}` * {_norm(lit)})"
+        structs.append(
+            f"named_struct('nccos', -({ccos}), 'cid', {int(cid)}L)"
+        )
+    cells = (
+        f"transform(slice(array_sort(array({', '.join(structs)})), "
+        f"1, {n_probe}), s -> s.cid)"
+    )
+    lut_exprs = []
+    for j, book in enumerate(codebooks):
+        dots = ", ".join(
+            _dot(f"`{subcols[j]}`", _vec_literal(cvec)) for _, cvec in book
+        )
+        lut_exprs.append(f"array({dots})")
+    q = F.broadcast(
+        qb.select(
+            "query_id",
+            F.explode(F.expr(cells)).alias("cell"),
+            F.expr(f"array({', '.join(lut_exprs)})").alias("_luts"),
+            F.col(tmp).alias("_qn"),
+        )
+    )
+    ip = (
+        "aggregate(transform(codes, (c, j) -> "
+        "element_at(element_at(_luts, j + 1), c + 1)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    scored = (
+        encoded.join(q, "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.expr(
+                f"CASE WHEN rnorm = 0D OR _qn = 0D THEN 0D "
+                f"ELSE ({ip}) / (_qn * rnorm) END"
+            ),
+        )
     )
     return _two_stage_topk(scored, k, id_col, salts)

@@ -3046,3 +3046,43 @@ class TestProductQuantization:
         # int8 quantization is near-lossless; seed-codebook PQ is the
         # coarsest path — the ledger exists to surface exactly that gap
         assert rows["quantized"].recall >= pq.recall
+
+    def test_ivf_pq_full_probe_equals_pq_topk(self, embs):
+        """The composition check: with every cell probed, IVF-PQ must
+        equal plain PQ ADC rank-for-rank (same codes, same folds) — and
+        sim_pq_topk is oracle-checked, so the chain pins ivf_pq too."""
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators.similarity import (
+            ivf_pq_encode,
+            ivf_pq_topk,
+            pq_encode,
+            pq_topk,
+            train_pq_codebooks,
+        )
+
+        books = train_pq_codebooks(embs, m=8, ksub=8)
+        cents = [
+            (int(r.vec_id), [float(v) for v in r.embedding])
+            for r in embs.orderBy("vec_id").limit(4).collect()
+        ]
+        enc = ivf_pq_encode(embs, cents, books)
+        queries = embs.filter("vec_id < 3")
+        full = sorted(
+            (r.query_id, r.rank, r.neighbor_id, round(r.cos, 9))
+            for r in ivf_pq_topk(
+                enc, queries, cents, books, k=5, n_probe=len(cents)
+            ).collect()
+        )
+        plain = sorted(
+            (r.query_id, r.rank, r.neighbor_id, round(r.cos, 9))
+            for r in pq_topk(pq_encode(embs, books), queries, books, k=5).collect()
+        )
+        assert full == plain
+        # a partial probe returns a (possibly) different, smaller-recall
+        # set but the same schema and k rows per query
+        part = ivf_pq_topk(enc, queries, cents, books, k=5, n_probe=1)
+        per_q = part.groupBy("query_id").count().collect()
+        assert all(r["count"] <= 5 for r in per_q)
+        # the encode artifact carries no vectors
+        assert set(enc.columns) == {"vec_id", "cell", "codes", "rnorm"}
