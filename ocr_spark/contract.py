@@ -3311,6 +3311,117 @@ FROM tok
 """
 
 
+# DSIR importance resampling (operators/dsir.py — Xie et al. 2023).
+# Target model = doc_id % 7 = 0 (the "high-quality" slice), raw model =
+# the full corpus, every document weighted.  Portable 48-bit hash so the
+# oracle shares the bucket space exactly.  Feature order is unigrams at
+# pos 0..n-1 then bigrams at n..2n-2 (the Spark concat+posexplode
+# layout); the per-doc sum is the sorted sequential fold on both sides.
+# logw rounded to 9 decimals (the ln() 1-ulp engine trap — per-feature
+# noise absorbs to ~1e-16).  The scored corpus is a subset of the raw
+# model's corpus, so every scored feature hits the ratio table and the
+# Spark-only single-ln OOV branch never fires (it would differ from the
+# oracle's two-ln difference by 1 ulp — still inside the rounding).
+_DSIR_B = 1024
+
+_DSIR_FEATS_CTE = f"""
+t AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS tk
+      FROM documents),
+tok0 AS (SELECT doc_id, len(tk) AS n, unnest(range(0, len(tk))) AS pos, tk
+         FROM t),
+uni AS (SELECT doc_id, n, pos, tk[pos + 1] AS feat FROM tok0),
+feats AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, feat FROM uni
+  UNION ALL
+  SELECT a.doc_id, CAST(a.n + a.pos AS BIGINT), a.feat || ' ' || b.feat
+  FROM uni a JOIN uni b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+fb AS (SELECT doc_id, pos,
+              ({portable_hash_sql_duckdb('feat')}) % {_DSIR_B} AS bucket
+       FROM feats),
+tcnt AS (SELECT bucket, count(*) AS ct FROM fb WHERE doc_id % 7 = 0
+         GROUP BY bucket),
+rcnt AS (SELECT bucket, count(*) AS cr FROM fb GROUP BY bucket),
+tot AS (SELECT (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tcnt)
+                 AS nt,
+               (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rcnt)
+                 AS nr),
+j AS (SELECT fb.doc_id, fb.pos,
+        ln((coalesce(tcnt.ct, 0) + 1) / (tot.nt + {_DSIR_B}))
+      - ln((coalesce(rcnt.cr, 0) + 1) / (tot.nr + {_DSIR_B})) AS lr
+      FROM fb LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket)
+      CROSS JOIN tot),
+agg AS (SELECT doc_id, list(lr ORDER BY pos) AS lrs, count(*) AS n_feats
+        FROM j GROUP BY doc_id),
+w AS (SELECT doc_id, CAST(n_feats AS INTEGER) AS n_feats,
+             list_reduce(lrs, (a, x) -> a + x) AS logw
+      FROM agg)
+"""
+
+_DSIR_WEIGHTS_SQL = f"""
+WITH {_DSIR_FEATS_CTE}
+SELECT doc_id, n_feats, round(logw, 9) AS logw_r FROM w
+"""
+
+
+def _dsir_models(spark: SparkSession, sf_dir: str):
+    from .operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = dsir.hashed_ngram_counts(
+        docs.filter(F.col("doc_id") % 7 == 0), _DSIR_B,
+        hash_mode="portable",
+    )
+    rc = dsir.hashed_ngram_counts(docs, _DSIR_B, hash_mode="portable")
+    return docs, tc, rc
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dsir
+
+    docs, tc, rc = _dsir_models(spark, sf_dir)
+    return dsir.dsir_weights(
+        docs, tc, rc, _DSIR_B, hash_mode="portable"
+    ).select("doc_id", "n_feats", F.round("logw", 9).alias("logw_r"))
+
+
+# Gumbel top-100 draw over the same weights: the key adds deterministic
+# noise g = -ln(-ln(u)) with u = (portable_hash('dsir:v1:' || id) + 1) /
+# (2^48 + 1) — bit-identical operands on both engines, so the oracle
+# re-ranks with a window.  Keys are rounded to 9 decimals in the OUTPUT
+# only; the rank itself compares full doubles (1-ulp ln noise can flip a
+# rank only if two keys collide to ~1e-15 — measure-zero for hashes).
+_DSIR_SAMPLE_SQL = f"""
+WITH {_DSIR_FEATS_CTE},
+g AS (SELECT doc_id, logw,
+        logw - ln(-ln(
+          ({portable_hash_sql_duckdb(
+              chr(39) + 'dsir:v1:' + chr(39)
+              + " || CAST(doc_id AS VARCHAR)")} + 1)
+          / 281474976710657.0)) AS gk
+      FROM w),
+r AS (SELECT doc_id, logw, gk,
+        row_number() OVER (ORDER BY gk DESC, doc_id ASC) AS rk
+      FROM g)
+SELECT doc_id, round(logw, 9) AS logw_r, round(gk, 9) AS gk_r
+FROM r WHERE rk <= 100
+"""
+
+
+def _q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dsir
+
+    docs, tc, rc = _dsir_models(spark, sf_dir)
+    weights = dsir.dsir_weights(
+        docs, tc, rc, _DSIR_B, hash_mode="portable"
+    )
+    return dsir.dsir_sample(weights, 100).select(
+        "doc_id",
+        F.round("logw", 9).alias("logw_r"),
+        F.round("gumbel_key", 9).alias("gk_r"),
+    )
+
+
 # registry
 
 #
@@ -3331,6 +3442,8 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # implementation changed (id-only lsh/ivf rerank joins, NULL-digest
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
+    "select_dsir_weights": (_q_dsir_weights, _DSIR_WEIGHTS_SQL),
+    "select_dsir_sample": (_q_dsir_sample, _DSIR_SAMPLE_SQL),
     "mm_gif_frames": (_q_gif_frames, _GIF_FRAMES_SQL),
     "sim_pq_topk": (_q_pq_topk, _PQ_SQL),
     "bpe_pair_counts": (_q_bpe_pair_counts, _BPE_PAIRS_SQL),
