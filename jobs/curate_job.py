@@ -132,6 +132,18 @@ def main() -> int:
                          "corpus (negatives) and keep the top FRAC by "
                          "mean log-odds (the cut threshold is reported "
                          "in the summary)")
+    ap.add_argument("--dsir-ref", default=None, metavar="PATH",
+                    help="parquet dir with a `text` column: the TARGET "
+                         "corpus for DSIR importance resampling (with "
+                         "--dsir-keep)")
+    ap.add_argument("--dsir-keep", type=int, default=None, metavar="K",
+                    help="keep K documents via DSIR Gumbel top-k over "
+                         "target-vs-corpus hashed-ngram importance "
+                         "weights (Xie et al. 2023; requires --dsir-ref; "
+                         "re-deal with --salt)")
+    ap.add_argument("--dsir-buckets", type=int, default=8192,
+                    help="hashed n-gram feature space for --dsir-keep "
+                         "(default 8192)")
     ap.add_argument("--max-per-domain", type=int, default=None,
                     help="keep at most N docs per host (FineWeb-style "
                          "domain balancer; deterministic smallest-id "
@@ -500,6 +512,33 @@ def main() -> int:
         )
         summary["classifier_threshold"] = cthr
         _stage("classifier_head")
+
+    if args.dsir_keep is not None:
+        if not args.dsir_ref:
+            ap.error("--dsir-keep requires --dsir-ref")
+        from ocr_spark.operators.dsir import (
+            dsir_sample,
+            dsir_weights,
+            hashed_ngram_counts,
+        )
+
+        # the surviving corpus is referenced three times (raw model,
+        # scoring, semi-join back) — same lineage-cut rationale as the
+        # classifier stage above
+        docs = docs.localCheckpoint()
+        ref = spark.read.parquet(args.dsir_ref).select("text").withColumn(
+            "doc_id", F.xxhash64("text")
+        )
+        tc = hashed_ngram_counts(ref, args.dsir_buckets)
+        rc = hashed_ngram_counts(docs, args.dsir_buckets)
+        weights = dsir_weights(docs, tc, rc, args.dsir_buckets)
+        keep = dsir_sample(
+            weights, args.dsir_keep, salt=args.salt
+        ).select("doc_id")
+        docs, summary["after_dsir"] = _count(
+            docs.join(keep, "doc_id", "left_semi")
+        )
+        _stage("dsir")
 
     if args.decontam_ref:
         from ocr_spark.operators.decontam import decontaminate

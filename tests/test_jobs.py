@@ -379,6 +379,37 @@ class TestJobs:
             seqs.append(len(s))
         assert sum(seqs) == summary["output_docs"]
 
+    def test_curate_job_dsir_keep(self, extracted_dir, tmp_path):
+        """--dsir-keep resamples the corpus toward --dsir-ref: exactly K
+        docs survive and the stage wall-time is attributed in the
+        summary (weight/sampling semantics oracle-checked by
+        select_dsir_weights / select_dsir_sample)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ref = tmp_path / "dsir_target.parquet"
+        pq.write_table(
+            pa.table(
+                {"text": ["clean prose flows here", "clean text here"]}
+            ),
+            ref,
+        )
+        out = tmp_path / "dsir"
+        summary = _run(
+            [
+                "jobs/curate_job.py",
+                "--input", str(extracted_dir),
+                "--output", str(out),
+                "--dsir-ref", str(ref),
+                "--dsir-keep", "10",
+            ]
+        )
+        assert summary["after_dsir"] == 10
+        assert summary["output_docs"] == 10
+        assert "dsir" in summary["stage_seconds"]
+        t = pq.read_table(out)
+        assert t.num_rows == 10
+
     def test_curate_job_bpe_tokenize(self, extracted_dir, tmp_path):
         """--bpe-merges trains the vocabulary on the CURATED corpus and
         the export carries decodable token columns: concat(bpe_tokens)
