@@ -144,6 +144,34 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
         "sim_ivf_topk",
         similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=10),
     )
+    # PQ / IVF-PQ: codebook + coarse-centroid picks are driver-eager
+    # (seed collects) and are the write-once index-build cost — outside
+    # the timer; the timed frame covers encode + ADC scoring + exact
+    # rank, mirroring the ivf row above (which re-assigns per call).
+    pq_books = similarity.train_pq_codebooks(emb, m=8, ksub=16)
+    timed(
+        "sim_pq_topk",
+        similarity.pq_topk(
+            similarity.pq_encode(emb, pq_books),
+            emb.filter(F.col("vec_id") < 8),
+            pq_books,
+            k=10,
+        ),
+    )
+    ivf_cents = similarity.train_centroids(
+        emb, n_centroids=16, iters=0
+    )
+    timed(
+        "sim_ivf_pq_topk",
+        similarity.ivf_pq_topk(
+            similarity.ivf_pq_encode(emb, ivf_cents, pq_books),
+            emb.filter(F.col("vec_id") < 8),
+            ivf_cents,
+            pq_books,
+            k=10,
+            n_probe=2,
+        ),
+    )
     timed("text_quality", text_analysis.quality_score(docs))
     timed("text_tokens", text_analysis.token_count(docs))
     timed("text_langid", text_analysis.language_id(docs))
@@ -268,6 +296,22 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
     )
     out["bpe_train16_5kvocab"] = round(time.time() - t0, 3)
     timed("bpe_apply_100kdocs", bpe.bpe_apply(bpe_docs, merges))
+    # DSIR selection: weight the corpus against the doc_id%7 slice as
+    # the target (xxhash64 scale path), Gumbel top-1000 draw — the
+    # timed frame covers both model fits, the broadcast ratio join, the
+    # per-doc fold, and the two-stage rank
+    from ocr_spark.operators import dsir
+
+    dsir_tc = dsir.hashed_ngram_counts(
+        docs.filter(F.col("doc_id") % 7 == 0), 8192
+    )
+    dsir_rc = dsir.hashed_ngram_counts(docs, 8192)
+    timed(
+        "select_dsir_sample1k",
+        dsir.dsir_sample(
+            dsir.dsir_weights(docs, dsir_tc, dsir_rc, 8192), 1000
+        ),
+    )
     return out
 
 
