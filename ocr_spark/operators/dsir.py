@@ -109,11 +109,19 @@ def hashed_ngram_counts(
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
-    return (
+    counted = (
         _features(df, text_col, id_col, lowercase)
         .select(_bucket(F.col("feat"), buckets, hash_mode).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # stamp the feature-space params on the bucket column so
+    # dsir_weights can refuse a mismatched model (the sig=/banded=
+    # shared-frame guard pattern).  Metadata must ride a plain
+    # projection alias — a generator/agg alias drops it silently.
+    meta = {"dsir_buckets": buckets, "dsir_hash_mode": hash_mode}
+    return counted.select(
+        F.col("bucket").alias("bucket", metadata=meta), "c"
     )
 
 
@@ -171,8 +179,24 @@ def dsir_weights(
     contributes the smoothed floor ``ln((Nr+B)/(Nt+B))`` via the
     left-join coalesce.  ``target_counts``/``raw_counts`` must come
     from :func:`hashed_ngram_counts` with the SAME ``buckets`` and
-    ``hash_mode`` — mixing spaces silently misweights everything, so
-    pass them together."""
+    ``hash_mode`` — mixing spaces misweights everything, so frames
+    stamped by :func:`hashed_ngram_counts` are CHECKED here (raises on
+    mismatch; unstamped user-built frames pass on trust)."""
+    for label, frame in (("target_counts", target_counts),
+                         ("raw_counts", raw_counts)):
+        fields = {f.name: f for f in frame.schema.fields}
+        got = fields["bucket"].metadata if "bucket" in fields else {}
+        if got.get("dsir_buckets") is not None and (
+            got["dsir_buckets"] != buckets
+            or got.get("dsir_hash_mode") != hash_mode
+        ):
+            raise ValueError(
+                f"{label} was fit with buckets="
+                f"{got['dsir_buckets']}/hash_mode="
+                f"{got.get('dsir_hash_mode')} but dsir_weights was "
+                f"called with buckets={buckets}/hash_mode={hash_mode} "
+                f"— mismatched feature spaces misweight every document"
+            )
     feats = _features(df, text_col, id_col, lowercase).select(
         id_col,
         "pos",

@@ -72,6 +72,17 @@ class TestHashedNgramCounts:
         with pytest.raises(ValueError):
             dsir.hashed_ngram_counts(_mk(spark, [(1, "a")]), buckets=0)
 
+    def test_mismatched_feature_space_raises(self, spark):
+        df = _mk(spark, [(1, "a b")])
+        c64 = dsir.hashed_ngram_counts(df, 64)
+        c32 = dsir.hashed_ngram_counts(df, 32)
+        with pytest.raises(ValueError, match="feature spaces"):
+            dsir.dsir_weights(df, c64, c32, 64)
+        with pytest.raises(ValueError, match="feature spaces"):
+            dsir.dsir_weights(df, c64, c64, 64, hash_mode="portable")
+        # matched frames (and the guard surviving a persist) pass
+        assert dsir.dsir_weights(df, c64.persist(), c64, 64).count() == 1
+
 
 class TestDsirWeights:
     def test_matches_python_reference(self, spark):
