@@ -135,6 +135,11 @@ def wav_decode(payload: bytes) -> DecodedAudio:
                 raise ValueError(f"{bits}-bit PCM unsupported (8/16 only)")
             if n_channels < 1:
                 raise ValueError("fmt declares zero channels")
+            if rate < 1:
+                # a crawled rate=0 header must fail HERE as a typed
+                # decode error, not as a ZeroDivisionError inside the
+                # first duration/resample division downstream
+                raise ValueError("fmt declares zero sample rate")
             width = bits // 8
             if block_align != n_channels * width:
                 raise ValueError(

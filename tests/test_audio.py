@@ -132,6 +132,12 @@ class TestWavCodec:
         body = good[8 : good.index(b"data")]
         with pytest.raises(ValueError, match="no data chunk"):
             ac.wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+        # rate=0 header: must be a typed decode error HERE, not a
+        # ZeroDivisionError in the first duration/resample division
+        bad = bytearray(good)
+        struct.pack_into("<I", bad, fmt_at + 4, 0)
+        with pytest.raises(ValueError, match="zero sample rate"):
+            ac.wav_decode(bytes(bad))
 
     def test_resample_exact_index_mapping(self):
         """out[j] = src[j * in_rate // out_rate] per frame, channels
