@@ -3408,6 +3408,19 @@ FROM r WHERE rk <= 100
 """
 
 
+# The zero-exchange inline scoring path must reproduce the join path's
+# values exactly (the ratio vector is collected from the same JVM plan),
+# so it shares _DSIR_WEIGHTS_SQL verbatim as its oracle.
+def _q_dsir_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dsir
+
+    docs, tc, rc = _dsir_models(spark, sf_dir)
+    ratios = dsir.dsir_log_ratios(tc, rc, _DSIR_B, hash_mode="portable")
+    return dsir.dsir_weights_inline(
+        docs, ratios, hash_mode="portable"
+    ).select("doc_id", "n_feats", F.round("logw", 9).alias("logw_r"))
+
+
 def _q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dsir
 
@@ -3443,6 +3456,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
     "select_dsir_weights": (_q_dsir_weights, _DSIR_WEIGHTS_SQL),
+    "select_dsir_inline": (_q_dsir_inline, _DSIR_WEIGHTS_SQL),
     "select_dsir_sample": (_q_dsir_sample, _DSIR_SAMPLE_SQL),
     "mm_gif_frames": (_q_gif_frames, _GIF_FRAMES_SQL),
     "sim_pq_topk": (_q_pq_topk, _PQ_SQL),

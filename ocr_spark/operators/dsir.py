@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .hashing import portable_hash_col
+from .hashing import portable_hash_col, portable_hash_sql_spark
 
 #: hash-domain size of the portable 48-bit hash (md5-prefix, see
 #: operators/hashing.py) — the denominator that turns it into a
@@ -125,6 +125,26 @@ def hashed_ngram_counts(
     )
 
 
+def _check_space(
+    frame: DataFrame, label: str, buckets: int, hash_mode: str
+) -> None:
+    """Refuse a counts frame stamped with a different feature space
+    (the sig=/banded= shared-frame guard pattern); unstamped frames
+    pass on trust."""
+    fields = {f.name: f for f in frame.schema.fields}
+    got = fields["bucket"].metadata if "bucket" in fields else {}
+    if got.get("dsir_buckets") is not None and (
+        got["dsir_buckets"] != buckets
+        or got.get("dsir_hash_mode") != hash_mode
+    ):
+        raise ValueError(
+            f"{label} was fit with buckets={got['dsir_buckets']}/"
+            f"hash_mode={got.get('dsir_hash_mode')} but the caller "
+            f"passed buckets={buckets}/hash_mode={hash_mode} "
+            f"— mismatched feature spaces misweight every document"
+        )
+
+
 def _log_ratio_table(
     target_counts: DataFrame, raw_counts: DataFrame, buckets: int
 ) -> DataFrame:
@@ -182,21 +202,8 @@ def dsir_weights(
     ``hash_mode`` — mixing spaces misweights everything, so frames
     stamped by :func:`hashed_ngram_counts` are CHECKED here (raises on
     mismatch; unstamped user-built frames pass on trust)."""
-    for label, frame in (("target_counts", target_counts),
-                         ("raw_counts", raw_counts)):
-        fields = {f.name: f for f in frame.schema.fields}
-        got = fields["bucket"].metadata if "bucket" in fields else {}
-        if got.get("dsir_buckets") is not None and (
-            got["dsir_buckets"] != buckets
-            or got.get("dsir_hash_mode") != hash_mode
-        ):
-            raise ValueError(
-                f"{label} was fit with buckets="
-                f"{got['dsir_buckets']}/hash_mode="
-                f"{got.get('dsir_hash_mode')} but dsir_weights was "
-                f"called with buckets={buckets}/hash_mode={hash_mode} "
-                f"— mismatched feature spaces misweight every document"
-            )
+    _check_space(target_counts, "target_counts", buckets, hash_mode)
+    _check_space(raw_counts, "raw_counts", buckets, hash_mode)
     feats = _features(df, text_col, id_col, lowercase).select(
         id_col,
         "pos",
@@ -283,3 +290,109 @@ def dsir_sample(
         .filter(F.col(rk) <= k)
         .drop(rk)
     )
+
+
+def dsir_log_ratios(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    buckets: int = 8192,
+    hash_mode: str = "xxhash64",
+) -> list[float]:
+    """The DENSE per-bucket log-ratio vector (length ``buckets``), with
+    the smoothed OOV floor in every cell neither model saw.
+
+    Collecting it to the driver is safe BY CONSTRUCTION — the table is
+    ≤ ``buckets`` rows no matter how large the corpus; that bound is
+    the whole reason an inline scoring path exists.  Every value
+    (including the floor) is computed by the SAME Spark plan the join
+    path uses, so :func:`with_dsir_weight` over this vector is
+    BIT-IDENTICAL to :func:`dsir_weights` (pinned in tests).  The
+    vector is only meaningful with the SAME ``hash_mode`` at scoring
+    time — a plain list carries no stamp, so pass them together."""
+    _check_space(target_counts, "target_counts", buckets, hash_mode)
+    _check_space(raw_counts, "raw_counts", buckets, hash_mode)
+    ratio, tot = _log_ratio_table(target_counts, raw_counts, buckets)
+    b = F.lit(buckets)
+    floor = float(
+        tot.select(
+            F.log((F.col("_Nr") + b) / (F.col("_Nt") + b)).alias("oov")
+        ).collect()[0]["oov"]
+    )
+    out = [floor] * buckets
+    for r in ratio.collect():
+        out[int(r["bucket"])] = float(r["lr"])
+    return out
+
+
+def with_dsir_weight(
+    df: DataFrame,
+    ratios: list[float],
+    text_col: str = "text",
+    lowercase: bool = True,
+    hash_mode: str = "xxhash64",
+    out_col: str = "logw",
+    n_col: str = "n_feats",
+) -> DataFrame:
+    """Append ``(n_feats, logw)`` to ``df`` as ONE shuffle-free codegen
+    projection — the zero-exchange DSIR scoring path.
+
+    The bounded ratio vector rides the plan as a double-array literal
+    (~20 bytes/bucket of plan text — fine to ~64k buckets; past that
+    use the join-based :func:`dsir_weights`) and each document folds
+    ``element_at`` lookups in feature order, so the result is
+    bit-identical to the join path when ``ratios`` comes from
+    :func:`dsir_log_ratios` with the same ``hash_mode``.  Because the
+    plan has NO exchange and no state, this is the path Structured
+    Streaming can run as a stateless per-row gate
+    (:func:`ocr_spark.streaming.stream_dsir_filter`)."""
+    buckets = len(ratios)
+    if buckets < 1:
+        raise ValueError("ratios must be non-empty")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if lowercase:
+        text = F.lower(text)
+    toks, feats = "_dsir_toks", "_dsir_feats"
+    while toks in df.columns or feats in df.columns:
+        toks, feats = toks + "_", feats + "_"
+    feats_expr = (
+        f"concat(`{toks}`, zip_with("
+        f"slice(`{toks}`, 1, size(`{toks}`) - 1), "
+        f"slice(`{toks}`, 2, size(`{toks}`) - 1), "
+        f"(a, b) -> concat(a, ' ', b)))"
+    )
+    h = (
+        portable_hash_sql_spark("f")
+        if hash_mode == "portable"
+        else "xxhash64(f)"
+    )
+    lit = "array(" + ", ".join(f"{float(v)!r}D" for v in ratios) + ")"
+    fold = (
+        f"aggregate(`{feats}`, CAST(0 AS DOUBLE), (a, f) -> "
+        f"a + element_at({lit}, "
+        f"CAST(pmod({h}, {buckets}) AS INT) + 1))"
+    )
+    return (
+        df.withColumn(toks, F.split(text, " "))
+        .withColumn(feats, F.expr(feats_expr))
+        .withColumn(n_col, F.size(F.col(feats)).cast("int"))
+        .withColumn(out_col, F.expr(fold))
+        .drop(toks, feats)
+    )
+
+
+def dsir_weights_inline(
+    df: DataFrame,
+    ratios: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """:func:`dsir_weights`' output shape computed by the zero-exchange
+    projection of :func:`with_dsir_weight` — ``(id_col, n_feats,
+    logw)``, bit-identical to the join path, no shuffle anywhere
+    (plan-pinned in tests)."""
+    return with_dsir_weight(
+        df.select(id_col, text_col), ratios, text_col, lowercase,
+        hash_mode,
+    ).select(id_col, "n_feats", "logw")

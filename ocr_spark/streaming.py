@@ -362,3 +362,58 @@ def stream_incremental_filter(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dsir_filter(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    ratios: list,
+    min_logw: float,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    hash_mode: str = "xxhash64",
+) -> StreamingQuery:
+    """DSIR quality gate at ingest: keep arriving pages whose crawl
+    ``text`` scores at least ``min_logw`` under a fitted importance
+    model — the streaming twin of ``dsir.dsir_weights`` + a threshold.
+
+    ``ratios`` is ``dsir.dsir_log_ratios``' dense vector (fit OFFLINE on
+    the target/raw corpora with the same ``hash_mode``); because the
+    vector is bucket-bounded it rides the plan as a literal and scoring
+    is ONE stateless codegen projection — no stream-static join, no
+    state store, no watermark, constant memory forever.  This is the
+    payoff of the inline path: the batch gate and the ingest gate are
+    the same expression, so a page admitted here scores identically in
+    any later batch re-check (bit-identical, not approximately).
+
+    Emitted rows are admitted page keys ``(url, warc_ts, n_feats,
+    logw)`` — join back to the payload for extraction, like the other
+    ingest gates.  The threshold is a visible parameter; pair it with a
+    logged quantile from the batch fit, never a silent default."""
+    from .operators.dsir import with_dsir_weight
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(in_dir)
+    )
+    scored = with_dsir_weight(
+        pages.select("url", "warc_ts", "text"),
+        ratios,
+        text_col="text",
+        hash_mode=hash_mode,
+    )
+    admitted = scored.filter(F.col("logw") >= F.lit(float(min_logw))).drop(
+        "text"
+    )
+    writer = (
+        admitted.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

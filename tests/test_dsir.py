@@ -142,6 +142,65 @@ class TestDsirWeights:
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+class TestDsirInline:
+    def _corpus(self, spark, n=50):
+        rows = [(i, f"tok{i % 11} tok{i % 5} tok{i % 3} tail{i % 2}")
+                for i in range(n)]
+        return _mk(spark, rows)
+
+    @pytest.mark.parametrize("hash_mode", ["xxhash64", "portable"])
+    def test_inline_bit_identical_to_join_path(self, spark, hash_mode):
+        df = self._corpus(spark)
+        b = 128
+        tc = dsir.hashed_ngram_counts(
+            df.filter("doc_id % 4 = 0"), b, hash_mode=hash_mode
+        )
+        rc = dsir.hashed_ngram_counts(df, b, hash_mode=hash_mode)
+        joined = {
+            r.doc_id: (r.n_feats, r.logw)
+            for r in dsir.dsir_weights(
+                df, tc, rc, b, hash_mode=hash_mode
+            ).collect()
+        }
+        ratios = dsir.dsir_log_ratios(tc, rc, b, hash_mode=hash_mode)
+        inline = {
+            r.doc_id: (r.n_feats, r.logw)
+            for r in dsir.dsir_weights_inline(
+                df, ratios, hash_mode=hash_mode
+            ).collect()
+        }
+        assert inline == joined  # exact float equality, not approx
+
+    def test_inline_plan_has_no_exchange(self, spark):
+        df = self._corpus(spark, 10)
+        plan = dsir.dsir_weights_inline(
+            df, [0.5] * 64
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_oov_floor_fills_unseen_buckets(self, spark):
+        df = _mk(spark, [(1, "alpha")])
+        tc = dsir.hashed_ngram_counts(df, 512)
+        ratios = dsir.dsir_log_ratios(tc, tc, 512)
+        assert len(ratios) == 512
+        # target == raw: every cell (seen or floor) is exactly 0
+        assert set(ratios) == {0.0}
+
+    def test_with_dsir_weight_preserves_columns(self, spark):
+        df = self._corpus(spark, 5).withColumn("extra", F.lit("x"))
+        out = dsir.with_dsir_weight(df, [0.25] * 16)
+        assert set(out.columns) == {
+            "doc_id", "text", "extra", "n_feats", "logw"
+        }
+        row = out.filter("doc_id = 0").collect()[0]
+        # 4 unigrams + 3 bigrams, every bucket scores 0.25
+        assert row.n_feats == 7 and row.logw == pytest.approx(7 * 0.25)
+
+    def test_rejects_empty_ratios(self, spark):
+        with pytest.raises(ValueError):
+            dsir.with_dsir_weight(self._corpus(spark, 2), [])
+
+
 class TestDsirSample:
     def _weights(self, spark, n=60):
         # heavy head: docs 0-4 get logw 50.., the rest ~0

@@ -341,6 +341,71 @@ class TestStreamIncrementalFilter:
         q.awaitTermination(120)
         assert spark.read.parquet(out_dir).count() == 10
 
+    def test_dsir_gate_matches_batch_scoring(self, spark, dirs, tmp_path):
+        """stream_dsir_filter admits exactly the pages the BATCH inline
+        scorer keeps at the same threshold, with bit-identical logw —
+        the inline path's zero-exchange plan is what makes the batch
+        gate and the ingest gate one expression."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from ocr_spark.fixtures import write_rows_parquet
+        from ocr_spark.operators import dsir
+        from ocr_spark.streaming import stream_dsir_filter
+
+        day = dt.datetime(2025, 1, 1)
+        texts = {
+            "u://q/a": "clean prose flows here",
+            "u://q/b": "buy spam buy spam now",
+            "u://q/c": "clean text flows here today",
+            "u://q/d": "spam spam spam spam",
+        }
+        write_rows_parquet(
+            dirs["in"] / "f1.parquet",
+            [
+                {"url": u, "warc_ts": day, "html": None, "text": t,
+                 "lang": "en"}
+                for u, t in sorted(texts.items())
+            ],
+        )
+        target = spark.createDataFrame(
+            [(1, "clean prose flows"), (2, "clean text here")],
+            "doc_id bigint, text string",
+        )
+        raw = spark.createDataFrame(
+            list(enumerate(texts.values())), "doc_id bigint, text string"
+        )
+        b = 256
+        ratios = dsir.dsir_log_ratios(
+            dsir.hashed_ngram_counts(target, b),
+            dsir.hashed_ngram_counts(raw, b),
+            b,
+        )
+        batch = {
+            r.url: r.logw
+            for r in dsir.with_dsir_weight(
+                spark.createDataFrame(
+                    [(u, t) for u, t in texts.items()],
+                    "url string, text string",
+                ),
+                ratios,
+            ).collect()
+        }
+        # threshold = the median batch score (the logged-quantile
+        # posture the docstring prescribes; a fixed 0 is meaningless —
+        # smoothing over B cells shifts every tiny-corpus sum negative)
+        thr = sorted(batch.values())[len(batch) // 2]
+        out_dir = str(tmp_path / "dsir_out")
+        q = stream_dsir_filter(
+            spark, str(dirs["in"]), out_dir, dirs["ckpt"], ratios, thr
+        )
+        q.awaitTermination(120)
+        got = {r.url: r.logw for r in spark.read.parquet(out_dir).collect()}
+        want = {u: w for u, w in batch.items() if w >= thr}
+        assert got == want  # same admissions, bit-identical scores
+        assert 0 < len(want) < len(texts)  # the gate really split the set
+
 
 class TestNullPayloadStreams:
     """NULL html pages are legal (PAGES_SCHEMA declares html nullable);
