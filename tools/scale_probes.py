@@ -13,6 +13,10 @@ known-bad plan shape for comparison); run manually::
     python tools/scale_probes.py bpe      # distinct-word tokenize+join
                                           # (bpe_apply) vs tokenizing
                                           # every word occurrence
+    python tools/scale_probes.py dsir     # explode+join+regroup scoring
+                                          # (dsir_weights) vs the
+                                          # zero-exchange inline fold
+                                          # (dsir_weights_inline)
 
 Methodology (the bench-hygiene rules from BENCH.md, applied to A/Bs):
 
@@ -510,6 +514,114 @@ def probe_bpe(n_docs: int | None = None, wpd: int | None = None,
     return out
 
 
+# --------------------------------------------------------------- DSIR probe
+
+DSIR_DEFAULTS = (200_000, 30, 10_000, 8192)
+
+
+def _dsir_corpus(spark, n_docs: int, wpd: int, vocab: int):
+    from pyspark.sql import functions as F
+
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, {wpd}), i -> "
+            f"concat('w', conv(pmod(xxhash64(id, i), {vocab}), 10, 36))))"
+        ).alias("text"),
+    ).localCheckpoint()
+
+
+def _dsir_models(spark, docs, buckets: int):
+    """Fit + MATERIALIZE both hashed-ngram models outside the timed
+    window (persist + count), so both variants time SCORING only — the
+    fit is the shared one-time artifact cost either way."""
+    from ocr_spark.operators import dsir
+
+    tc = dsir.hashed_ngram_counts(
+        docs.filter("doc_id % 7 = 0"), buckets
+    ).persist()
+    rc = dsir.hashed_ngram_counts(docs, buckets).persist()
+    tc.count(), rc.count()
+    return tc, rc
+
+
+def dsir_time(
+    variant: str, n_docs: int, wpd: int, vocab: int, buckets: int
+) -> dict:
+    from ocr_spark.operators import dsir
+
+    spark = _spark(f"dsir-{variant}")
+    docs = _dsir_corpus(spark, n_docs, wpd, vocab)
+    tc, rc = _dsir_models(spark, docs, buckets)
+    if variant == "join":
+        df = dsir.dsir_weights(docs, tc, rc, buckets)
+    elif variant == "inline":
+        # the collect is part of the fit artifact (once per model, ≤
+        # buckets rows) — outside the timer like the persist above
+        ratios = dsir.dsir_log_ratios(tc, rc, buckets)
+        df = dsir.dsir_weights_inline(docs, ratios)
+    else:
+        raise SystemExit(f"unknown dsir variant {variant!r}")
+    before = _shuffle_write_bytes(spark)
+    t0 = time.time()
+    _noop(df)
+    best = time.time() - t0
+    shuffle = _shuffle_write_bytes(spark) - before
+    t0 = time.time()
+    _noop(df)
+    best = min(best, time.time() - t0)
+    spark.stop()
+    return {
+        "variant": variant,
+        "sec": round(best, 2),
+        "shuffle_mb": round(shuffle / 2**20, 1),
+    }
+
+
+def dsir_verify(n_docs: int, wpd: int, vocab: int, buckets: int) -> dict:
+    from ocr_spark.operators import dsir
+
+    spark = _spark("dsir-verify")
+    docs = _dsir_corpus(spark, n_docs, wpd, vocab)
+    tc, rc = _dsir_models(spark, docs, buckets)
+    a = dsir.dsir_weights(docs, tc, rc, buckets)
+    b = dsir.dsir_weights_inline(
+        docs, dsir.dsir_log_ratios(tc, rc, buckets)
+    )
+    mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+    spark.stop()
+    return {"result_mismatch_rows": mismatch}
+
+
+def probe_dsir(n_docs: int | None = None, wpd: int | None = None,
+               vocab: int | None = None,
+               buckets: int | None = None) -> dict:
+    n_docs, wpd, vocab, buckets = (
+        n_docs or DSIR_DEFAULTS[0],
+        wpd or DSIR_DEFAULTS[1],
+        vocab or DSIR_DEFAULTS[2],
+        buckets or DSIR_DEFAULTS[3],
+    )
+    args = [str(n_docs), str(wpd), str(vocab), str(buckets)]
+    jn = _sub(["dsir-time", "join", *args])
+    il = _sub(["dsir-time", "inline", *args])
+    parity = _sub(["dsir-verify", *args])
+    out = {
+        "probe": "dsir_join_vs_inline",
+        "n_docs": n_docs,
+        "words_per_doc": wpd,
+        "vocab": vocab,
+        "buckets": buckets,
+        "result_mismatch_rows": parity["result_mismatch_rows"],
+        "join_sec": jn["sec"],
+        "inline_sec": il["sec"],
+        "join_shuffle_mb": jn["shuffle_mb"],
+        "inline_shuffle_mb": il["shuffle_mb"],
+    }
+    out["speedup"] = round(out["join_sec"] / out["inline_sec"], 2)
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "ann"
     rest = sys.argv[2:]
@@ -531,6 +643,14 @@ if __name__ == "__main__":
     elif which == "bpe-time":
         v, nd, wp, vc, nm = rest[0], *[int(float(x)) for x in rest[1:5]]
         print(json.dumps(bpe_time(v, nd, wp, vc, nm)))
+    elif which == "dsir":
+        print(json.dumps(probe_dsir(*[int(float(x)) for x in rest])))
+    elif which == "dsir-time":
+        v, nd, wp, vc, bk = rest[0], *[int(float(x)) for x in rest[1:5]]
+        print(json.dumps(dsir_time(v, nd, wp, vc, bk)))
+    elif which == "dsir-verify":
+        nd, wp, vc, bk = [int(float(x)) for x in rest[:4]]
+        print(json.dumps(dsir_verify(nd, wp, vc, bk)))
     elif which == "bpe-verify":
         nd, wp, vc, nm = [int(float(x)) for x in rest[:4]]
         print(json.dumps(bpe_verify(nd, wp, vc, nm)))
