@@ -517,8 +517,9 @@ def main() -> int:
         if not args.dsir_ref:
             ap.error("--dsir-keep requires --dsir-ref")
         from ocr_spark.operators.dsir import (
+            dsir_log_ratios,
             dsir_sample,
-            dsir_weights,
+            dsir_weights_inline,
             hashed_ngram_counts,
         )
 
@@ -531,7 +532,12 @@ def main() -> int:
         )
         tc = hashed_ngram_counts(ref, args.dsir_buckets)
         rc = hashed_ngram_counts(docs, args.dsir_buckets)
-        weights = dsir_weights(docs, tc, rc, args.dsir_buckets)
+        # the default bucket space is well inside the inline regime
+        # (≲64k cells), so scoring is the ZERO-exchange literal fold —
+        # measured 8.6× / 16.6 MB → 0 MB shuffle over the join path at
+        # 200k docs (tools/scale_probes.py dsir), bit-identical values
+        ratios = dsir_log_ratios(tc, rc, args.dsir_buckets)
+        weights = dsir_weights_inline(docs, ratios)
         keep = dsir_sample(
             weights, args.dsir_keep, salt=args.salt
         ).select("doc_id")
