@@ -296,21 +296,27 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
     )
     out["bpe_train16_5kvocab"] = round(time.time() - t0, 3)
     timed("bpe_apply_100kdocs", bpe.bpe_apply(bpe_docs, merges))
-    # DSIR selection: weight the corpus against the doc_id%7 slice as
-    # the target (xxhash64 scale path), Gumbel top-1000 draw — the
-    # timed frame covers both model fits, the broadcast ratio join, the
-    # per-doc fold, and the two-stage rank
+    # DSIR selection, split the way a deployment pays it: the FIT (two
+    # hashed-ngram models + the bucket-bounded ratio collect) is a
+    # once-per-snapshot artifact build and is eager, so it gets its own
+    # explicit timer; the RECURRING path — zero-exchange inline scoring
+    # fold + Gumbel top-1000 two-stage rank — is the timed() row
+    # (join-vs-inline A/B: tools/scale_probes.py dsir, 8.6× and
+    # 16.6 MB → 0 MB shuffle at 200k docs; at this toy scale the fit is
+    # dominated by fixed job latency, which the timer makes visible
+    # instead of folding into the scoring number)
     from ocr_spark.operators import dsir
 
-    dsir_tc = dsir.hashed_ngram_counts(
-        docs.filter(F.col("doc_id") % 7 == 0), 8192
+    t0 = time.time()
+    dsir_ratios = dsir.dsir_log_ratios(
+        dsir.hashed_ngram_counts(docs.filter(F.col("doc_id") % 7 == 0), 8192),
+        dsir.hashed_ngram_counts(docs, 8192),
+        8192,
     )
-    dsir_rc = dsir.hashed_ngram_counts(docs, 8192)
+    out["select_dsir_fit"] = round(time.time() - t0, 3)
     timed(
         "select_dsir_sample1k",
-        dsir.dsir_sample(
-            dsir.dsir_weights(docs, dsir_tc, dsir_rc, 8192), 1000
-        ),
+        dsir.dsir_sample(dsir.dsir_weights_inline(docs, dsir_ratios), 1000),
     )
     return out
 
