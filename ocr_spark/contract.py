@@ -3311,6 +3311,72 @@ FROM tok
 """
 
 
+# Interpolated bigram LM gate (operators/lm.py lm_score_bigram): the
+# "swap the counts table for a richer model" upgrade, oracle-mirrored.
+# Same determinism contract as the unigram row (ONE ln per token over a
+# correctly-rounded IEEE mix of exact-integer divisions; round(·,9) for
+# the 1-ulp ln trap).  The lam constants are emitted from the SAME
+# Python floats the Spark query uses, so both engines mix with
+# bit-identical coefficients (1 − 0.7 is NOT 0.3 in binary).
+_LM_LAM = 0.7
+
+_LM_BIGRAM_SQL = f"""
+WITH t AS (SELECT doc_id,
+                  string_split(lower(coalesce(text, '')), ' ') AS tk
+           FROM documents),
+tok0 AS (SELECT doc_id, unnest(range(0, len(tk))) AS pos, tk FROM t),
+tok AS (SELECT doc_id, pos, tk[pos + 1] AS w,
+               CASE WHEN pos > 0 THEN tk[pos] END AS prev
+        FROM tok0),
+train AS (SELECT w, count(*) AS c FROM tok
+          WHERE doc_id % 2 = 0 GROUP BY w),
+btrain AS (SELECT prev, w, count(*) AS c FROM tok
+           WHERE doc_id % 2 = 0 AND pos > 0 GROUP BY prev, w),
+ctx AS (SELECT prev, CAST(sum(c) AS BIGINT) AS ctx FROM btrain
+        GROUP BY prev),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM train),
+j AS (SELECT tok.doc_id, tok.pos,
+        ln(CASE WHEN tok.pos > 0 THEN
+             {_LM_LAM!r} * ((coalesce(btrain.c, 0) + 1)
+                            / (coalesce(ctx.ctx, 0) + tot.v + 1))
+           + {1.0 - _LM_LAM!r} * ((coalesce(train.c, 0) + 1)
+                                  / (tot.n + tot.v + 1))
+           ELSE ((coalesce(train.c, 0) + 1) / (tot.n + tot.v + 1))
+           END) AS lp,
+        (train.c IS NULL) AS oov
+      FROM tok LEFT JOIN train ON tok.w = train.w
+      LEFT JOIN btrain ON tok.prev = btrain.prev AND tok.w = btrain.w
+      LEFT JOIN ctx ON tok.prev = ctx.prev
+      CROSS JOIN tot),
+agg AS (SELECT doc_id,
+          list(lp ORDER BY pos) AS lps,
+          count(*) AS n_tokens,
+          count(*) FILTER (WHERE oov) AS n_oov
+        FROM j GROUP BY doc_id)
+SELECT doc_id,
+  CAST(n_tokens AS INTEGER) AS n_tokens,
+  CAST(n_oov AS INTEGER) AS n_oov,
+  round(list_reduce(lps, (a, x) -> a + x) / n_tokens, 9)
+    AS mean_logprob_r
+FROM agg
+"""
+
+
+def _q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    return lm.lm_score_bigram(
+        docs, lm.unigram_counts(ref), lm.bigram_counts(ref), lam=_LM_LAM
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round("mean_logprob", 9).alias("mean_logprob_r"),
+    )
+
+
 # DSIR importance resampling (operators/dsir.py — Xie et al. 2023).
 # Target model = doc_id % 7 = 0 (the "high-quality" slice), raw model =
 # the full corpus, every document weighted.  Portable 48-bit hash so the
@@ -3455,6 +3521,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # implementation changed (id-only lsh/ivf rerank joins, NULL-digest
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
+    "text_lm_bigram": (_q_lm_bigram, _LM_BIGRAM_SQL),
     "select_dsir_weights": (_q_dsir_weights, _DSIR_WEIGHTS_SQL),
     "select_dsir_inline": (_q_dsir_inline, _DSIR_WEIGHTS_SQL),
     "select_dsir_sample": (_q_dsir_sample, _DSIR_SAMPLE_SQL),

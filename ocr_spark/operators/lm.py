@@ -135,3 +135,150 @@ def lm_score(
         mean.alias("mean_logprob"),
         F.exp(-mean).alias("ppl"),
     )
+
+
+def bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Train the bigram table: ``(prev, token, c)`` counts of adjacent
+    token pairs over the reference corpus (same tokenization as
+    :func:`unigram_counts`; single-token documents contribute no rows).
+    One projection + one map-side-combined count — the shuffle carries
+    distinct PAIRS, not occurrences."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if lowercase:
+        text = F.lower(text)
+    toks = "_lm_toks"
+    while toks in df.columns:
+        toks += "_"
+    bound = df.select(F.split(text, " ").alias(toks))
+    pairs = (
+        f"zip_with(slice(`{toks}`, 1, size(`{toks}`) - 1), "
+        f"slice(`{toks}`, 2, size(`{toks}`) - 1), "
+        f"(a, b) -> named_struct('prev', a, 'token', b))"
+    )
+    return (
+        bound.select(F.explode(F.expr(pairs)).alias("p"))
+        .groupBy(F.col("p.prev").alias("prev"), F.col("p.token").alias("token"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def lm_score_bigram(
+    df: DataFrame,
+    counts: DataFrame,
+    bi_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    lam: float = 0.7,
+    broadcast_counts: bool = False,
+) -> DataFrame:
+    """Score under an INTERPOLATED bigram model — the "swap the counts
+    table for a richer model" upgrade :func:`lm_score`'s docstring
+    promises, demonstrated rather than claimed.
+
+    Per token at position > 0: ``p = lam · p_bi(w | prev) +
+    (1 − lam) · p_uni(w)``; the first token scores ``p_uni`` alone.
+    Both component models are Laplace-smoothed over their own event
+    space: ``p_uni = (c_w + 1) / (N + V + 1)`` exactly as
+    :func:`lm_score`, and ``p_bi = (c_{prev,w} + 1) / (ctx_prev + V +
+    1)`` where ``ctx_prev = Σ_w c_{prev,w}`` is the bigram table's own
+    left marginal (computed from ``bi_counts`` — never approximated by
+    the unigram count, whose last-token-of-document deficit would make
+    the two tables disagree).  Every document scores: an unseen prev
+    has ``ctx = 0`` and the smoothed floor applies.
+
+    Returns ``(id_col, n_tokens, n_oov, mean_logprob, ppl)`` — the
+    :func:`lm_score` shape, so gates swap models without rewiring
+    (``lam = 0`` reproduces lm_score's mean_logprob EXACTLY — pinned in
+    tests).  Determinism contract is lm_score's: exact-integer division
+    operands, `lam`-mix in correctly-rounded IEEE ops, ONE ``ln`` per
+    token, per-doc sorted sequential fold; cross-engine compare at
+    ``round(·, 9)``.
+
+    Plan shape: one explode carrying (pos, token, prev) + three
+    token-keyed equi-joins (unigram, bigram, context marginal) + the
+    per-doc regroup.  All three join keys are Zipf-skewed — AQE
+    skew-join or ``broadcast_counts=True`` (vocab- and pair-table-sized
+    broadcasts), same posture as :func:`lm_score`."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    # (pos, token, prev) without a window or self-join: the previous
+    # token is element_at(toks, pos) (1-based lookup of the 0-based
+    # predecessor) taken in the projection right after the generate —
+    # same codegen stage, so the array never rides a shuffle
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if lowercase:
+        text = F.lower(text)
+    toks = "_lm_toks"
+    while toks in df.columns:
+        toks += "_"
+    bound = df.select(F.col(id_col), F.split(text, " ").alias(toks))
+    gen = bound.select(
+        F.col(id_col),
+        F.col(toks),
+        F.posexplode(F.col(toks)).alias("pos", "_tok"),
+    )
+    tok = gen.select(
+        id_col,
+        "pos",
+        "_tok",
+        F.when(
+            F.col("pos") > 0, F.element_at(F.col(toks), F.col("pos"))
+        ).alias("_prev"),
+    )
+    vocab = counts.select(F.col("token").alias("_tok"), F.col("c").alias("_cu"))
+    bi = bi_counts.select(
+        F.col("prev").alias("_prev"),
+        F.col("token").alias("_tok"),
+        F.col("c").alias("_cb"),
+    )
+    ctx = bi_counts.groupBy(F.col("prev").alias("_prev")).agg(
+        F.sum("c").cast("bigint").alias("_ctx")
+    )
+    if broadcast_counts:
+        vocab, bi, ctx = F.broadcast(vocab), F.broadcast(bi), F.broadcast(ctx)
+    totals = counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("_N"),
+        F.count(F.lit(1)).cast("bigint").alias("_V"),
+    )
+    p_uni = (F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(1)) / (
+        F.col("_N") + F.col("_V") + F.lit(1)
+    )
+    p_bi = (F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(1)) / (
+        F.coalesce(F.col("_ctx"), F.lit(0)) + F.col("_V") + F.lit(1)
+    )
+    mixed = F.when(
+        F.col("pos") > 0, F.lit(float(lam)) * p_bi + F.lit(1.0 - lam) * p_uni
+    ).otherwise(p_uni)
+    joined = (
+        tok.join(vocab, "_tok", "left")
+        .join(bi, ["_prev", "_tok"], "left")
+        .join(ctx, "_prev", "left")
+        .join(F.broadcast(totals))
+        .select(
+            id_col,
+            "pos",
+            F.log(mixed).alias("lp"),
+            F.col("_cu").isNull().alias("oov"),
+        )
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("pos", "lp"))).alias("_lps"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("oov"), 1).otherwise(0)).alias("n_oov"),
+    )
+    mean = F.expr(
+        "aggregate(_lps, CAST(0 AS DOUBLE), (a, s) -> a + s.lp)"
+    ) / F.col("n_tokens")
+    return agg.select(
+        id_col,
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_oov").cast("int").alias("n_oov"),
+        mean.alias("mean_logprob"),
+        F.exp(-mean).alias("ppl"),
+    )

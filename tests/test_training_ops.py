@@ -1832,6 +1832,118 @@ class TestLmScore:
         assert a == b
 
 
+class TestBigramLm:
+    """Interpolated bigram gate (lm.bigram_counts / lm_score_bigram) —
+    the 'swap the counts table for a richer model' upgrade, differential
+    against a transparent Python reference."""
+
+    REF = ["the cat sat", "the cat ran", "a cat sat here"]
+
+    def _models(self, spark):
+        from ocr_spark.operators.lm import bigram_counts, unigram_counts
+
+        ref = spark.createDataFrame(
+            list(enumerate(self.REF)), "doc_id long, text string"
+        )
+        return unigram_counts(ref), bigram_counts(ref)
+
+    def _py_score(self, text, lam):
+        import math
+        from collections import Counter
+
+        unis, bis = Counter(), Counter()
+        for t in self.REF:
+            ws = t.split(" ")
+            unis.update(ws)
+            bis.update(zip(ws, ws[1:]))
+        n, v = sum(unis.values()), len(unis)
+        ctx = Counter()
+        for (a, _b), c in bis.items():
+            ctx[a] += c
+        ws = (text or "").lower().split(" ")
+        acc = 0.0
+        for i, w in enumerate(ws):
+            pu = (unis.get(w, 0) + 1) / (n + v + 1)
+            if i == 0:
+                p = pu
+            else:
+                pb = (bis.get((ws[i - 1], w), 0) + 1) / (
+                    ctx.get(ws[i - 1], 0) + v + 1
+                )
+                p = lam * pb + (1 - lam) * pu
+            acc += math.log(p)
+        return acc / len(ws)
+
+    def test_matches_python_reference_exactly(self, spark):
+        from ocr_spark.operators.lm import lm_score_bigram
+
+        uc, bc = self._models(spark)
+        probe = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "dog ran fast"), (3, "the"),
+             (4, None)],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in lm_score_bigram(probe, uc, bc, lam=0.7).collect()
+        }
+        for i, t in [(1, "the cat sat"), (2, "dog ran fast"), (3, "the"),
+                     (4, None)]:
+            assert rows[i].mean_logprob == self._py_score(t, 0.7), i
+
+    def test_lam_zero_reproduces_unigram_gate_bitwise(self, spark, docs):
+        from ocr_spark.operators.lm import (
+            bigram_counts,
+            lm_score,
+            lm_score_bigram,
+            unigram_counts,
+        )
+
+        ref = docs.filter(F.col("doc_id") % 2 == 0)
+        uc, bc = unigram_counts(ref), bigram_counts(ref)
+        a = {r.doc_id: r.mean_logprob for r in lm_score(docs, uc).collect()}
+        b = {
+            r.doc_id: r.mean_logprob
+            for r in lm_score_bigram(docs, uc, bc, lam=0.0).collect()
+        }
+        assert a == b  # exact: 0·p_bi + 1·p_u is the identity in IEEE
+
+    def test_bigram_context_separates_same_unigrams(self, spark):
+        from ocr_spark.operators.lm import lm_score_bigram
+
+        uc, bc = self._models(spark)
+        probe = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "sat cat the")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r.mean_logprob
+            for r in lm_score_bigram(probe, uc, bc, lam=0.7).collect()
+        }
+        # identical bags of words; only the bigram term can tell the
+        # reference-like order from the scrambled one
+        assert rows[1] > rows[2]
+
+    def test_partitioning_invariance_and_bad_lam(self, spark, docs):
+        import pytest as _pytest
+
+        from ocr_spark.operators.lm import (
+            bigram_counts,
+            lm_score_bigram,
+            unigram_counts,
+        )
+
+        ref = docs.filter(F.col("doc_id") % 2 == 0)
+        uc, bc = unigram_counts(ref), bigram_counts(ref)
+        a = sorted(map(tuple, lm_score_bigram(
+            docs.repartition(1), uc, bc).collect()))
+        b = sorted(map(tuple, lm_score_bigram(
+            docs.repartition(13), uc, bc).collect()))
+        assert a == b
+        with _pytest.raises(ValueError, match="lam"):
+            lm_score_bigram(docs, uc, bc, lam=1.5)
+
+
 class TestSpanDedup:
     """Substring-granularity dedup (operators/dedup.py corpus_span_dedup):
     the Lee et al. 2022 exact-substring semantics over windowed digests."""
