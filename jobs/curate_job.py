@@ -177,6 +177,12 @@ def main() -> int:
     ap.add_argument("--bpe-min-count", type=int, default=2,
                     help="stop BPE training early when no pair reaches "
                          "this count")
+    ap.add_argument("--pack-seq-len", type=int, default=None, metavar="L",
+                    help="also pack the curated corpus into fixed-length "
+                         "training sequences of L tokens (BPE tokens when "
+                         "--bpe-merges is set, whitespace tokens "
+                         "otherwise); writes chunk_id/token_ids/n_tok "
+                         "parquet to <output>_packed")
     ap.add_argument("--salt", default="v1",
                     help="hash salt for split/sample assignment")
     args = ap.parse_args()
@@ -624,6 +630,30 @@ def main() -> int:
         docs.write.mode("overwrite").parquet(args.output)
     summary["output_docs"] = spark.read.parquet(args.output).count()
     _stage("write")
+
+    if args.pack_seq_len is not None:
+        # training-export packing over the FINAL curated corpus.  doc_ids
+        # here are xxhash64 values — uniform in the 64-bit space, not
+        # dense — so the prefix sum's order-contiguous buckets slice the
+        # ID SPACE: bucket_size = 2^52 gives ≤ 4096 buckets no matter how
+        # large the corpus, keeping the driver-side cumsum bounded (the
+        # dense-id default of 2^22 would make one bucket PER DOC on
+        # random ids — a corpus-sized collect).
+        from ocr_spark.operators.packing import pack_export, pack_sequences
+
+        tok_col = "bpe_tokens" if args.bpe_merges is not None else None
+        manifest = pack_sequences(
+            docs,
+            args.pack_seq_len,
+            bucket_size=1 << 52,
+            tokens_col=tok_col,
+        )
+        packed = pack_export(manifest, docs, tokens_col=tok_col)
+        packed_dir = args.output.rstrip("/") + "_packed"
+        packed.write.mode("overwrite").parquet(packed_dir)
+        summary["pack_seq_len"] = args.pack_seq_len
+        summary["packed_chunks"] = spark.read.parquet(packed_dir).count()
+        _stage("pack_export")
     summary["stage_seconds"] = stage_seconds
     summary["seconds"] = round(time.time() - t0, 1)
     print(json.dumps(summary))

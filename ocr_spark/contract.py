@@ -2510,6 +2510,62 @@ def _q_pack_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Precomputed-token-array packing (the tokens_col path): the tokenize→
+# pack pipeline over an EOS-terminated token stream (`</s>` appended per
+# document — the document-separator practice packing exists for).  Token
+# counts now come from the ARRAY (n_tok = words + 1), so this exercises
+# the counts/slices seam the whitespace rows cannot; the BPE composition
+# (bpe_apply tokens driving the same pair) is pytest-pinned
+# (tests/test_training_ops.py::TestSequencePacking).
+_PACK_TOKENS_SQL = """
+WITH t AS (SELECT doc_id,
+                  list_append(string_split(coalesce(text, ''), ' '),
+                              '</s>') AS toks
+           FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
+o AS (SELECT doc_id, toks, n_tok,
+        CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS off
+      FROM n),
+c AS (SELECT doc_id, toks, n_tok, off,
+        unnest(generate_series(CAST(floor(off / 512) AS BIGINT),
+                               CAST(floor((off + n_tok - 1) / 512)
+                                    AS BIGINT))) AS chunk_id
+      FROM o),
+s AS (SELECT chunk_id, doc_id,
+        toks[CAST(greatest(chunk_id * 512 - off, 0) + 1 AS BIGINT):
+             CAST(least((chunk_id + 1) * 512 - off, n_tok) AS BIGINT)]
+          AS piece
+      FROM c)
+SELECT chunk_id,
+       array_to_string(flatten(list(piece ORDER BY doc_id)), ' ')
+         AS token_str,
+       CAST(len(flatten(list(piece ORDER BY doc_id))) AS INTEGER) AS n_tok
+FROM s GROUP BY chunk_id
+"""
+
+
+def _q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import pack_export, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            F.array(F.lit("</s>")),
+        ).alias("toks"),
+    )
+    manifest = pack_sequences(
+        docs, seq_len=512, bucket_size=64, tokens_col="toks"
+    )
+    return pack_export(manifest, docs, tokens_col="toks").select(
+        "chunk_id",
+        F.array_join("token_ids", " ").alias("token_str"),
+        "n_tok",
+    )
+
+
 # Substring-granularity dedup (Lee et al. 2022 semantics, windowed-digest
 # re-expression — operators/dedup.py corpus_span_dedup).  Same hard
 # exercise as dedup_line_corpus: the corpus unioned with a full copy of
@@ -3521,6 +3577,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # implementation changed (id-only lsh/ivf rerank joins, NULL-digest
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
+    "corpus_pack_tokens": (_q_pack_tokens, _PACK_TOKENS_SQL),
     "text_lm_bigram": (_q_lm_bigram, _LM_BIGRAM_SQL),
     "select_dsir_weights": (_q_dsir_weights, _DSIR_WEIGHTS_SQL),
     "select_dsir_inline": (_q_dsir_inline, _DSIR_WEIGHTS_SQL),

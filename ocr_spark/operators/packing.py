@@ -49,11 +49,20 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     bucket_size: int = 1 << 22,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Manifest rows ``(chunk_id, id_col, doc_start, doc_end, n_tok)``:
     chunk ``k`` holds tokens ``[k*seq_len, (k+1)*seq_len)`` of the
     concatenated stream; ``doc_start:doc_end`` is the half-open
     whitespace-token slice of THIS document that lands in chunk ``k``.
+
+    ``tokens_col`` switches the packer from the whitespace stand-in to a
+    PRECOMPUTED token array column (e.g. :func:`ocr_spark.operators.bpe.
+    bpe_apply`'s ``tokens``) — the real tokenize→pack pipeline.  Counts
+    then come from the array, so a NULL/empty array means a ZERO-token
+    document; it still appears in exactly one chunk with an empty
+    ``doc_start == doc_end`` slice (the every-doc-in-a-chunk contract —
+    never silently dropped).
 
     Deterministic: documents concatenate in ascending ``id_col`` order
     (a total order — append-stable as long as ids are assigned
@@ -77,13 +86,19 @@ def pack_sequences(
             f"to range-bucket the prefix sum; got "
             f"{df.schema[id_col].dataType.simpleString()}"
         )
-    toks = df.select(
-        id_col,
+    if tokens_col is None:
         # NULL text coalesces to '' (one empty token): size(split(NULL))
         # is NULL, which silently DROPPED the document from the manifest
         # via sequence(NULL) — violating the every-doc-in-a-chunk
         # contract and the repo-wide NULL-cardinality lesson
-        F.expr(f"size(split(coalesce({text_col}, ''), ' '))").alias("n_tok"),
+        n_tok = F.expr(f"size(split(coalesce({text_col}, ''), ' '))")
+    else:
+        # precomputed tokens: size(NULL) is NULL → coalesce to 0 (a
+        # NULL array is a zero-token doc, not a dropped one)
+        n_tok = F.coalesce(F.size(F.col(tokens_col)), F.lit(0))
+    toks = df.select(
+        id_col,
+        n_tok.alias("n_tok"),
         F.floor(F.col(id_col) / F.lit(bucket_size))
         .cast("bigint")
         .alias("_bkt"),
@@ -118,12 +133,20 @@ def pack_sequences(
             ).cast("bigint"),
         )
     )
+    # the greatest() guard is load-bearing for zero-token docs (possible
+    # only on the tokens_col path): at n_tok = 0 the naive end operand is
+    # off - 1, and when off lands on a chunk boundary Spark's sequence()
+    # infers a DESCENDING step and emits TWO phantom chunks (the
+    # chunk_text lesson).  For n_tok >= 1 (always true on the text path)
+    # greatest(off + n_tok - 1, off) == off + n_tok - 1, so the existing
+    # manifest is bit-identical.
     chunks = off.withColumn(
         "chunk_id",
         F.explode(
             F.expr(
                 f"sequence(CAST(floor(off / {seq_len}) AS BIGINT), "
-                f"CAST(floor((off + n_tok - 1) / {seq_len}) AS BIGINT))"
+                f"CAST(floor(greatest(off + n_tok - 1, off) / {seq_len}) "
+                f"AS BIGINT))"
             )
         ),
     )
@@ -145,13 +168,15 @@ def pack_export(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Materialize the packed token stream: ``(chunk_id, token_ids,
     n_tok)`` — the tokenizer-export join the manifest exists for.
 
-    Tokenization (here the whitespace stand-in for an offline BPE; swap
-    the ``split`` for a Pandas-UDF tokenizer without touching the plan
-    shape) runs ONCE per document; the join then ships only each
+    Tokenization (the whitespace stand-in by default; pass ``tokens_col``
+    to slice a PRECOMPUTED token array — e.g. ``bpe_apply``'s output —
+    which must be the SAME column the manifest was built over, or slices
+    won't line up) runs ONCE per document; the join then ships only each
     document's slice to its chunk.  Within a chunk, pieces concatenate in
     ascending ``id_col`` order via a sort inside the aggregated array
     (``array_sort`` over (id, piece) structs — deterministic under any
@@ -159,12 +184,18 @@ def pack_export(
     the stream's last holds exactly ``seq_len`` tokens and the
     concatenation of chunks round-trips the concatenated corpus
     (property-tested, tests/test_packing.py)."""
-    toks = docs.select(
-        id_col,
+    if tokens_col is None:
         # same NULL coalesce as pack_sequences' n_tok — the manifest
         # gives a NULL-text doc one empty token, so its slice must exist
-        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_toks"),
-    )
+        tok_expr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    else:
+        # NULL array → typed empty array: slice(NULL) is NULL and a NULL
+        # piece would NULL the whole flatten() downstream
+        tok_expr = F.coalesce(
+            F.col(tokens_col),
+            F.array().cast(docs.schema[tokens_col].dataType),
+        )
+    toks = docs.select(id_col, tok_expr.alias("_toks"))
     pieces = manifest.join(toks, id_col).select(
         "chunk_id",
         F.struct(

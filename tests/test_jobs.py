@@ -446,3 +446,38 @@ class TestJobs:
                 for tk in tokenize_word(w, ranks)
             ]
             assert toks == want
+
+    def test_curate_job_pack_export(self, extracted_dir, tmp_path):
+        """--pack-seq-len writes <output>_packed: fixed-length training
+        sequences whose concatenation (chunk_id order) round-trips the
+        concatenated per-doc BPE token stream (doc_id order), every
+        non-last chunk exactly L tokens."""
+        out = tmp_path / "packed_job"
+        L = 32
+        summary = _run(
+            [
+                "jobs/curate_job.py",
+                "--input", str(extracted_dir),
+                "--output", str(out),
+                "--bpe-merges", "8",
+                "--pack-seq-len", str(L),
+            ]
+        )
+        assert summary["pack_seq_len"] == L
+        import pyarrow.parquet as pq
+
+        docs = sorted(
+            pq.read_table(out).to_pylist(), key=lambda r: r["doc_id"]
+        )
+        want = [t for r in docs for t in r["bpe_tokens"]]
+        chunks = sorted(
+            pq.read_table(str(out) + "_packed").to_pylist(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert summary["packed_chunks"] == len(chunks)
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks[:-1]:
+            assert c["n_tok"] == L and len(c["token_ids"]) == L
+        assert 0 < chunks[-1]["n_tok"] <= L
+        got = [t for c in chunks for t in c["token_ids"]]
+        assert got == want

@@ -1654,6 +1654,106 @@ class TestSequencePacking:
         want = [t for _, text in texts for t in text.split(" ")]
         assert stream == want
 
+    def test_tokens_col_path_matches_text_path(self, spark):
+        """Packing over a precomputed tokens_col = split(text) must be
+        bit-identical (manifest and export) to the whitespace path."""
+        from ocr_spark.operators.packing import pack_export, pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, " ".join(f"w{i}_{j}" for j in range(1 + (i * 5) % 23)))
+             for i in range(25)],
+            "doc_id long, text string",
+        )
+        toked = df.withColumn("toks", F.split("text", " "))
+        m_text = pack_sequences(df, seq_len=16, bucket_size=8)
+        m_tok = pack_sequences(
+            toked, seq_len=16, bucket_size=8, tokens_col="toks"
+        )
+        assert sorted(tuple(r) for r in m_text.collect()) == sorted(
+            tuple(r) for r in m_tok.collect()
+        )
+        e_text = {
+            r.chunk_id: list(r.token_ids)
+            for r in pack_export(m_text, df).collect()
+        }
+        e_tok = {
+            r.chunk_id: list(r.token_ids)
+            for r in pack_export(m_tok, toked, tokens_col="toks").collect()
+        }
+        assert e_text == e_tok
+
+    def test_tokens_col_zero_token_docs_appear_once(self, spark):
+        """Empty and NULL token arrays are ZERO-token docs: each appears
+        in exactly one manifest row with an empty slice — including when
+        its offset lands exactly on a chunk boundary, the case where the
+        naive sequence() end operand goes DESCENDING and emits two
+        phantom chunks (the chunk_text lesson)."""
+        from ocr_spark.operators.packing import pack_export, pack_sequences
+
+        df = spark.createDataFrame(
+            [
+                (0, ["a", "b", "c", "d"]),   # fills chunk 0 exactly
+                (1, []),                     # off=4: ON the boundary
+                (2, None),                   # NULL array, also off=4
+                (3, ["e", "f"]),
+            ],
+            "doc_id long, toks array<string>",
+        )
+        rows = pack_sequences(
+            df, seq_len=4, bucket_size=2, tokens_col="toks"
+        ).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert sorted(by_doc) == [0, 1, 2, 3]
+        for d in (1, 2):
+            (r,) = by_doc[d]
+            assert r.n_tok == 0 and r.doc_start == r.doc_end == 0
+            assert r.chunk_id == 1  # off=4 → the chunk that starts there
+        manifest = pack_sequences(
+            df, seq_len=4, bucket_size=2, tokens_col="toks"
+        )
+        chunks = {
+            r.chunk_id: list(r.token_ids)
+            for r in pack_export(manifest, df, tokens_col="toks").collect()
+        }
+        assert chunks == {0: ["a", "b", "c", "d"], 1: ["e", "f"]}
+
+    def test_bpe_tokens_pack_roundtrip(self, spark):
+        """The real tokenize→pack pipeline: bpe_apply's token arrays
+        drive the manifest and export; chunks round-trip the concatenated
+        BPE stream and every non-last chunk is exactly seq_len."""
+        from ocr_spark.operators.bpe import bpe_apply, bpe_train, word_counts
+        from ocr_spark.operators.packing import pack_export, pack_sequences
+
+        texts = [
+            (i, " ".join(["lower newer wider low new"] * (1 + i % 3)))
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        merges = bpe_train(word_counts(df), n_merges=8)
+        assert merges  # the corpus repeats, so merges must be learned
+        toked = bpe_apply(df, merges)
+        manifest = pack_sequences(
+            toked, seq_len=8, bucket_size=4, tokens_col="tokens"
+        )
+        chunks = {
+            r.chunk_id: list(r.token_ids)
+            for r in pack_export(
+                manifest, toked, tokens_col="tokens"
+            ).collect()
+        }
+        last = max(chunks)
+        for cid, toks in chunks.items():
+            assert len(toks) == 8 if cid < last else 0 < len(toks) <= 8
+        stream = [t for cid in sorted(chunks) for t in chunks[cid]]
+        want = [
+            t
+            for r in sorted(toked.collect(), key=lambda r: r.doc_id)
+            for t in r.tokens
+        ]
+        assert stream == want
+
 
 class TestConnectedComponents:
     """Duplicate-cluster assignment: min-label propagation vs a pure-
