@@ -670,6 +670,80 @@ WHERE doc_id % 3 != 0 AND doc_id NOT IN (SELECT doc_id FROM matched)
 """
 
 
+# TF-IDF keyword extraction: top-3 corpus-distinctive tokens per doc.
+# score = tf * (ln((n_docs+1)/(df+1)) + 1) — ln is not cross-engine
+# bit-identical (CLAUDE.md transcendental rule), so both sides emit
+# round(score, 9); the rank window's tie-break (score DESC, token ASC)
+# is deterministic because equal scores arise exactly from equal
+# (tf, df) pairs, which both engines order identically.
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents, unnest(string_split(lower(coalesce(text, '')), ' '))
+       AS t(token)
+  WHERE t.token <> ''),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, token),
+dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc
+        FROM tf GROUP BY token),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.token, tf.tf,
+        tf.tf * (ln((nd.n + 1) / (dfq.dfc + 1)) + 1) AS score
+      FROM tf JOIN dfq USING (token) CROSS JOIN nd),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+      FROM s)
+SELECT doc_id, token, tf, round(score, 9) AS score,
+       CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import tfidf_keywords
+
+    return tfidf_keywords(
+        _t(spark, sf_dir, "documents"), k=3
+    ).withColumn("score", F.round("score", 9))
+
+
+# Gate-threshold calibration quantiles: exact linear-interpolated
+# (rank = p*(n-1), the quantile_cont convention both engines implement);
+# interpolation divides doubles → round(value, 9) on both sides.
+_QUANTILE_SQL = """
+WITH f AS (SELECT CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+                  CAST(len(string_split(coalesce(text, ''), ' '))
+                       AS BIGINT) AS n_words
+           FROM documents),
+q AS (SELECT 'n_chars' AS metric,
+             unnest([1e-1, 5e-1, 9e-1]) AS p,
+             unnest(quantile_cont(n_chars, [1e-1, 5e-1, 9e-1])) AS v
+      FROM f
+      UNION ALL
+      SELECT 'n_words',
+             unnest([1e-1, 5e-1, 9e-1]),
+             unnest(quantile_cont(n_words, [1e-1, 5e-1, 9e-1]))
+      FROM f)
+SELECT metric, p, round(v, 9) AS value FROM q
+"""
+
+
+def _q_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import quantile_report
+
+    feats = _t(spark, sf_dir, "documents").select(
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("bigint")
+        .alias("n_chars"),
+        F.expr("size(split(coalesce(text, ''), ' '))")
+        .cast("bigint")
+        .alias("n_words"),
+    )
+    return quantile_report(
+        feats, ["n_chars", "n_words"], probs=(0.1, 0.5, 0.9)
+    ).withColumn("value", F.round("value", 9))
+
+
 def _q_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.corpus_gate_report(
         _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3578,6 +3652,8 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
     "corpus_pack_tokens": (_q_pack_tokens, _PACK_TOKENS_SQL),
+    "text_tfidf_keywords": (_q_tfidf, _TFIDF_SQL),
+    "corpus_quantile_report": (_q_quantile_report, _QUANTILE_SQL),
     "text_lm_bigram": (_q_lm_bigram, _LM_BIGRAM_SQL),
     "select_dsir_weights": (_q_dsir_weights, _DSIR_WEIGHTS_SQL),
     "select_dsir_inline": (_q_dsir_inline, _DSIR_WEIGHTS_SQL),

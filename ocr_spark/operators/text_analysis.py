@@ -690,3 +690,142 @@ def corpus_gate_report(df: DataFrame, text_col: str = "text") -> DataFrame:
         n(F.col("lang_pred") == "en").alias("n_lang_en"),
         n(F.col("g_keep") & F.col("c4_keep")).alias("n_all_gates"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    broadcast_counts: bool = False,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the top-``k`` most
+    corpus-distinctive tokens of every document — topic tags for
+    retrieval metadata and the "what is this page about" audit column.
+
+    ``score = tf · (ln((n_docs + 1) / (df + 1)) + 1)`` (the smoothed
+    sklearn convention: the +1s keep every token scoreable and the idf
+    strictly positive, so a token appearing in every document still
+    ranks by raw tf instead of dropping to zero).  Ranking is per
+    document by ``(score DESC, token ASC)`` — the token tie-break makes
+    equal-score rows deterministic, and equal scores arise exactly from
+    equal ``(tf, df)`` pairs, which both engines order identically.
+    Empty tokens (consecutive whitespace) are dropped, so a NULL/empty
+    document yields ZERO keyword rows (documented — count the input if
+    you need those).
+
+    Output: ``(id_col, token, tf, score, rank)`` with ``rank`` 1-based.
+
+    Scale posture: the ``(doc, token)`` tf aggregate is the one
+    corpus-sized shuffle (map-side combine collapses repeated tokens per
+    partition first); document frequency re-aggregates the tf table —
+    vocabulary-bounded, never corpus-bounded; the idf join is
+    token-keyed with the same Zipf-head lever as ``lm_score``
+    (``broadcast_counts=True`` ships the vocab map-side); the top-k
+    window partitions by document, so its groups are bounded by a
+    document's distinct-token count.  ln is not cross-engine
+    bit-identical (CLAUDE.md transcendental rule) — oracle twins compare
+    ``round(score, 9)``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if lowercase:
+        text = F.lower(text)
+    tok = df.select(
+        id_col, F.explode(F.split(text, " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_dfc")
+    )
+    if broadcast_counts:
+        dfreq = F.broadcast(dfreq)
+    n_docs = df.agg(F.count(F.lit(1)).cast("bigint").alias("_nd"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_nd") + F.lit(1))
+                        / (F.col("_dfc") + F.lit(1))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("score"),
+        )
+    )
+    rk = "_tfidf_rank"
+    while rk in scored.columns:
+        rk += "_"
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn(rk, F.row_number().over(w))
+        .filter(F.col(rk) <= k)
+        .withColumn("rank", F.col(rk).cast("int"))
+        .drop(rk)
+    )
+
+
+def quantile_report(
+    df: DataFrame,
+    cols: list[str],
+    probs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    relative_error: float = 0.0,
+) -> DataFrame:
+    """Quantiles of score columns: ``(metric, p, value)`` — the
+    threshold-calibration table a curation run consults BEFORE fixing
+    gate cutoffs (FineWeb picks its filter thresholds from exactly these
+    corpus quantiles; :func:`corpus_gate_report` then counts what each
+    candidate cutoff would keep).
+
+    ``relative_error = 0`` computes EXACT linear-interpolated quantiles
+    (``percentile`` — rank ``p·(n−1)``, the quantile_cont convention,
+    so the DuckDB oracle matches to float noise; interpolation divides
+    doubles, hence twins compare ``round(value, 9)``).  At corpus scale
+    pass ``relative_error > 0`` to switch to ``approx_percentile``'s
+    mergeable sketch — the exact path must hold each column's values in
+    the aggregation buffer, the approx path is map-side-combinable and
+    bounded.  Everything reduces in ONE global aggregate; the row
+    explode is a single-row projection.  Empty input yields NULL
+    values (the quantile of nothing), never zero rows."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if relative_error < 0:
+        raise ValueError(
+            f"relative_error must be >= 0, got {relative_error}"
+        )
+    p_arr = "array(" + ", ".join(f"{float(p)!r}D" for p in probs) + ")"
+    if relative_error == 0:
+        aggs = [
+            F.expr(f"percentile(`{c}`, {p_arr})").alias(c) for c in cols
+        ]
+    else:
+        acc = max(1, int(round(1.0 / relative_error)))
+        aggs = [
+            F.expr(f"approx_percentile(`{c}`, {p_arr}, {acc})").alias(c)
+            for c in cols
+        ]
+    row = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("metric"),
+                F.lit(float(p)).alias("p"),
+                F.col(c)[i].cast("double").alias("value"),
+            )
+            for c in cols
+            for i, p in enumerate(probs)
+        ]
+    )
+    return row.select(F.explode(structs).alias("_s")).select("_s.*")

@@ -1755,6 +1755,118 @@ class TestSequencePacking:
         assert stream == want
 
 
+class TestTfidfKeywords:
+    def test_hand_computed_scores_and_ranks(self, spark):
+        """4-doc toy corpus vs hand-computed smoothed tf-idf:
+        score = tf * (ln((n_docs+1)/(df+1)) + 1)."""
+        from ocr_spark.operators.text_analysis import tfidf_keywords
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),
+                (2, "the dog ate the cat food"),
+                (3, "quantum flux capacitor the"),
+                (4, None),  # NULL doc: zero keyword rows (documented)
+            ],
+            "doc_id long, text string",
+        )
+        rows = tfidf_keywords(df, k=3).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert sorted(by_doc) == [1, 2, 3]
+        idf = lambda dfc: math.log(5 / (dfc + 1)) + 1  # noqa: E731
+        d1 = sorted(by_doc[1], key=lambda r: r.rank)
+        # 'the' appears in 3 docs but tf=2 beats the df=1 singletons
+        assert [(r.token, r.tf) for r in d1] == [
+            ("the", 2), ("mat", 1), ("on", 1)  # ties break token ASC
+        ]
+        assert d1[0].score == pytest.approx(2 * idf(3))
+        assert d1[1].score == pytest.approx(idf(1))
+        d3 = sorted(by_doc[3], key=lambda r: r.rank)
+        assert [r.token for r in d3] == ["capacitor", "flux", "quantum"]
+
+    def test_broadcast_counts_identical(self, spark):
+        from ocr_spark.operators.text_analysis import tfidf_keywords
+
+        df = spark.createDataFrame(
+            [(i, f"w{i % 3} shared w{i % 5} shared") for i in range(40)],
+            "doc_id long, text string",
+        )
+        a = sorted(tuple(r) for r in tfidf_keywords(df, k=2).collect())
+        b = sorted(
+            tuple(r)
+            for r in tfidf_keywords(df, k=2, broadcast_counts=True).collect()
+        )
+        assert a == b
+
+    def test_rejects_bad_k(self, spark):
+        from ocr_spark.operators.text_analysis import tfidf_keywords
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="k must be"):
+            tfidf_keywords(df, k=0)
+
+
+class TestQuantileReport:
+    def test_exact_matches_linear_interpolation(self, spark):
+        """Exact path (percentile) vs the rank = p*(n-1) linear
+        interpolation convention, computed by hand in Python."""
+        from ocr_spark.operators.text_analysis import quantile_report
+
+        vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)],
+            "doc_id long, x double",
+        )
+        got = {
+            (r.metric, r.p): r.value
+            for r in quantile_report(
+                df, ["x"], probs=(0.0, 0.25, 0.5, 0.75, 1.0)
+            ).collect()
+        }
+
+        def q(p):
+            s = sorted(vals)
+            rank = p * (len(s) - 1)
+            lo, frac = int(rank), rank - int(rank)
+            hi = min(lo + 1, len(s) - 1)
+            return s[lo] + (s[hi] - s[lo]) * frac
+
+        for p in (0.0, 0.25, 0.5, 0.75, 1.0):
+            assert got[("x", p)] == pytest.approx(q(p)), p
+
+    def test_empty_input_yields_null_values_not_zero_rows(self, spark):
+        from ocr_spark.operators.text_analysis import quantile_report
+
+        df = spark.createDataFrame([], "doc_id long, x double")
+        rows = quantile_report(df, ["x"], probs=(0.5, 0.9)).collect()
+        assert len(rows) == 2
+        assert all(r.value is None for r in rows)
+
+    def test_approx_path_is_close_on_uniform_data(self, spark):
+        from ocr_spark.operators.text_analysis import quantile_report
+
+        df = spark.range(10_000).selectExpr("id", "CAST(id AS DOUBLE) x")
+        got = {
+            r.p: r.value
+            for r in quantile_report(
+                df, ["x"], probs=(0.1, 0.5, 0.9), relative_error=0.01
+            ).collect()
+        }
+        for p in (0.1, 0.5, 0.9):
+            assert abs(got[p] - p * 9999) <= 0.02 * 9999, (p, got[p])
+
+    def test_rejects_empty_cols_and_negative_error(self, spark):
+        from ocr_spark.operators.text_analysis import quantile_report
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError, match="cols"):
+            quantile_report(df, [])
+        with pytest.raises(ValueError, match="relative_error"):
+            quantile_report(df, ["x"], relative_error=-1.0)
+
+
 class TestConnectedComponents:
     """Duplicate-cluster assignment: min-label propagation vs a pure-
     Python union-find ground truth, convergence audit, and the
