@@ -642,13 +642,21 @@ def main() -> int:
         from ocr_spark.operators.packing import pack_export, pack_sequences
 
         tok_col = "bpe_tokens" if args.bpe_merges is not None else None
+        # rebase on the parquet written above: the pack stage references
+        # the docs subtree THREE more times (the eager totals collect,
+        # the manifest side and the _toks side of the export join) and
+        # Spark does not reuse-merge identical non-broadcast subtrees
+        # (CLAUDE.md) — reading the materialized output back replaces
+        # three full re-runs of the curation lineage (incl. bpe_apply's
+        # mapInPandas) with columnar scans
+        written = spark.read.parquet(args.output)
         manifest = pack_sequences(
-            docs,
+            written,
             args.pack_seq_len,
             bucket_size=1 << 52,
             tokens_col=tok_col,
         )
-        packed = pack_export(manifest, docs, tokens_col=tok_col)
+        packed = pack_export(manifest, written, tokens_col=tok_col)
         packed_dir = args.output.rstrip("/") + "_packed"
         packed.write.mode("overwrite").parquet(packed_dir)
         summary["pack_seq_len"] = args.pack_seq_len

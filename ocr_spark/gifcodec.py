@@ -168,6 +168,15 @@ def gif_decode(payload: bytes, max_frames: int | None = None) -> DecodedGif:
         gct, pos = _read_color_table(buf, pos, 2 << (packed & 0x07))
 
     canvas_px = width * height
+    # reject canvas bombs BEFORE the full-canvas allocation below: a
+    # ~40-byte header declaring 65535x65535 would otherwise attempt a
+    # ~12.9 GB bytearray (MemoryError in the executor worker) instead of
+    # the typed ValueError the bomb policy promises
+    if canvas_px * 3 > MAX_DECODED_BYTES:
+        raise ValueError(
+            f"canvas {width}x{height} alone exceeds "
+            f"{MAX_DECODED_BYTES} decoded bytes"
+        )
     frames: list[bytes] = []
     delays: list[int] = []
     # canvas state as palette-independent RGB
@@ -245,7 +254,6 @@ def gif_decode(payload: bytes, max_frames: int | None = None) -> DecodedGif:
         if fpacked & 0x40:
             indices = _deinterlace(bytes(indices), fw, fh)
         n_colors = len(table) // 3
-        before = bytes(canvas) if disposal == 2 else None
         for y in range(fh):
             row = (top + y) * width
             base = y * fw
@@ -262,8 +270,11 @@ def gif_decode(payload: bytes, max_frames: int | None = None) -> DecodedGif:
         frames.append(bytes(canvas))
         delays.append(delay_cs)
         if disposal == 2:
-            # restore the frame RECT to background after display
-            canvas = bytearray(before)
+            # restore the frame RECT to background after display.
+            # Compositing only wrote inside the rect, so painting the
+            # rect to bg on the composited canvas is byte-identical to
+            # the snapshot-and-restore formulation (and saves two
+            # full-canvas copies per disposal-2 frame).
             for y in range(fh):
                 row = (top + y) * width
                 for x in range(fw):
@@ -329,6 +340,12 @@ def gif_encode(
         if len(f) != width * height:
             raise ValueError("every frame must be full-canvas")
     delays_cs = delays_cs or [4] * len(frames_indices)
+    if len(delays_cs) != len(frames_indices):
+        # zip() would silently truncate to the shorter list — a fixture
+        # meant to pin 3-frame behavior would quietly test 2 frames
+        raise ValueError(
+            f"{len(delays_cs)} delays for {len(frames_indices)} frames"
+        )
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", width, height)
     out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries, bg=0

@@ -147,7 +147,7 @@ def _check_space(
 
 def _log_ratio_table(
     target_counts: DataFrame, raw_counts: DataFrame, buckets: int
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """``(bucket, lr)`` for every bucket present in EITHER model, plus
     the broadcast totals needed to score never-seen buckets:
     ``lr = ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B))`` (add-one smoothing
@@ -201,7 +201,14 @@ def dsir_weights(
     from :func:`hashed_ngram_counts` with the SAME ``buckets`` and
     ``hash_mode`` — mixing spaces misweights everything, so frames
     stamped by :func:`hashed_ngram_counts` are CHECKED here (raises on
-    mismatch; unstamped user-built frames pass on trust)."""
+    mismatch; unstamped user-built frames pass on trust).
+
+    Cost note: the plan references each counts frame twice (ratio table
+    + totals) and Spark does not reuse-merge identical non-broadcast
+    subtrees (CLAUDE.md) — pass PERSISTED counts frames when the fit
+    upstream is corpus-scale, or fit once and reuse via
+    :func:`dsir_log_ratios` + :func:`with_dsir_weight` (which pins the
+    bounded frames itself for the scope of its two collects)."""
     _check_space(target_counts, "target_counts", buckets, hash_mode)
     _check_space(raw_counts, "raw_counts", buckets, hash_mode)
     feats = _features(df, text_col, id_col, lowercase).select(
@@ -254,7 +261,14 @@ def dsir_sample(
     one salt rotation away).  Returns ``(id_col, logw, gumbel_key)``
     ordered by nothing (order-insensitive contract rows); ties on the
     key break by id ascending.  Exact global top-k via the salted
-    two-stage rank — the Zipf head never funnels through one task."""
+    two-stage rank — the Zipf head never funnels through one task.
+
+    Scale note: stage 1's ``row_number <= k`` compiles to a PARTIAL
+    ``WindowGroupLimit`` (plan-pinned, tests/test_plans.py) — every map
+    task locally sorts its own partition and forwards at most ``k`` rows
+    per salt, so the ``salts``-way exchange carries ≤ salts·k rows per
+    task and each reduce task merges ≤ k·n_map_tasks rows; the corpus
+    itself never crosses the exchange regardless of ``salts``."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     u = (
@@ -311,17 +325,39 @@ def dsir_log_ratios(
     time — a plain list carries no stamp, so pass them together."""
     _check_space(target_counts, "target_counts", buckets, hash_mode)
     _check_space(raw_counts, "raw_counts", buckets, hash_mode)
-    ratio, tot = _log_ratio_table(target_counts, raw_counts, buckets)
-    b = F.lit(buckets)
-    floor = float(
-        tot.select(
-            F.log((F.col("_Nr") + b) / (F.col("_Nt") + b)).alias("oov")
-        ).collect()[0]["oov"]
-    )
-    out = [floor] * buckets
-    for r in ratio.collect():
-        out[int(r["bucket"])] = float(r["lr"])
-    return out
+    # the ratio plan references each counts frame twice (under the
+    # full_outer merge AND under the totals agg) and this function runs
+    # TWO actions over it — Spark does not reuse-merge identical
+    # non-broadcast subtrees (CLAUDE.md), so without a persist the
+    # corpus-scale model fit upstream of each counts frame would execute
+    # ~3×.  The frames are ≤ buckets rows by construction, so pinning
+    # them for the scope of the two collects is bounded and owned here.
+    tc = target_counts.persist()
+    rc = raw_counts.persist()
+    try:
+        ratio, tot = _log_ratio_table(tc, rc, buckets)
+        b = F.lit(buckets)
+        floor = float(
+            tot.select(
+                F.log((F.col("_Nr") + b) / (F.col("_Nt") + b)).alias("oov")
+            ).collect()[0]["oov"]
+        )
+        out = [floor] * buckets
+        for r in ratio.collect():
+            bkt = int(r["bucket"])
+            if not 0 <= bkt < buckets:
+                # Python negative indexing would otherwise SILENTLY
+                # corrupt the last cell on an unstamped user-built frame
+                # carrying e.g. a raw (un-pmod'd) hash
+                raise ValueError(
+                    f"bucket {bkt} outside [0, {buckets}) — counts "
+                    f"frame was not fit with buckets={buckets}"
+                )
+            out[bkt] = float(r["lr"])
+        return out
+    finally:
+        tc.unpersist()
+        rc.unpersist()
 
 
 def with_dsir_weight(

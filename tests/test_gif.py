@@ -254,6 +254,37 @@ class TestGifDecode:
         with pytest.raises(ValueError, match="exceed"):
             gc.gif_decode(bytes(out))
 
+    def test_canvas_bomb_rejected_before_allocation(self, monkeypatch):
+        """The header guard must fire BEFORE the full-canvas bytearray is
+        built: a ~40-byte hostile header must never trigger a multi-GB
+        allocation (executor OOM) on its way to the ValueError."""
+        big_allocs = []
+
+        def spy(*a, **kw):
+            b = bytearray(*a, **kw)
+            if len(b) > 1 << 20:
+                big_allocs.append(len(b))
+            return b
+
+        # builtins resolve through module globals first — shadowing
+        # gc.bytearray intercepts every allocation the decoder makes
+        monkeypatch.setattr(gc, "bytearray", spy, raising=False)
+        w = h = 60_000
+        out = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+        out += bytes([0x80 | 0x07, 0, 0]) + PALETTE
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x00, 8, 1, 0x41, 0x00, 0x3B])
+        with pytest.raises(ValueError, match="exceeds"):
+            gc.gif_decode(bytes(out))
+        assert big_allocs == []
+
+    def test_encode_rejects_delays_frames_mismatch(self):
+        """zip() truncation must not silently drop frames from fixtures."""
+        with pytest.raises(ValueError, match="2 delays for 3 frames"):
+            gc.gif_encode(
+                2, 2, [bytes(4)] * 3, PALETTE, delays_cs=[4, 4]
+            )
+
     def test_structural_errors(self):
         good = gc.gif_encode(5, 4, [bytes(20)], PALETTE)
         with pytest.raises(ValueError, match="not a GIF"):

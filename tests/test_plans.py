@@ -184,6 +184,27 @@ class TestNewOperatorPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_dsir_sample_stage1_prunes_map_side(self, spark):
+        """dsir_sample's salted stage 1 must compile to a PARTIAL
+        WindowGroupLimit: each map task forwards at most k rows per salt,
+        so the salts-way exchange never carries the corpus — the property
+        that makes a small `salts` safe over a corpus-sized weights
+        frame (the reduce side merges ≤ k·n_map_tasks rows)."""
+        from ocr_spark.operators.dsir import dsir_sample
+
+        w = spark.range(1000).selectExpr(
+            "id AS doc_id", "CAST(id % 97 AS DOUBLE) AS logw"
+        )
+        plan = (
+            dsir_sample(w, k=10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        plan = plan.split("== Initial Plan ==", 1)[0]
+        # stage 1 (salted): Partial before the salt exchange, Final after
+        assert "row_number(), 10, Partial" in plan, plan
+        assert "row_number(), 10, Final" in plan, plan
+        assert "CartesianProduct" not in plan
+
     def test_span_dedup_plan_shape(self, spark):
         """corpus_span_dedup: digest equi-joins + doc-partitioned windows
         only — no SinglePartition exchange (the interval merge partitions
