@@ -1617,14 +1617,23 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kind: magic-byte sniff mirrored for the prefixes a UTF-8 text payload can
 # actually start with — 'RIFF' (plain ASCII) and the webm magic
 # \\x1a\\x45\\xdf\\xa3 (U+001A, 'E', U+07E3); PNG/JPEG magics are invalid
-# leading UTF-8 bytes so they cannot occur.
+# leading UTF-8 bytes so they cannot occur.  RIFF is a container: the
+# fourcc at BYTES 8:12 (byte-addressed via the BLOB, matching the Spark
+# side's payload[8:12] — char offsets desync on multibyte text) decides
+# wav/webp/avi.
 _MEDIA_SQL = f"""
 WITH m AS (SELECT doc_id AS media_id, sha256(text) AS sha, text,
+                  encode(text) AS payload,
                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
            FROM documents)
 SELECT media_id, n_bytes, sha,
        CASE WHEN starts_with(text, 'GIF8') THEN 'image/gif'
-            WHEN starts_with(text, 'RIFF') THEN 'audio/wav'
+            WHEN starts_with(text, 'RIFF') THEN
+              CASE substr(hex(payload), 17, 8)
+                   WHEN hex(encode('WAVE')) THEN 'audio/wav'
+                   WHEN hex(encode('WEBP')) THEN 'image/webp'
+                   WHEN hex(encode('AVI ')) THEN 'video/avi'
+                   ELSE 'application/octet-stream' END
             WHEN starts_with(text, chr(26) || chr(69) || chr(2019))
               THEN 'video/webm'
             ELSE 'application/octet-stream' END AS kind,

@@ -302,6 +302,16 @@ def bmp_decode(data: bytes) -> DecodedImage:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
     height = abs(height_raw)
     bottom_up = height_raw > 0
+    if width <= 0 or height == 0:
+        raise ValueError(f"degenerate BMP dims {width}x{height_raw}")
+    # reject dimension bombs BEFORE the full-image allocation (the PNG
+    # cap checks pre-inflate and gif_decode pre-canvas; a 54-byte header
+    # declaring 30000x30000 would otherwise attempt ~2.7 GB here)
+    if width * height * 3 > MAX_DECODED_BYTES:
+        raise ValueError(
+            f"BMP {width}x{height} exceeds the {MAX_DECODED_BYTES}-byte "
+            f"decode cap"
+        )
     pad = (-(width * 3)) % 4
     stride = width * 3 + pad
     out = bytearray(width * height * 3)

@@ -55,16 +55,34 @@ _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
-    (b"RIFF", "audio/wav"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
 ]
 
+# RIFF is a container, not a format: the fourcc at bytes 8:12 decides —
+# a bare 'RIFF' prefix used to classify WEBP images and AVI video as
+# audio/wav, corrupting any corpus census keyed on kind
+_RIFF_KINDS = {b"WAVE": "audio/wav", b"WEBP": "image/webp",
+               b"AVI ": "video/avi"}
+
 
 def _sniff(payload: bytes) -> str:
+    if payload.startswith(b"RIFF"):
+        return _RIFF_KINDS.get(
+            payload[8:12], "application/octet-stream"
+        )
     for magic, kind in _MAGIC:
         if payload.startswith(magic):
             return kind
     return "application/octet-stream"
+
+
+def _req_bytes(payload, what: str) -> bytes:
+    """NULL payloads are routine in crawl data; bytes(None) is an opaque
+    TypeError deep in the Arrow batch — raise the typed domain error
+    every other corrupt payload gets instead."""
+    if payload is None:
+        raise ValueError(f"NULL {what} payload")
+    return bytes(payload)
 
 
 def fake_decode_dims(sha_hex: str) -> tuple[int, int, int]:
@@ -159,6 +177,11 @@ def decode_image(payload: bytes) -> imagecodec.DecodedImage:
     import struct
     import zlib
 
+    if payload is None:
+        # bytes(None) is an opaque TypeError deep in the Arrow batch;
+        # NULL payloads are routine in crawl data and deserve the typed
+        # domain error every other corrupt payload gets
+        raise ValueError("NULL image payload")
     try:
         return imagecodec.sniff_decode(bytes(payload))
     except (ValueError, zlib.error, struct.error, IndexError) as codec_err:
@@ -170,7 +193,27 @@ def decode_image(payload: bytes) -> imagecodec.DecodedImage:
             raise NotImplementedError(
                 f"stdlib codec: {codec_err}; PIL fallback not installed"
             ) from codec_err
-        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        try:
+            img = Image.open(io.BytesIO(payload))
+            # re-apply the decode cap from the (lazily parsed) header
+            # BEFORE .convert() decodes pixels — otherwise a PNG bomb the
+            # stdlib codec correctly rejected would sail through PIL up
+            # to its own much larger pixel limit
+            if img.width * img.height * 3 > imagecodec.MAX_DECODED_BYTES:
+                raise ValueError(
+                    f"{img.width}x{img.height} exceeds the "
+                    f"{imagecodec.MAX_DECODED_BYTES}-byte decode cap "
+                    f"(PIL fallback)"
+                )
+            img = img.convert("RGB")
+        except ValueError:
+            raise
+        except OSError as pil_err:
+            # UnidentifiedImageError / truncated-file OSError — wrap into
+            # the documented loud failure instead of an opaque traceback
+            raise ValueError(
+                f"stdlib codec: {codec_err}; PIL fallback: {pil_err}"
+            ) from codec_err
         return imagecodec.DecodedImage(
             img.width, img.height, 3, img.tobytes()
         )
@@ -209,7 +252,7 @@ def decode_image_stats(
         for pdf in batches:
             out = {k.name: [] for k in DECODE_STATS_SCHEMA.fields}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = imagecodec.to_rgb(decode_image(bytes(payload)))
+                img = imagecodec.to_rgb(decode_image(payload))
                 px = img.pixels
                 out["media_id"].append(int(mid))
                 out["width"].append(img.width)
@@ -251,7 +294,7 @@ def resize_images(
             ids, payloads = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 ids.append(int(mid))
-                payloads.append(resize_image(bytes(payload), width, height))
+                payloads.append(resize_image(_req_bytes(payload, "image"), width, height))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return df.select(
@@ -293,7 +336,7 @@ def image_features(
         for pdf in batches:
             ids, feats = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = imagecodec.to_rgb(decode_image(bytes(payload)))
+                img = imagecodec.to_rgb(decode_image(payload))
                 if img.width < grid or img.height < grid:
                     raise ValueError(
                         f"image {int(mid)} is {img.width}x{img.height}; "
@@ -463,7 +506,7 @@ def decode_audio_stats(
         for pdf in batches:
             out = {k.name: [] for k in AUDIO_STATS_SCHEMA.fields}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                au = audiocodec.wav_decode(bytes(payload))
+                au = audiocodec.wav_decode(_req_bytes(payload, "audio"))
                 out["media_id"].append(int(mid))
                 out["sample_rate"].append(au.sample_rate)
                 out["n_channels"].append(au.n_channels)
@@ -502,7 +545,7 @@ def resample_audio(
             ids, payloads = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 au = audiocodec.resample_nearest(
-                    audiocodec.wav_decode(bytes(payload)), out_rate
+                    audiocodec.wav_decode(_req_bytes(payload, "audio")), out_rate
                 )
                 ids.append(int(mid))
                 payloads.append(
@@ -548,7 +591,7 @@ def audio_features(
         for pdf in batches:
             ids, feats = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                au = audiocodec.wav_decode(bytes(payload))
+                au = audiocodec.wav_decode(_req_bytes(payload, "audio"))
                 nf, ch = au.n_frames, au.n_channels
                 if nf < n_bands:
                     raise ValueError(
@@ -669,7 +712,7 @@ def decode_gif_frames(
         for pdf in batches:
             out = {k.name: [] for k in GIF_FRAME_STATS_SCHEMA.fields}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                dec = gifcodec.gif_decode(bytes(payload))
+                dec = gifcodec.gif_decode(_req_bytes(payload, "gif"))
                 for fi in range(0, len(dec.frames), every):
                     px = dec.frames[fi]
                     out["media_id"].append(int(mid))
@@ -722,7 +765,7 @@ def gif_frame_features(
         for pdf in batches:
             ids, fis, feats = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                dec = gifcodec.gif_decode(bytes(payload))
+                dec = gifcodec.gif_decode(_req_bytes(payload, "gif"))
                 if dec.width < grid or dec.height < grid:
                     raise ValueError(
                         f"gif {int(mid)} canvas {dec.width}x{dec.height} "

@@ -34,6 +34,12 @@ def plane_signs(planes: int, dim: int) -> list[list[int]]:
 
 
 def _dot(a: str, b: str) -> str:
+    # CONTRACT: a and b must be same-length vectors.  zip_with pads the
+    # shorter array with NULL, so a dimension mismatch folds to a NULL
+    # dot/cosine — threshold filters then drop every pair and top-k ranks
+    # garbage, silently.  Checking size() per row would double the hot
+    # path's array traffic; keep corpus and queries in one embedding
+    # space (every producer in this repo emits a fixed dim).
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         f" 0D, (acc, v) -> acc + v)"
@@ -130,6 +136,13 @@ def hyperplane_signature(
     With ``signs`` (from :func:`plane_signs`), the weights are inlined as
     array literals instead — the portable mode the DuckDB driver oracle can
     reproduce exactly."""
+    if not 1 <= planes <= 62:
+        # bit j rides shiftleft(1L, j): 63 hits the sign bit (DuckDB
+        # RAISES on 1::BIGINT << 63 — CLAUDE.md), and >= 64 wraps
+        # mod 64 in the JVM, so plane 64 would silently collide with
+        # plane 0 and the fold's `+` would CARRY the duplicate bit —
+        # a scrambled signature with no error
+        raise ValueError(f"planes must be in [1, 62], got {planes}")
     if signs is not None:
         projs = []
         for j in range(planes):

@@ -205,6 +205,42 @@ class TestHostileInputs:
             ic.png_decode(bomb)
         assert time.time() - t0 < 2.0
 
+    def test_bmp_dimension_bomb_rejected_before_allocation(self):
+        """A 54-byte BMP header declaring 30000x30000 must fail on the
+        header math, never attempt the ~2.7 GB output buffer (the same
+        class the PNG/GIF guards cover)."""
+        import struct
+        import time
+
+        import pytest
+
+        from ocr_spark import imagecodec as ic
+
+        w = h = 30_000
+        hdr = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+        hdr += struct.pack("<Iii", 40, w, h)
+        hdr += struct.pack("<HH", 1, 24) + struct.pack("<I", 0)
+        hdr += bytes(20)  # rest of BITMAPINFOHEADER
+        t0 = time.time()
+        with pytest.raises(ValueError, match="decode cap"):
+            ic.bmp_decode(hdr)
+        assert time.time() - t0 < 1.0
+
+    def test_bmp_degenerate_dims_rejected(self):
+        import struct
+
+        import pytest
+
+        from ocr_spark import imagecodec as ic
+
+        for w, h in ((0, 4), (-3, 4), (3, 0)):
+            hdr = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+            hdr += struct.pack("<Iii", 40, w, h)
+            hdr += struct.pack("<HH", 1, 24) + struct.pack("<I", 0)
+            hdr += bytes(20)
+            with pytest.raises(ValueError, match="degenerate"):
+                ic.bmp_decode(hdr)
+
     def test_png_oversize_idat_within_cap_rejected_bounded(self):
         """IHDR small but IDAT inflates to more: the bounded inflate
         stops at want+1 bytes and reports corruption."""

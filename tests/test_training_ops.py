@@ -356,13 +356,17 @@ class TestMultimodal:
         payloads = [
             b"\x89PNG\r\n\x1a\n" + b"x" * 100,
             b"\xff\xd8\xff\xe0" + b"y" * 50,
-            b"RIFF" + b"z" * 80,
+            b"RIFF\x50\x00\x00\x00WAVE" + b"z" * 72,
             b"\x1a\x45\xdf\xa3" + b"w" * 200,
             b"plain bytes",
+            # RIFF is a container — the fourcc decides, a bare RIFF
+            # prefix must NOT classify as audio
+            b"RIFF\x50\x00\x00\x00WEBP" + b"v" * 72,
+            b"RIFF" + b"z" * 80,
         ]
         return spark.createDataFrame(
             pd.DataFrame(
-                {"media_id": list(range(5)), "payload": payloads}
+                {"media_id": list(range(len(payloads))), "payload": payloads}
             )
         )
 
@@ -375,8 +379,36 @@ class TestMultimodal:
         assert out[2].kind == "audio/wav"
         assert out[3].kind == "video/webm"
         assert out[4].kind == "application/octet-stream"
+        assert out[5].kind == "image/webp"
+        assert out[6].kind == "application/octet-stream"  # bare RIFF
         assert out[0].n_bytes == 108
         assert 1 <= out[0].width <= 1920 and 1 <= out[0].height <= 1080
+
+    def test_null_payload_raises_typed_error(self):
+        """bytes(None) inside the Arrow batch is an opaque TypeError;
+        NULL payloads must get the typed domain error corrupt payloads
+        get (fake-path operators handle NULL as b'' instead)."""
+        from ocr_spark.operators.multimodal import _req_bytes, decode_image
+
+        with pytest.raises(ValueError, match="NULL image payload"):
+            decode_image(None)
+        with pytest.raises(ValueError, match="NULL audio payload"):
+            _req_bytes(None, "audio")
+        assert _req_bytes(bytearray(b"ab"), "x") == b"ab"
+
+    def test_hyperplane_planes_capped_at_62(self, spark):
+        """planes=63 hits the sign bit (DuckDB raises on 1<<63) and >=64
+        wraps mod 64 in the JVM, silently colliding plane 64 with plane 0
+        — both must be loud errors."""
+        from ocr_spark.operators.similarity import hyperplane_signature
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        for planes in (0, 63, 64):
+            with pytest.raises(ValueError, match=r"\[1, 62\]"):
+                hyperplane_signature(df, planes=planes)
+        assert hyperplane_signature(df, planes=62).collect()
 
     def test_feature_extraction_deterministic_and_ann_ready(self, media):
         import hashlib
