@@ -274,7 +274,14 @@ def main() -> int:
         from ocr_spark.operators.urls import filter_blocked_domains
 
         with open(args.blocklist) as f:
-            blocked = [ln.strip() for ln in f if ln.strip()]
+            # comment lines are file format, skipped here; anything else
+            # that cannot match a host makes filter_blocked_domains
+            # RAISE (never-silent: a dead entry lets blocked content in)
+            blocked = [
+                ln.strip()
+                for ln in f
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
         docs = filter_blocked_domains(docs, blocked)
         docs, summary["after_blocklist"] = _count(docs)
         _stage("blocklist")

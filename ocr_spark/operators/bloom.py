@@ -170,9 +170,17 @@ def _position_exprs(h: str, k: int, m_bits: int, mode: str = "portable") -> list
     ``LCG(pmod(xxhash64, 2^31-1))`` positions were all functions of a
     2^31-value hash, so the module's advertised m = 2^33 regime was
     unreachable)."""
-    if k > len(MINHASH_A):
-        raise ValueError(f"k={k} exceeds the {len(MINHASH_A)} fixed perms")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     if mode == "portable":
+        # only the portable LCG family is bounded by the fixed perm
+        # table; xxhash64 mode draws k independent seeded hashes and
+        # supports any k (textbook sizing k = ln2·m/n often wants 10+)
+        if k > len(MINHASH_A):
+            raise ValueError(
+                f"k={k} exceeds the {len(MINHASH_A)} fixed perms of "
+                f"portable mode — use hash_mode='xxhash64' for larger k"
+            )
         if m_bits > MERSENNE:
             raise ValueError(
                 f"portable hash positions cover at most m_bits={MERSENNE} "
@@ -260,6 +268,14 @@ def bloom_flag(
     :func:`bloom_probe_digests` (or ``incremental_dedup(...,
     probe_mode='single-join')``): one bitmap instance, optionally read
     from parquet instead of broadcast at all."""
+    if flag_col in df.columns:
+        # withColumn would silently REPLACE the caller's column (and
+        # internal callers then .drop() it) — the never-silent collision
+        # policy says raise, like token_budget_sample/shard_corpus
+        raise ValueError(
+            f"flag_col {flag_col!r} already exists in the input — pass a "
+            f"different name"
+        )
     hcol = "_blh"
     # the collision-safe prefix covers the per-probe join columns too
     # (an input already carrying e.g. `_blw0` must not silently become
@@ -444,6 +460,9 @@ def incremental_dedup(
         bitmap = bloom_bitmap(
             old_df, text_col, m_bits, k, hash_mode, digest_col=old_digest_col
         ).persist()
+    fcol = "_maybe"
+    while fcol in new_df.columns:
+        fcol += "_"
     flagged = bloom_flag(
         new_df,
         bitmap,
@@ -451,18 +470,18 @@ def incremental_dedup(
         m_bits,
         k,
         hash_mode,
-        flag_col="_maybe",
+        flag_col=fcol,
     )
-    passed = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    passed = flagged.filter(~F.col(fcol)).drop(fcol)
     survivors = (
-        flagged.filter(F.col("_maybe"))
+        flagged.filter(F.col(fcol))
         .withColumn("_dig", F.expr(digest_expr(text_col)))
         .join(
             old_df.select(F.expr(old_dig).alias("_dig")),
             on="_dig",
             how="left_anti",
         )
-        .drop("_dig", "_maybe")
+        .drop("_dig", fcol)
     )
     return passed.unionByName(survivors)
 

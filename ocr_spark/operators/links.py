@@ -224,6 +224,11 @@ def pagerank(
         )
     if fold not in ("sorted", "sum"):
         raise ValueError(f"unknown fold {fold!r}")
+    if checkpoint_every < 1:
+        # 0 would ZeroDivisionError mid-iteration after the persists ran
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     # nodes and cedges are referenced by EVERY iteration level of the
     # final plan (and localCheckpoint only cuts lineage every
     # checkpoint_every rounds), and Spark does not reuse-merge identical

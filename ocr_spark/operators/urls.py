@@ -28,12 +28,22 @@ _SCHEME = r"[a-z][a-z0-9+.-]*"
 
 
 def canonicalize(col: Column) -> Column:
-    """Column expression implementing the five normalization steps."""
+    """Column expression implementing the five normalization steps.
+
+    Step 2 is scoped to the QUERY (from the first ``?``): the strip and
+    its separator repairs must never touch the path — a literal ``&&``
+    or trailing ``&`` in a path is part of the resource name, and the
+    old whole-string repairs collapsed distinct urls
+    (``/a&&b`` ≡ ``/a&b``) into one canonical form, silently merging
+    distinct documents in url_dedup/latest_capture."""
     c = F.regexp_replace(col, r"#[\s\S]*", "")                 # 1
-    c = F.regexp_replace(c, _TRACKING, r"$1")                  # 2a: keep delim
-    c = F.regexp_replace(c, r"\?&+", "?")                      # 2b: repair
-    c = F.regexp_replace(c, r"&&+", "&")
-    c = F.regexp_replace(c, r"[?&]\z", "")                     # 2c: dangling
+    pre = F.regexp_replace(c, r"\?[\s\S]*", "")                # path part
+    qry = F.regexp_extract(c, r"\?[\s\S]*", 0)                 # ?query part
+    qry = F.regexp_replace(qry, _TRACKING, r"$1")              # 2a: keep delim
+    qry = F.regexp_replace(qry, r"\?&+", "?")                  # 2b: repair
+    qry = F.regexp_replace(qry, r"&&+", "&")
+    qry = F.regexp_replace(qry, r"[?&]\z", "")                 # 2c: dangling
+    c = F.concat(pre, qry)
     head = F.lower(F.regexp_extract(c, _HEAD, 0))              # 3
     tail = F.regexp_replace(c, _HEAD, "")
     c = F.concat(head, tail)
@@ -48,10 +58,13 @@ def canonicalize(col: Column) -> Column:
 def canonicalize_sql_duckdb(expr: str) -> str:
     """The identical chain in DuckDB SQL (RE2 backrefs use \\1)."""
     c = f"regexp_replace({expr}, '#[\\s\\S]*', '')"
-    c = f"regexp_replace({c}, '{_TRACKING}', '\\1', 'g')"
-    c = f"regexp_replace({c}, '\\?&+', '?', 'g')"
-    c = f"regexp_replace({c}, '&&+', '&', 'g')"
-    c = f"regexp_replace({c}, '[?&]\\z', '')"
+    pre = f"regexp_replace({c}, '\\?[\\s\\S]*', '')"
+    q = f"regexp_extract({c}, '\\?[\\s\\S]*')"
+    q = f"regexp_replace({q}, '{_TRACKING}', '\\1', 'g')"
+    q = f"regexp_replace({q}, '\\?&+', '?', 'g')"
+    q = f"regexp_replace({q}, '&&+', '&', 'g')"
+    q = f"regexp_replace({q}, '[?&]\\z', '')"
+    c = f"({pre} || {q})"
     head = f"lower(regexp_extract({c}, '{_HEAD}'))"
     tail = f"regexp_replace({c}, '{_HEAD}', '')"
     c = f"({head} || {tail})"
@@ -97,28 +110,40 @@ def filter_blocked_domains(
                 on=host_of(F.col('url')) == F.col('_b'), how='left_anti')
     """
     if not blocked:
-        # an empty array() literal is array<null>: the exists() lambda
-        # would null-propagate and the filter would drop EVERY row — an
         # empty blocklist must block nothing
         return df
+    import re as _re
+
+    norm = []
+    for b in blocked:
+        e = b.strip().lower()
+        if not e or any(ch in e for ch in "/:*?#@ \t"):
+            # real curated lists carry wildcards / schemes / paths that
+            # can never equal a bare host — silently-dead entries let
+            # blocked content into the corpus (the blocked_words_filter
+            # lesson: reject what cannot match, loudly)
+            raise ValueError(
+                f"blocklist entry {b!r} can never match a host — pass "
+                f"bare domains (subdomains are matched implicitly, so "
+                f"'*.example.com' is just 'example.com')"
+            )
+        norm.append(e)
     tmp = "_host"
     while tmp in df.columns:
         tmp += "_"
-    lits = ", ".join(
-        "'" + b.lower().replace("'", "''") + "'" for b in blocked
-    )
-    # a NULL url must behave like an unparseable one (host '', kept):
-    # a NULL host null-propagates through the exists() into a NULL
-    # filter condition, silently dropping the row regardless of the list
+    # ONE anchored alternation instead of an exists() lambda over the
+    # list: PushDownPredicates substitutes a once-referenced host alias
+    # INTO the lambda body, re-running the host regexp per entry per row
+    # (the CLAUDE.md FILTER-predicate corollary, measured on the
+    # optimized plan) — host == b OR endswith(host, '.'+b) is exactly
+    # rlike '(^|\.)(b1|b2|...)\z', evaluated once per row
+    alt = "|".join(_re.escape(e) for e in sorted(set(norm)))
+    pattern = f"(?:^|\\.)(?:{alt})\\z"
+    # a NULL url must behave like an unparseable one (host '', kept)
     bound = df.withColumn(
         tmp, F.coalesce(host_of(F.col(url_col)), F.lit(""))
     )
-    kept = bound.filter(
-        ~F.expr(
-            f"exists(array({lits}), b -> "
-            f"`{tmp}` = b OR endswith(`{tmp}`, concat('.', b)))"
-        )
-    )
+    kept = bound.filter(~F.col(tmp).rlike(pattern))
     return kept if keep_host else kept.drop(tmp)
 
 
@@ -160,6 +185,15 @@ def latest_capture(
     Output: ``canonical_url``, ``n_captures``, then every input column
     of the winning row.
     """
+    for c in ("canonical_url", "n_captures"):
+        if c in df.columns:
+            # withColumn would silently REPLACE the caller's column and
+            # the final select would emit two ambiguous copies — the
+            # never-silent collision policy says raise
+            raise ValueError(
+                f"input already carries a {c!r} column — rename it "
+                f"before latest_capture"
+            )
     packed = F.struct(*[F.col(c) for c in df.columns])
     order = F.struct(
         F.col(ts_col).alias("ts"), F.col(id_col).alias("id")

@@ -346,7 +346,12 @@ def stream_incremental_filter(
     survivors = (
         flagged.filter(F.col("_maybe"))
         .join(
-            old_digests.select("digest").dropDuplicates(["digest"]),
+            # no dropDuplicates here: a left-anti join's output is
+            # identical with or without right-side duplicates, and the
+            # STATIC side of a stream-static join re-executes per
+            # micro-batch — deduplicating it would shuffle the entire
+            # digest store on every tiny trigger
+            old_digests.select("digest"),
             on="digest",
             how="left_anti",
         )

@@ -502,3 +502,60 @@ class TestBitmapFingerprint:
             ).collect()
         )
         assert got2 == expect
+
+
+class TestBloomGuards:
+    def test_large_k_allowed_in_xxhash64_mode(self, spark):
+        """Textbook sizing (k = ln2·m/n) often wants k > 8; only the
+        portable LCG family is bounded by the fixed perm table."""
+        from ocr_spark.operators.bloom import bloom_bitmap, bloom_flag
+
+        old = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+        )
+        bm = bloom_bitmap(old, m_bits=1 << 16, k=10, hash_mode="xxhash64")
+        flagged = bloom_flag(
+            old, bm, m_bits=1 << 16, k=10, hash_mode="xxhash64"
+        )
+        # no false negatives: every old doc must flag as maybe-seen
+        assert all(r.maybe_seen for r in flagged.collect())
+
+    def test_portable_mode_still_caps_k_at_fixed_perms(self, spark):
+        import pytest
+
+        from ocr_spark.operators.bloom import bloom_bitmap
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="fixed perms"):
+            bloom_bitmap(df, k=9, hash_mode="portable")
+        with pytest.raises(ValueError, match="k must be"):
+            bloom_bitmap(df, k=0)
+
+    def test_flag_col_collision_raises(self, spark):
+        import pytest
+
+        from ocr_spark.operators.bloom import bloom_bitmap, bloom_flag
+
+        df = spark.createDataFrame(
+            [(1, "x", True)], "doc_id long, text string, maybe_seen boolean"
+        )
+        bm = bloom_bitmap(df.select("doc_id", "text"))
+        with pytest.raises(ValueError, match="maybe_seen"):
+            bloom_flag(df, bm)
+
+    def test_incremental_dedup_tolerates_maybe_column(self, spark):
+        """incremental_dedup's internal flag name must uniquify past an
+        input that already carries '_maybe' (previously silently
+        overwritten then dropped)."""
+        from ocr_spark.operators.bloom import incremental_dedup
+
+        old = spark.createDataFrame(
+            [(1, "seen doc")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, "seen doc", "keep-me"), (3, "fresh doc", "keep-me-too")],
+            "doc_id long, text string, _maybe string",
+        )
+        kept = incremental_dedup(new, old).collect()
+        assert [r.doc_id for r in kept] == [3]
+        assert kept[0]._maybe == "keep-me-too"  # column survives intact

@@ -1403,6 +1403,90 @@ class TestCorpusCuration:
         for op in ("Join", "Exchange"):
             assert op not in plan, (op, plan)
 
+    def test_blocked_domains_single_host_eval(self, spark, docs):
+        """The filter must evaluate the host regexp ONCE per row: the
+        old exists() lambda had PushDownPredicates substitute the host
+        alias into the lambda body, re-running regexp_extract per
+        blocklist entry per row (the CLAUDE.md FILTER-predicate
+        corollary) — an O(|blocklist|) per-row slowdown on real
+        5k-entry lists."""
+        from ocr_spark.operators.urls import filter_blocked_domains
+
+        with_url = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"), "source", F.lit(".example.com/p")
+            ).alias("url"),
+        )
+        plan = (
+            filter_blocked_domains(
+                with_url, [f"b{i}.example.com" for i in range(50)]
+            )
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert plan.count("regexp_extract") == 1, plan
+
+    def test_blocked_domains_rejects_dead_entries(self, spark):
+        """Wildcards/schemes/paths can never equal a bare host — real
+        curated lists carry them, and silently-dead entries let blocked
+        content into the corpus."""
+        from ocr_spark.operators.urls import filter_blocked_domains
+
+        df = spark.createDataFrame(
+            [(1, "https://a.com/x")], "doc_id long, url string"
+        )
+        for bad in ("*.example.com", "http://spam.net", "spam.net/path",
+                    "two words", ""):
+            with pytest.raises(ValueError, match="never match"):
+                filter_blocked_domains(df, ["good.com", bad])
+
+    def test_canonicalize_repairs_scoped_to_query(self, spark):
+        """Separator repairs must not touch the path: '/a&&b' and '/a&b'
+        are DISTINCT resources (the old whole-string '&&+' collapse
+        silently merged them in url_dedup), while a '&&' left by a
+        tracking-param strip inside the query is still repaired —
+        pinned against DuckDB so both engines agree."""
+        import duckdb
+
+        from ocr_spark.operators.urls import (
+            canonicalize,
+            canonicalize_sql_duckdb,
+        )
+
+        cases = [
+            ("http://h.com/a&&b", "http://h.com/a&&b"),      # path kept
+            ("http://h.com/a&b", "http://h.com/a&b"),
+            ("http://h.com/a&", "http://h.com/a&"),           # path kept
+            ("http://h.com/p?a=1&utm_x=2&b=3", "http://h.com/p?a=1&b=3"),
+            ("http://h.com/p?utm_a=1&utm_b=2&c=3", "http://h.com/p?c=3"),
+            ("http://h.com/p?a=1&&b=2", "http://h.com/p?a=1&b=2"),
+            ("http://h.com/p?utm_x=1", "http://h.com/p"),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [
+            r.c
+            for r in df.select(canonicalize(F.col("url")).alias("c")).collect()
+        ]
+        assert got == [want for _, want in cases]
+        con = duckdb.connect()
+        for u, want in cases:
+            lit = u.replace("'", "''")
+            duck = con.execute(
+                f"SELECT {canonicalize_sql_duckdb('u')} "
+                f"FROM (VALUES ('{lit}')) t(u)"
+            ).fetchone()[0]
+            assert duck == want, (u, duck)
+
+    def test_latest_capture_rejects_output_column_collision(self, spark):
+        from ocr_spark.operators.urls import latest_capture
+
+        df = spark.createDataFrame(
+            [(1, "http://a.com", 5, "x")],
+            "doc_id long, url string, warc_ts long, canonical_url string",
+        )
+        with pytest.raises(ValueError, match="canonical_url"):
+            latest_capture(df)
+
 
 class TestDeterministicSampling:
     def test_nested_stable_and_redealable(self, spark, docs):
