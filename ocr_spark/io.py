@@ -115,10 +115,22 @@ def _checkpoint_df(spark: SparkSession, path: str) -> DataFrame | None:
     throttling on an object store) re-raises, because treating it as fresh
     would silently re-extract and double-append the whole corpus."""
     if "://" not in path:
-        import os
+        # the local-disk shortcut is only valid when scheme-less paths
+        # ARE local: on a cluster with fs.defaultFS=hdfs://... a
+        # scheme-less checkpoint path is remote, and os.path.exists on
+        # the driver's disk would misread a POPULATED checkpoint as
+        # "fresh run" — the silent double-append this function exists to
+        # prevent.  Remote default FS falls through to the real read
+        # (PATH_NOT_FOUND handled below).
+        default_fs = (
+            spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+            .get("fs.defaultFS", "file:///")
+        )
+        if default_fs.startswith("file:"):
+            import os
 
-        if not os.path.exists(path):  # avoid a noisy JVM-side probe failure
-            return None
+            if not os.path.exists(path):  # avoid a noisy JVM-side probe
+                return None
     from pyspark.errors import AnalysisException
 
     try:

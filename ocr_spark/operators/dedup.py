@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .bloom import digest_expr
 from .hashing import (
     MERSENNE,
     MINHASH_A,
@@ -44,12 +45,15 @@ def exact_dedup(
     Shuffles on the 128-bit digest, not the text — at 100 TB the shuffle
     payload is 16 bytes + id per row."""
     return (
-        # NULL text coalesces to '' (the bloom.digest_expr convention):
+        # NULL text coalesces to '' (bloom.digest_expr IS the convention
+        # — one implementation, so exact_dedup groups can never drift
+        # from the digest store / bloom probe keys; the cast makes
+        # non-string columns digestable without changing string output):
         # md5(NULL) is NULL, which made every failed-extraction doc share
         # ONE NULL group-key while '' docs sat in another
         df.select(
             F.expr(
-                f"md5(coalesce(cast({text_col} AS string), ''))"
+                digest_expr(f"cast({text_col} AS string)")
             ).alias("digest"),
             id_col,
         )
@@ -730,15 +734,25 @@ def _simhash_buckets(
     sig: DataFrame, id_col: str, bits: int, max_hamming: int
 ) -> DataFrame:
     """Pigeonhole band buckets over a simhash column: ``max_hamming + 1``
-    bands, so any pair within the distance budget shares a whole band."""
+    bands, so any pair within the distance budget shares a whole band.
+
+    Bits distribute into exactly ``max_hamming + 1`` NONEMPTY bands with
+    balanced widths (⌈bits/bands⌉ then ⌊bits/bands⌋) — the old uniform
+    ceil-width layout could run out of bits and emit FEWER bands (e.g.
+    bits=16, max_hamming=4 → four 4-bit bands and a dropped fifth),
+    silently voiding the exact-recall pigeonhole guarantee for pairs
+    that spread their differences one-per-band."""
     bands = max_hamming + 1
-    width = -(-bits // bands)  # ceil
+    if bands > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {bands} nonempty bands but "
+            f"the signature has only {bits} bits"
+        )
+    base, extra = divmod(bits, bands)
     band_cols = []
+    start = 0
     for b in range(bands):
-        start = b * width
-        w = min(width, bits - start)
-        if w <= 0:
-            break
+        w = base + (1 if b < extra else 0)
         mask = (1 << w) - 1
         band_cols.append(
             F.struct(
@@ -746,6 +760,7 @@ def _simhash_buckets(
                 F.expr(f"shiftright(simhash, {start}) & {mask}").alias("key"),
             )
         )
+        start += w
     return sig.select(
         id_col, "simhash", F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "simhash", "bk.band", "bk.key")

@@ -113,6 +113,11 @@ def _dechunk(body: bytes) -> bytes | None:
             size = int(size_tok, 16)
         except ValueError:
             return None
+        if size < 0:
+            # int(b'-6', 16) parses — and pos += size + 2 would stand
+            # still, re-reading the same bytes FOREVER (one hostile page
+            # wedging the whole file's task)
+            return None
         pos = eol + 2
         if size == 0:
             return bytes(out)  # trailers (if any) are not content
@@ -129,14 +134,34 @@ def _decode_content(body: bytes, encoding: str) -> bytes | None:
     # deflate is zlib-wrapped per spec but raw in the wild — try both
     variants = (31,) if encoding in ("gzip", "x-gzip") else (15, -15)
     for wb in variants:
-        try:
-            d = zlib.decompressobj(wbits=wb)
-            out = d.decompress(body, MAX_HTTP_BODY_BYTES + 1)
-        except zlib.error:
-            continue
-        if len(out) > MAX_HTTP_BODY_BYTES or d.unconsumed_tail or not out:
-            continue
-        return out
+        out = bytearray()
+        data = body
+        ok = True
+        # loop MEMBERS: servers and wget-written archives emit
+        # multi-member gzip, and stopping at the first member silently
+        # truncated the page ('part-two' vanished with no error); any
+        # non-gzip leftover after a member is a decode FAILURE (raw
+        # fallback makes it visible), never a silent cut
+        while data:
+            try:
+                d = zlib.decompressobj(wbits=wb)
+                out += d.decompress(data, MAX_HTTP_BODY_BYTES + 1)
+            except zlib.error:
+                ok = False
+                break
+            if len(out) > MAX_HTTP_BODY_BYTES or d.unconsumed_tail:
+                ok = False
+                break
+            if d.unused_data == data:
+                ok = False  # no progress — malformed stream
+                break
+            data = d.unused_data
+        if ok:
+            # an empty decode of a well-formed stream is a CORRECT
+            # decode (a legitimately empty page), not a failure — the
+            # old 'not out' clause handed the raw gzip bytes downstream
+            # as the page html
+            return bytes(out)
     return None
 
 
@@ -203,6 +228,11 @@ def iter_warc_records(data: bytes):
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
+            yield {"_error": "bad-length"}, b""
+            return
+        if length < 0:
+            # int() accepts a sign; a negative length would move pos
+            # BACKWARD (or nowhere) and re-parse the same record forever
             yield {"_error": "bad-length"}, b""
             return
         body_start = hdr_end + 4
@@ -346,6 +376,12 @@ def iter_warc_records_stream(fileobj, chunk: int = 1 << 20):
         except ValueError:
             yield {"_error": "bad-length"}, b""
             return
+        if length < 0:
+            # same infinite-loop guard as the whole-buffer reader:
+            # del buf[:body_start + length] with a negative length
+            # stands still forever
+            yield {"_error": "bad-length"}, b""
+            return
         body_start = hdr_end + 4
         while len(buf) < body_start + length:
             if eof:
@@ -360,6 +396,14 @@ def parse_warc_date(value: str) -> datetime | None:
     """WARC-Date (ISO 8601 ``...Z``) → aware UTC datetime, None if bad."""
     try:
         return datetime.strptime(value, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+    except ValueError:
+        pass
+    try:
+        # WARC/1.1 allows fractional seconds (browsertrix et al.); the
+        # whole-second-only parse dropped EVERY record of such archives
+        return datetime.strptime(value, "%Y-%m-%dT%H:%M:%S.%fZ").replace(
             tzinfo=timezone.utc
         )
     except ValueError:
@@ -390,7 +434,15 @@ def iter_pages(records, err_count: list[int]):
         if not url or ts is None:
             err_count[0] += 1
             continue
-        yield {"url": url, "warc_ts": ts, "html": split_http_payload(payload)}
+        # only response records carry HTTP wire bytes; a conversion
+        # (WET) record's body IS the content — a text body that happens
+        # to start with 'HTTP/' must not be gutted as fake headers
+        body = (
+            split_http_payload(payload)
+            if headers.get("warc-type") == "response"
+            else payload
+        )
+        yield {"url": url, "warc_ts": ts, "html": body}
 
 
 def extract_pages(data: bytes) -> tuple[list[dict], int]:

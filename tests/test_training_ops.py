@@ -91,6 +91,28 @@ class TestDedup:
                 if ham <= 3:
                     assert (a, b) in found, (a, b, ham)
 
+    def test_simhash_bands_exactly_max_hamming_plus_one(self, spark):
+        """Regression (r5 review): bits=16, max_hamming=4 used to emit
+        FOUR bands (ceil-width ran out of bits), so a pair differing by
+        one bit in each old band — bits 0,4,8,12 — was silently missed
+        despite hamming 4 <= budget.  Balanced widths guarantee exactly
+        max_hamming+1 nonempty bands, restoring the pigeonhole."""
+        from ocr_spark.operators.dedup import _simhash_buckets
+
+        sig = spark.createDataFrame(
+            [(1, 0), (2, 1 | (1 << 4) | (1 << 8) | (1 << 12))],
+            "doc_id long, simhash long",
+        )
+        rows = _simhash_buckets(sig, "doc_id", bits=16, max_hamming=4).collect()
+        assert {r.band for r in rows} == {0, 1, 2, 3, 4}
+        by_doc = {
+            d: {(r.band, r.key) for r in rows if r.doc_id == d}
+            for d in (1, 2)
+        }
+        assert by_doc[1] & by_doc[2], "pigeonhole violated: no shared band"
+        with pytest.raises(ValueError, match="nonempty bands"):
+            _simhash_buckets(sig, "doc_id", bits=4, max_hamming=4).collect()
+
     def test_simhash_strategies_identical(self, docs):
         """The zero-shuffle hof fold and the codegen explode aggregation
         must produce bit-identical signatures (integer bit-sums are

@@ -377,3 +377,81 @@ class TestCorruptMember:
         # the clean prefix agrees: record 0 parsed, record 1 lost
         assert buf_pages == ["http://ex.com/0"]
         assert st_pages[:1] == ["http://ex.com/0"]
+
+
+class TestHostileRecords:
+    """r5 review findings: crafted/corrupt records must degrade into
+    counted errors or raw-body fallbacks, never wedge a task."""
+
+    def test_negative_content_length_terminates_both_readers(self):
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://x/\r\n"
+            b"WARC-Date: " + DATE.encode() + b"\r\n"
+            b"Content-Length: -33\r\n\r\nbody\r\n\r\n"
+        )
+        # whole-buffer reader: one bad-length error row, then STOP
+        out = list(iter_warc_records(rec))
+        assert len(out) == 1 and out[0][0]["_error"] == "bad-length"
+        # streaming reader: same
+        import io
+
+        out = list(iter_warc_records_stream(io.BytesIO(rec)))
+        assert len(out) == 1 and out[0][0]["_error"] == "bad-length"
+
+    def test_negative_chunk_size_falls_back_to_raw(self):
+        body = b"-6\r\nXXXX\r\n0\r\n\r\n"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+        )
+        assert split_http_payload(payload) == body
+
+    def test_multi_member_gzip_body_fully_decoded(self):
+        import gzip
+
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            + gzip.compress(b"part-one ") + gzip.compress(b"part-two")
+        )
+        assert split_http_payload(payload) == b"part-one part-two"
+
+    def test_valid_empty_gzip_body_decodes_to_empty(self):
+        import gzip
+
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            + gzip.compress(b"")
+        )
+        assert split_http_payload(payload) == b""
+
+    def test_gzip_member_plus_garbage_falls_back_to_raw(self):
+        import gzip
+
+        bad = gzip.compress(b"real") + b"trailing-garbage"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bad
+        )
+        # leftover non-gzip bytes = decode failure, visible raw fallback
+        # — never a silent cut to just 'real'
+        assert split_http_payload(payload) == bad
+
+    def test_fractional_second_warc_date_accepted(self):
+        rec = build_record(
+            "http://x/", "2025-01-01T00:00:00.123Z", b"<p>hi</p>"
+        )
+        pages, errors = extract_pages(rec)
+        assert errors == 0 and len(pages) == 1
+        assert pages[0]["warc_ts"] == datetime(
+            2025, 1, 1, 0, 0, 0, 123000, tzinfo=timezone.utc
+        )
+
+    def test_conversion_record_body_never_header_split(self):
+        text = b"HTTP/3 explained\r\n\r\nThe new protocol is neat."
+        rec = build_record(
+            "http://x/wet", DATE, text, warc_type="conversion"
+        )
+        pages, errors = extract_pages(rec)
+        assert errors == 0
+        # a WET body that happens to start with 'HTTP/' is CONTENT, not
+        # wire headers — must arrive whole
+        assert pages[0]["html"] == text
