@@ -210,13 +210,35 @@ def decode_html_bytes(data: bytes) -> str:
     name = _prescan_charset(data)
     if name:
         name = name.strip(".")
-        if name.lower().replace("-", "").startswith("utf16"):
-            name = "utf-8"
         try:
-            codecs.lookup(name)
+            info = codecs.lookup(name)
+            # canonical name BEFORE the utf-16 guard: alias labels like
+            # 'utf_16'/'u16' resolve to utf-16 and used to bypass the
+            # hyphen-only normalization, decoding an ASCII-compatible
+            # page into CJK mojibake shipped as COMPLETED text
+            name = info.name
+            # registered NON-TEXT codecs ('hex', 'base64', 'zlib', ...)
+            # pass lookup but are not page encodings; punycode/idna are
+            # flagged text codecs yet decode arbitrary page bytes to
+            # garbage-or-empty (or reject errors='replace')
+            if (
+                not getattr(info, "_is_text_encoding", True)
+                or info.name in ("punycode", "idna")
+            ):
+                name = "utf-8"
         except LookupError:
             name = "utf-8"
-        return data.decode(name, errors="replace")
+        if name.lower().replace("-", "").replace("_", "").startswith(
+            "utf16"
+        ):
+            name = "utf-8"
+        try:
+            return data.decode(name, errors="replace")
+        except (LookupError, UnicodeError, ValueError):
+            # the decode itself can still raise for exotic registered
+            # codecs (e.g. 'idna' rejects errors='replace') — the
+            # contract is NEVER raise, fall back to utf-8
+            return data.decode("utf-8", errors="replace")
     return data.decode("utf-8", errors="replace")
 
 
@@ -269,6 +291,15 @@ class _BlockCollector(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._block_depth += 1
+        if self._drop_total:
+            # inline state opened INSIDE a suppressed subtree is
+            # meaningless (its text never lands) and must not be
+            # tracked: a dangling <a> inside <nav> used to leak
+            # _link_depth past the subtree close — the close handler
+            # early-returns for nav — and link-density-drop the ENTIRE
+            # remaining document; matching closes inside the subtree
+            # are no-ops via the > 0 guards below
+            return
         if tag == "a":
             # HTML5-style implied end tag: a new <a> while one is open
             # closes the old one — unclosed-<a> chains (malformed menus)
@@ -410,6 +441,24 @@ _TAG_CLOSE_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9-]*)[^>]*>")
 _TAG_OPEN_RE = re.compile(
     r"<([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>'\"])*?)(/?)>", re.S
 )
+
+
+def _open_tag_parts(m) -> tuple:
+    """(tag, attrs_chunk, self_closing) for a _TAG_OPEN_RE match,
+    resolving the trailing-solidus ambiguity the way html.parser (and
+    the HTML5 unquoted-attribute-value state) does: the '/' in
+    ``<a href=http://x/foo/>`` is part of the unquoted VALUE, not a
+    self-close — the non-greedy attrs chunk otherwise truncates the url
+    (/foo and /foo/ are distinct resources) and drops the anchor text by
+    treating the tag as already closed.  A solidus after nothing
+    (``<br/>``), whitespace, or a closing quote IS self-closing."""
+    tag = m.group(1).lower()
+    chunk = m.group(2) or ""
+    self_closing = m.group(3) == "/"
+    if self_closing and chunk and chunk[-1] not in " \t\n\r\f\v\"'":
+        chunk += "/"
+        self_closing = False
+    return tag, chunk, self_closing
 # Attribute scanner: consumes name(=value)? pairs SEQUENTIALLY so a
 # quoted value is swallowed as a value, never re-scanned for names — a
 # bare word-boundary search would false-match the `id` suffix of
@@ -493,14 +542,14 @@ def _fast_feed(text: str, c: "_BlockCollector") -> None:
             continue
         m = _TAG_OPEN_RE.match(text, lt)
         if m:
-            tag = m.group(1).lower()
+            tag, chunk, self_closing = _open_tag_parts(m)
             pos = m.end()
-            if m.group(3) == "/":
+            if self_closing:
                 c.handle_startendtag(tag, [])
                 continue
             attrs = (
-                _class_id_attrs(m.group(2))
-                if tag in ATTR_CHECK_TAGS and m.group(2)
+                _class_id_attrs(chunk)
+                if tag in ATTR_CHECK_TAGS and chunk
                 else []
             )
             c.handle_starttag(tag, attrs)
@@ -784,13 +833,12 @@ def scan_links(
             continue
         m = _TAG_OPEN_RE.match(text, lt)
         if m:
-            tag = m.group(1).lower()
+            tag, chunk, self_closing = _open_tag_parts(m)
             pos = m.end()
-            self_closing = m.group(3) == "/"
             if tag == "a":
                 emit()  # implied end tag of any open anchor
                 href = rel = ""
-                for name, value in _scan_attrs(m.group(2)):
+                for name, value in _scan_attrs(chunk):
                     if name == "href" and not href:
                         href = _unesc(value)
                     elif name == "rel" and not rel:
@@ -804,7 +852,7 @@ def scan_links(
                 if self_closing:
                     emit()
             elif tag == "base" and not base_seen:
-                for name, value in _scan_attrs(m.group(2)):
+                for name, value in _scan_attrs(chunk):
                     if name == "href":
                         base_seen = True
                         try:
@@ -895,27 +943,27 @@ def scan_meta(
             continue
         m = _TAG_OPEN_RE.match(text, lt)
         if m:
-            tag = m.group(1).lower()
+            tag, chunk, self_closing = _open_tag_parts(m)
             pos = m.end()
-            if tag == "svg" and m.group(3) != "/":
+            if tag == "svg" and not self_closing:
                 svg_depth += 1
             elif (
                 tag == "title"
                 and out["title"] is None
-                and m.group(3) != "/"
+                and not self_closing
                 and svg_depth == 0
             ):
                 in_title = True
                 title_parts = []
                 title_len = 0
             elif tag == "html" and out["lang"] is None:
-                for name, value in _scan_attrs(m.group(2)):
+                for name, value in _scan_attrs(chunk):
                     if name == "lang" and value:
                         out["lang"] = _unesc(value).strip().lower()
                         break
             elif tag == "meta":
                 name_v = content = ""
-                for name, value in _scan_attrs(m.group(2)):
+                for name, value in _scan_attrs(chunk):
                     if name == "name" and not name_v:
                         name_v = _unesc(value).strip().lower()
                     elif name == "content" and not content:
@@ -933,14 +981,14 @@ def scan_meta(
                         out["nofollow_page"] = True
             elif tag == "link" and out["canonical"] is None:
                 rel_v = href_v = ""
-                for name, value in _scan_attrs(m.group(2)):
+                for name, value in _scan_attrs(chunk):
                     if name == "rel" and not rel_v:
                         rel_v = _unesc(value).strip().lower()
                     elif name == "href" and not href_v:
                         href_v = _unesc(value)
                 if "canonical" in rel_v.split() and href_v:
                     out["canonical"] = _clean_href(href_v)
-            elif tag in _RAWTEXT_TAGS and m.group(3) != "/":
+            elif tag in _RAWTEXT_TAGS and not self_closing:
                 cm = _RAWTEXT_CLOSE_RE[tag].search(text, pos)
                 if cm is None:
                     break

@@ -183,6 +183,12 @@ def decode_doc(data: bytes) -> dict[str, Any]:
         # an orphan close tag means some page's OPEN tag was corrupted —
         # its content vanished from the parse
         raise ValueError("corrupt sgdoc: page open/close tag mismatch")
+    if data.count(b"<page ") != len(pages):
+        # and an orphan OPEN tag means some page's CLOSE was corrupted:
+        # find() then spans two pages, silently MERGING the next page's
+        # content (header and all) into this one — the exact
+        # shorter-COMPLETED outcome the scan exists to make loud
+        raise ValueError("corrupt sgdoc: page open/close tag mismatch")
     order = sorted(range(len(pages)), key=lambda k: pages[k]["i"])
     return {
         "dpi": dpi,

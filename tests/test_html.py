@@ -605,3 +605,87 @@ class TestGiantHtmlGuard:
         # re-parse of page_bytes re-applies the cap identically
         assert bytes(doc["page_bytes"][0]) == html
         assert decode_page(doc["page_bytes"][0])["layout"] == page["layout"]
+
+
+class TestR5ReviewRegressions:
+    """Pinned fixes from the round-5 adversarial review."""
+
+    def test_dangling_anchor_in_nav_does_not_nuke_document(self):
+        """An unclosed <a> inside a dropped <nav> subtree used to leak
+        _link_depth past the subtree close (the close handler
+        early-returns for nav), flagging 100% of the page as linked and
+        link-density-dropping every real block."""
+        html = (
+            b'<html><body><nav><a href="/">Home</nav>'
+            b"<p>This is the real article content of the page.</p>"
+            b"<p>Second paragraph with more words.</p></body></html>"
+        )
+        got = htmlpage.parse_html_blocks(html)
+        assert [b["lines"][0] for b in got] == [
+            "This is the real article content of the page.",
+            "Second paragraph with more words.",
+        ]
+
+    def test_dangling_heading_and_table_in_dropped_subtree(self):
+        """Same leak class for heading/table context: an unclosed <h1> or
+        <table> inside chrome must not type the rest of the page."""
+        html = (
+            b'<html><body><nav><h1>Site<table><td>x</nav>'
+            b"<p>body prose stays plain text.</p></body></html>"
+        )
+        got = htmlpage.parse_html_blocks(html)
+        assert got == [
+            {"type": "text", "lines": ["body prose stays plain text."]}
+        ]
+
+    def test_unquoted_href_trailing_slash_is_value_not_selfclose(self):
+        """<a href=http://x/foo/> — the '/' is part of the unquoted VALUE
+        (html.parser / HTML5 unquoted-attribute-value state): the url
+        must keep its trailing slash and the anchor text must survive."""
+        html = (
+            b"<html><body><p>see "
+            b"<a href=http://example.com/foo/>my site</a> now</p>"
+            b"</body></html>"
+        )
+        links, _capped = htmlpage.scan_links(html, "http://host.com/")
+        (link,) = [l for l in links if "example.com" in l["dst"]]
+        assert link["dst"] == "http://example.com/foo/"
+        assert link["anchor"] == "my site"
+        # engines agree on link-density accounting for such anchors
+        fast = htmlpage.parse_html_blocks(html)
+        std = htmlpage.parse_html_blocks(html, engine="stdlib")
+        assert fast == std
+
+    def test_br_selfclose_still_selfclosing(self):
+        html = b"<html><body><p>one<br/>two</p></body></html>"
+        assert htmlpage.parse_html_blocks(html) == [
+            {"type": "text", "lines": ["one", "two"]}
+        ]
+
+    def test_nontext_codec_charset_falls_back_utf8(self):
+        """Registered NON-TEXT codecs ('hex', 'base64', ...) pass
+        codecs.lookup but raise (or garble) on decode — the contract is
+        NEVER raise, fall back to utf-8."""
+        for cs in (b"hex", b"base64", b"zlib", b"idna", b"punycode"):
+            html = (
+                b'<html><head><meta charset="' + cs + b'"></head>'
+                b"<body><p>plain ascii body survives.</p></body></html>"
+            )
+            got = htmlpage.parse_html_blocks(html)
+            assert got == [
+                {"type": "text", "lines": ["plain ascii body survives."]}
+            ], cs
+
+    def test_utf16_alias_labels_do_not_mojibake(self):
+        """'utf_16'/'u16' resolve to utf-16 via codecs aliases and used to
+        bypass the hyphen-only guard, decoding ASCII bytes as UTF-16 CJK
+        mojibake shipped as COMPLETED text."""
+        for cs in (b"utf_16", b"utf_16be", b"u16", b"utf-16"):
+            html = (
+                b'<html><head><meta charset="' + cs + b'"></head>'
+                b"<body><p>Hello plain ascii page content.</p></body></html>"
+            )
+            got = htmlpage.parse_html_blocks(html)
+            assert got == [
+                {"type": "text", "lines": ["Hello plain ascii page content."]}
+            ], cs

@@ -181,6 +181,20 @@ class TestPayloadCorruption:
         with pytest.raises(ValueError, match="unclosed"):
             decode_doc(data[:cut] + data[cut + 7:])
 
+    def test_missing_middle_close_raises_not_silent_merge(self):
+        """Deleting a MIDDLE </page> used to pass the orphan-close count
+        (find() spans two pages, so opens parsed == closes remaining) and
+        silently MERGE the next page's content into this one — a shorter
+        COMPLETED document (r5 review)."""
+        import pytest
+
+        from ocr_spark.payload import decode_doc
+
+        data = self._doc()
+        cut = data.find(b"</page>")  # FIRST close, not the last
+        with pytest.raises(ValueError, match="mismatch"):
+            decode_doc(data[:cut] + data[cut + 7:])
+
     def test_corrupt_open_tag_raises_not_silent_drop(self):
         import pytest
 
