@@ -52,8 +52,12 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         # local mode: every executor thread lives in the driver JVM — size the
         # heap for all of them or large runs thrash GC (cluster analogue:
-        # spark.executor.memory per executor).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # spark.executor.memory per executor).  64g, not 48g: the 17-stage
+        # curate chain pins its localCheckpoint blocks for the whole job and
+        # the LM tokenize's per-task split arrays spiked a 48g heap over the
+        # edge intermittently (measured ~1-in-2 OOM at 60k docs × 32 threads;
+        # the host has 128 GiB and bench JVMs only reserve, not commit).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
