@@ -3663,6 +3663,15 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "corpus_pack_tokens": (_q_pack_tokens, _PACK_TOKENS_SQL),
     "text_tfidf_keywords": (_q_tfidf, _TFIDF_SQL),
     "corpus_quantile_report": (_q_quantile_report, _QUANTILE_SQL),
+    # moved up: implementation changed in the r5 review-hardening
+    "extract_html": (_q_extract_html, _HTML_SQL),
+    "dedup_url_canonical": (_q_url_dedup, _URL_DEDUP_SQL),
+    "dedup_exact": (_q_exact_dedup, _EXACT_DEDUP_SQL),
+    "dedup_simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_SQL),
+    "url_domain_filter": (_q_domain_filter, _DOMAIN_FILTER_SQL),
+    "mm_media_meta": (_q_media_meta, _MEDIA_SQL),
+    "corpus_pack_manifest": (_q_pack, _PACK_SQL),
+    "corpus_pack_export": (_q_pack_export, _PACK_EXPORT_SQL),
     "text_lm_bigram": (_q_lm_bigram, _LM_BIGRAM_SQL),
     "select_dsir_weights": (_q_dsir_weights, _DSIR_WEIGHTS_SQL),
     "select_dsir_inline": (_q_dsir_inline, _DSIR_WEIGHTS_SQL),
@@ -3709,9 +3718,6 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "dedup_span_corpus": (_q_span_dedup, _SPAN_DEDUP_SQL),
     "dedup_dup_spans": (_q_dup_spans, _DUP_SPANS_SQL),
     "text_lm_score": (_q_lm_score, _LM_SCORE_SQL),
-    "corpus_pack_manifest": (_q_pack, _PACK_SQL),
-    "corpus_pack_export": (_q_pack_export, _PACK_EXPORT_SQL),
-    "extract_html": (_q_extract_html, _HTML_SQL),
     "decontam_overlap": (_q_decontam_overlap, _DECONTAM_SQL),
     "decontam_clean_corpus": (_q_decontam_clean, _DECONTAM_CLEAN_SQL),
     "corpus_domain_stats": (_q_domain_stats, _DOMAIN_SQL),
@@ -3720,18 +3726,14 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "text_normalize": (_q_normalize, _NORMALIZE_SQL),
     "corpus_domain_cap": (_q_cap_domain, _CAP_DOMAIN_SQL),
     # (2) independent-plan oracle rows — training-data dedup
-    "dedup_exact": (_q_exact_dedup, _EXACT_DEDUP_SQL),
     "dedup_filtered_corpus": (_q_dedup_filtered_corpus, _DEDUP_FILTER_SQL),
-    "dedup_url_canonical": (_q_url_dedup, _URL_DEDUP_SQL),
     "dedup_minhash": (_q_minhash, _MINHASH_SQL),
     "dedup_lsh_pairs": (_q_lsh_pairs, _LSH_SQL),
     "dedup_jaccard": (_q_jaccard, _JACCARD_SQL),
     "dedup_simhash": (_q_simhash, _SIMHASH_SQL),
     "dedup_simhash_explode": (_q_simhash_explode, _SIMHASH32_SQL),
-    "dedup_simhash_pairs": (_q_simhash_pairs, _SIMHASH_PAIRS_SQL),
     "dedup_jaccard_capped": (_q_jaccard_capped, _JACCARD_CAPPED_SQL),
     "dedup_line_corpus": (_q_line_dedup, _LINE_DEDUP_SQL),
-    "url_domain_filter": (_q_domain_filter, _DOMAIN_FILTER_SQL),
     "text_c4_rules": (_q_c4_rules, _C4_SQL),
     "events_hour_rollup": (_q_events_hour, _EVENTS_HOUR_SQL),
     # similarity search
@@ -3745,7 +3747,6 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "text_repetition": (_q_repetition, _REPETITION_SQL),
     "text_gopher_rules": (_q_gopher, _GOPHER_SQL),
     # multimodal plumbing (Python UDF vs SQL twin)
-    "mm_media_meta": (_q_media_meta, _MEDIA_SQL),
     "mm_features": (_q_media_features, _FEATURES_SQL),
     "mm_sample_frames": (_q_sample_frames, _FRAMES_SQL),
     # deterministic dataset split + PII + duplicate-line stats
