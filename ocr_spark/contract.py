@@ -1354,6 +1354,73 @@ def _q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup (similarity.semdedup_pairs / semdedup_corpus): the same
+# one-round Lloyd centroids as sim_ivf_trained, argmax cell assignment,
+# within-cell pairwise cosine ≥ threshold, and (corpus row) the
+# recursive-CTE transitive closure with min-id representatives.  The
+# threshold 0.402 sits in a measured gap of the sf0.01 WITHIN-CELL cosine
+# distribution (0.40357 above, 0.39987 below — ~4e-3 wide vs ~1e-16 float
+# noise), so the ≥ filter cannot flip across engines; 24 pairs survive,
+# a non-trivial component structure for the closure to chew on.
+_SEMDEDUP_THRESHOLD = 0.402
+
+_SEMDEDUP_CTE = f"""
+{_LLOYD_CENTS_CTE},
+sd_cells AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, s.cid AS cell,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        {_LLOYD_COS} DESC, s.cid ASC) AS rk
+    FROM corpus0 c CROSS JOIN cents s) WHERE rk = 1),
+sd_prs AS (
+  SELECT cell, doc_a, doc_b, cos FROM (
+    SELECT a.cell, a.vec_id AS doc_a, b.vec_id AS doc_b,
+      (list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) /
+       (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        sqrt(list_sum(list_transform(b.v, x -> x * x))))) AS cos
+    FROM sd_cells a JOIN sd_cells b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id)
+  WHERE cos >= {_SEMDEDUP_THRESHOLD})
+"""
+
+_SEMDEDUP_PAIRS_SQL = f"""
+WITH {_SEMDEDUP_CTE}
+SELECT cell, doc_a, doc_b, round(cos, 6) AS cos_r FROM sd_prs
+"""
+
+_SEMDEDUP_CORPUS_SQL = f"""
+WITH RECURSIVE {_SEMDEDUP_CTE},
+sd_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM sd_prs
+  UNION SELECT doc_b, doc_a FROM sd_prs),
+sd_reach(src, dst) AS (
+  SELECT src, dst FROM sd_edges
+  UNION
+  SELECT r.src, e.dst FROM sd_reach r JOIN sd_edges e ON r.dst = e.src)
+SELECT vec_id FROM embeddings WHERE vec_id NOT IN (
+  SELECT src FROM sd_reach GROUP BY src HAVING least(src, min(dst)) <> src)
+"""
+
+
+def _q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.train_centroids(emb, n_centroids=8, iters=1)
+    res = similarity.semdedup_pairs(
+        emb, cents, threshold=_SEMDEDUP_THRESHOLD
+    )
+    return res.select(
+        "cell", "doc_a", "doc_b", F.round("cos", 6).alias("cos_r")
+    )
+
+
+def _q_semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    res = similarity.semdedup_corpus(
+        emb, n_centroids=8, train_iters=1, threshold=_SEMDEDUP_THRESHOLD
+    )
+    return res.select("vec_id")
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     res = similarity.cosine_topk_bruteforce(
@@ -3660,6 +3727,8 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # implementation changed (id-only lsh/ivf rerank joins, NULL-digest
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
+    "sim_semdedup_pairs": (_q_semdedup_pairs, _SEMDEDUP_PAIRS_SQL),
+    "sim_semdedup_corpus": (_q_semdedup_corpus, _SEMDEDUP_CORPUS_SQL),
     "corpus_pack_tokens": (_q_pack_tokens, _PACK_TOKENS_SQL),
     "text_tfidf_keywords": (_q_tfidf, _TFIDF_SQL),
     "corpus_quantile_report": (_q_quantile_report, _QUANTILE_SQL),

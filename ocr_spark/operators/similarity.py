@@ -50,6 +50,26 @@ def _norm(a: str) -> str:
     return f"sqrt({_dot(a, a)})"
 
 
+def _cos_guarded(na: str, nb: str, a: str, b: str) -> str:
+    """Zero-safe cosine over PRE-BOUND norm columns: 0 when either norm is
+    zero.  A zero-norm vector is not exotic — the hashed embedding of an
+    empty document is exactly zero — and under Spark's ANSI default the
+    naive ``dot / (na * nb)`` turns one such row into a job-killing
+    DIVIDE_BY_ZERO.  Values on nonzero rows are bit-identical to the
+    unguarded division (the ELSE branch is the same expression), so the
+    DuckDB oracles — whose testdata has no zero vectors — are unaffected.
+
+    ``na``/``nb`` must be bound COLUMNS (not inline ``_norm(...)``
+    folds): HOF expressions are interpreted with no codegen CSE, so an
+    inline norm referenced by both the guard and the division would run
+    its O(dim) fold twice per row — and a norm inlined into a per-PAIR
+    projection runs once per pair instead of once per vector."""
+    return (
+        f"CASE WHEN {na} = 0D OR {nb} = 0D THEN 0D "
+        f"ELSE ({_dot(a, b)}) / ({na} * {nb}) END"
+    )
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("norm", F.expr(_norm(vec_col)))
 
@@ -106,17 +126,24 @@ def cosine_topk_bruteforce(
     ``salts=1`` recovers the single-window plan (verification use)."""
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.expr(_norm(vec_col)).alias("_qn"),
         )
     )
+    # norms bound per SIDE, below the join: one O(dim) fold per corpus
+    # row and per query, instead of re-folding both norms inside every
+    # (query, row) scored pair — at q queries that was 2q redundant folds
+    # per corpus row (the dot itself is the only genuinely per-pair work)
     scored = (
-        df.select(id_col, vec_col)
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(_norm(vec_col)).alias("_cn"),
+        )
         .join(q, F.col(id_col) != F.col("query_id"))
         .withColumn(
-            "cos",
-            F.expr(
-                f"{_dot(vec_col, 'qvec')} / ({_norm(vec_col)} * {_norm('qvec')})"
-            ),
+            "cos", F.expr(_cos_guarded("_cn", "_qn", vec_col, "qvec"))
         )
     )
     return _two_stage_topk(scored, k, id_col, salts)
@@ -205,19 +232,22 @@ def lsh_topk(
         .distinct()
     )
     c_vecs = df.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.expr(_norm(vec_col)).alias("_cn"),
     )
     q_vecs = F.broadcast(
         queries.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.expr(_norm(vec_col)).alias("_qn"),
         )
     )
     cand = (
         pairs.join(c_vecs, "c_id")
         .join(q_vecs, "q_id")
         .withColumn(
-            "cos",
-            F.expr(f"{_dot('c_vec', 'q_vec')} / ({_norm('c_vec')} * {_norm('q_vec')})"),
+            "cos", F.expr(_cos_guarded("_cn", "_qn", "c_vec", "q_vec"))
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("c_id").asc())
@@ -298,10 +328,20 @@ def cosine_topk_quantized(
     happens anywhere).  Scores approximate the float cosine to the
     quantization error (~1e-2 at 127 levels on unit-norm embeddings;
     recall pinned in tests)."""
-    corpus_q = quantize_embeddings(df, vec_col, id_col)
+    # per-side bound int norms (same rationale as the float paths: one
+    # fold per vector, not two per scored pair) + the zero guard — a
+    # zero vector quantizes to all-zero ints (scale-0 guard above) and
+    # its sqrt(0) norm would raise DIVIDE_BY_ZERO under ANSI
+    corpus_q = quantize_embeddings(df, vec_col, id_col).withColumn(
+        "_cn", F.expr(f"sqrt(CAST({_dot_int('q', 'q')} AS DOUBLE))")
+    )
     q = F.broadcast(
         quantize_embeddings(queries, vec_col, id_col).select(
-            F.col(id_col).alias("query_id"), F.col("q").alias("qq")
+            F.col(id_col).alias("query_id"),
+            F.col("q").alias("qq"),
+            F.expr(f"sqrt(CAST({_dot_int('q', 'q')} AS DOUBLE))").alias(
+                "_qn"
+            ),
         )
     )
     scored = (
@@ -309,9 +349,9 @@ def cosine_topk_quantized(
         .withColumn(
             "cos",
             F.expr(
-                f"CAST({_dot_int('q', 'qq')} AS DOUBLE) / "
-                f"(sqrt(CAST({_dot_int('q', 'q')} AS DOUBLE)) * "
-                f"sqrt(CAST({_dot_int('qq', 'qq')} AS DOUBLE)))"
+                f"CASE WHEN _cn = 0D OR _qn = 0D THEN 0D "
+                f"ELSE CAST({_dot_int('q', 'qq')} AS DOUBLE) / "
+                f"(_cn * _qn) END"
             ),
         )
     )
@@ -347,7 +387,18 @@ def nearest_cell_expr(
     structs = []
     for cid, cvec in cents:
         lit = _vec_literal(cvec)
-        ccos = f"({_dot(vec_col, lit)}) / ({rn} * {_norm(lit)})"
+        # zero-guarded like _cos_guarded: a zero-norm row (empty doc's
+        # hashed embedding) or a zero centroid (possible seed/mean) is a
+        # DIVIDE_BY_ZERO job killer under ANSI.  The centroid norm is a
+        # constant-folded literal; rn is referenced twice, so pass
+        # norm_expr (a bound column) as the docstring says — the inline
+        # default would re-fold per reference.  Zero rows score 0 for
+        # every centroid and land deterministically in the lowest cid.
+        cn = _norm(lit)
+        ccos = (
+            f"CASE WHEN {rn} = 0D OR {cn} = 0D THEN 0D "
+            f"ELSE ({_dot(vec_col, lit)}) / ({rn} * {cn}) END"
+        )
         structs.append(
             f"named_struct('ccos', {ccos}, 'ncid', {-int(cid)}L)"
         )
@@ -375,9 +426,13 @@ def assign_cells(
     return bound.select(
         F.col(id_col),
         F.col(vec_col),
+        # build parameters ride as column metadata so a consumer handed a
+        # precomputed cells frame (semdedup_pairs cells=) can refuse a
+        # mismatched geometry instead of silently pairing in the wrong
+        # cells (same guard convention as hyperplane_buckets' key column)
         F.expr(
             nearest_cell_expr(vec_col, cents, norm_expr=f"`{tmp}`")
-        ).alias("cell"),
+        ).alias("cell", metadata={"n_cents": len(cents), "vec_col": vec_col}),
     )
 
 
@@ -503,7 +558,11 @@ def ivf_topk(
         structs = []
         for cid, cvec in cents_local:
             lit = _vec_literal(cvec)
-            ccos = f"({_dot(vec_col, lit)}) / (`{tmp}` * {_norm(lit)})"
+            cn = _norm(lit)
+            ccos = (
+                f"CASE WHEN `{tmp}` = 0D OR {cn} = 0D THEN 0D "
+                f"ELSE ({_dot(vec_col, lit)}) / (`{tmp}` * {cn}) END"
+            )
             structs.append(
                 f"named_struct('nccos', -({ccos}), 'cid', {int(cid)}L)"
             )
@@ -537,19 +596,22 @@ def ivf_topk(
         .distinct()
     )
     c_vecs = df.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.expr(_norm(vec_col)).alias("_cn"),
     )
     q_vecs = F.broadcast(
         queries.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.expr(_norm(vec_col)).alias("_qn"),
         )
     )
     cand = (
         pairs.join(c_vecs, "c_id")
         .join(q_vecs, "q_id")
         .withColumn(
-            "cos",
-            F.expr(f"{_dot('c_vec', 'q_vec')} / ({_norm('c_vec')} * {_norm('q_vec')})"),
+            "cos", F.expr(_cos_guarded("_cn", "_qn", "c_vec", "q_vec"))
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("c_id").asc())
@@ -731,23 +793,30 @@ def cosine_pairs(
         )
         .distinct()
     )
-    emb = df.select(F.col(id_col), F.col(vec_col))
+    # norms folded once per id in the pre-join projections (not once per
+    # pair — a hot doc in many pairs used to re-fold both norms per
+    # pair), zero-guarded like every cosine path
+    emb = df.select(
+        F.col(id_col), F.col(vec_col), F.expr(_norm(vec_col)).alias("_n")
+    )
     return (
         pairs.join(
             emb.select(
-                F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va")
+                F.col(id_col).alias("doc_a"),
+                F.col(vec_col).alias("va"),
+                F.col("_n").alias("_na"),
             ),
             "doc_a",
         )
         .join(
             emb.select(
-                F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb")
+                F.col(id_col).alias("doc_b"),
+                F.col(vec_col).alias("vb"),
+                F.col("_n").alias("_nb"),
             ),
             "doc_b",
         )
-        .withColumn(
-            "cos", F.expr(f"{_dot('va', 'vb')} / ({_norm('va')} * {_norm('vb')})")
-        )
+        .withColumn("cos", F.expr(_cos_guarded("_na", "_nb", "va", "vb")))
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")
     )
@@ -1173,7 +1242,11 @@ def ivf_pq_topk(
     structs = []
     for cid, cvec in cents:
         lit = _vec_literal(cvec)
-        ccos = f"({_dot(vec_col, lit)}) / (`{tmp}` * {_norm(lit)})"
+        cn = _norm(lit)
+        ccos = (
+            f"CASE WHEN `{tmp}` = 0D OR {cn} = 0D THEN 0D "
+            f"ELSE ({_dot(vec_col, lit)}) / (`{tmp}` * {cn}) END"
+        )
         structs.append(
             f"named_struct('nccos', -({ccos}), 'cid', {int(cid)}L)"
         )
@@ -1212,3 +1285,206 @@ def ivf_pq_topk(
         )
     )
     return _two_stage_topk(scored, k, id_col, salts)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023, arXiv
+# 2303.09540).  The paper's algorithm — k-means the embedding space,
+# compute pairwise cosine WITHIN each cluster only, connect pairs above a
+# threshold, keep one representative per connected group — re-expressed
+# as DataFrame ops: deterministic Lloyd (train_centroids) + shuffle-free
+# argmax assignment (assign_cells) + an id-only within-cell self-join +
+# min-label components (dedup.connected_components).  Distinct from
+# embed.semantic_near_dup (hyperplane-LSH buckets): clustering bounds the
+# candidate set by CELL, the paper's recipe for corpora where near-dups
+# are semantic rather than lexical.
+
+
+def _check_cells(
+    cells: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cents: int | None = None,
+) -> None:
+    missing = {id_col, vec_col, "cell"} - set(cells.columns)
+    if missing:
+        raise ValueError(
+            f"cells frame lacks columns {sorted(missing)} — build it with "
+            f"assign_cells(df, cents, {vec_col!r}, {id_col!r})"
+        )
+    meta = cells.schema["cell"].metadata or {}
+    got = meta.get("n_cents")
+    if n_cents is not None and got is not None and int(got) != n_cents:
+        raise ValueError(
+            f"cells frame was assigned against {got} centroids; this call "
+            f"passed {n_cents}"
+        )
+    gotv = meta.get("vec_col")
+    if gotv is not None and gotv != vec_col:
+        raise ValueError(
+            f"cells frame was assigned over vec_col={gotv!r}; this call "
+            f"passed vec_col={vec_col!r}"
+        )
+
+
+def semdedup_hot_cells(
+    df: DataFrame | None = None,
+    cents: list[tuple[int, list[float]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell: int = 100_000,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """Audit view of the clusters a ``max_cell`` cap would exclude from
+    :func:`semdedup_pairs` — same never-cap-silently contract as every
+    pair operator's audit.  Pass the capped run's persisted
+    :func:`assign_cells` frame via ``cells`` to share the assignment."""
+    if cells is None:
+        if df is None or cents is None:
+            raise ValueError("pass (df, cents) or a precomputed cells frame")
+        cells = assign_cells(df, cents, vec_col, id_col)
+    else:
+        _check_cells(cells, id_col, vec_col,
+                     len(cents) if cents is not None else None)
+    return (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_cell)
+    )
+
+
+def semdedup_pairs(
+    df: DataFrame | None = None,
+    cents: list[tuple[int, list[float]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    max_cell: int | None = None,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """Within-cluster near-dup pairs: ``(cell, doc_a, doc_b, cos)`` for
+    every same-cell pair with cosine ≥ ``threshold``.
+
+    Plan shape (the 100 TB posture): the cell self-join carries ONLY
+    ``(cell, id)`` rows — the id-only pair rule; vectors and their norms
+    rejoin once per side AFTER the pair set exists, and each row's norm
+    is computed in the pre-join projection (once per id, not once per
+    pair — the inline ``_norm`` per pair costs 2 extra O(dim) folds on
+    every candidate).  Within-cell pairing is quadratic in cell size by
+    construction (the paper's trade: candidate quality for candidate
+    count), so ``n_centroids`` must scale with the corpus — SemDeDup uses
+    tens of thousands of clusters at web scale, keeping cells ~10^4 rows.
+    A degenerate mega-cell (constant embeddings) is the same hazard as a
+    hot LSH bucket: cap it with ``max_cell`` (OPT-IN, default None —
+    recall is never bounded silently) and log :func:`semdedup_hot_cells`
+    alongside, sharing the persisted ``cells`` frame with the audit.
+    """
+    if cells is None:
+        if df is None or cents is None:
+            raise ValueError("pass (df, cents) or a precomputed cells frame")
+        cells = assign_cells(
+            df.select(id_col, vec_col), cents, vec_col, id_col
+        )
+    else:
+        _check_cells(cells, id_col, vec_col,
+                     len(cents) if cents is not None else None)
+    keyed = cells.select("cell", id_col)
+    if max_cell is not None:
+        hot = (
+            keyed.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_cell)
+            .select("cell")
+        )
+        keyed = keyed.join(hot, "cell", "left_anti")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.cell") == F.col("b.cell"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ],
+    ).select(
+        F.col("a.cell").alias("cell"),
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+    )
+    # one row per id per side, norm folded in the PRE-join projection
+    side = cells.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.expr(_norm(vec_col)).alias("_n"),
+    )
+    return (
+        pairs.join(
+            side.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            side.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "cos", F.expr(_cos_guarded("_na", "_nb", "_va", "_vb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("cell", "doc_a", "doc_b", "cos")
+    )
+
+
+def semdedup_corpus(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 8,
+    train_iters: int = 1,
+    threshold: float = 0.9,
+    cents: list[tuple[int, list[float]]] | None = None,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """End-to-end SemDeDup: rows of ``df`` that survive cluster-scoped
+    semantic dedup (one min-id representative per connected near-dup
+    group, all unpaired rows kept).  Trains centroids when ``cents`` is
+    None — on a real corpus fit them on a bounded sample and pass them in
+    (train_centroids' docstring; the assignment projection is the part
+    that scales to 10^12 rows).
+
+    The cells frame is persisted for the duration of the components
+    build (the plan references it four times — both self-join sides and
+    both vector rejoins — and Spark does not reuse-merge identical
+    non-broadcast subtrees) and unpersisted before returning:
+    connected_components materializes its edge list eagerly
+    (localCheckpoint), so the returned anti-join plan no longer
+    references the assignment."""
+    from .dedup import dedup_by_clusters
+
+    if cents is None:
+        cents = train_centroids(
+            df, vec_col, id_col, n_centroids=n_centroids, iters=train_iters
+        )
+    cells = assign_cells(
+        df.select(id_col, vec_col), cents, vec_col, id_col
+    ).persist()
+    try:
+        pairs = semdedup_pairs(
+            cells=cells,
+            cents=cents,
+            vec_col=vec_col,
+            id_col=id_col,
+            threshold=threshold,
+            max_cell=max_cell,
+        )
+        return dedup_by_clusters(df, pairs, id_col=id_col)
+    finally:
+        # dedup_by_clusters ran connected_components eagerly (per-round
+        # localCheckpoint); the surviving plan is df ⟕ anti losers with
+        # the cells lineage already cut
+        cells.unpersist()

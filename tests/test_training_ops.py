@@ -3548,3 +3548,147 @@ class TestProductQuantization:
         assert all(r["count"] <= 5 for r in per_q)
         # the encode artifact carries no vectors
         assert set(enc.columns) == {"vec_id", "cell", "codes", "rnorm"}
+
+
+class TestSemDeDup:
+    """similarity.semdedup_pairs / semdedup_corpus — the cluster-scoped
+    semantic dedup pipeline (SemDeDup, arXiv 2303.09540)."""
+
+    @pytest.fixture(scope="class")
+    def cents(self, embs):
+        from ocr_spark.operators.similarity import train_centroids
+
+        return train_centroids(embs, n_centroids=4, iters=1)
+
+    def test_pairs_are_within_cell_threshold_pairs(self, embs, cents):
+        """Differential: the operator's pair set is EXACTLY the same-cell
+        subset of the brute-force all-pairs-≥-threshold set."""
+        from ocr_spark.operators.similarity import (
+            assign_cells,
+            semdedup_pairs,
+        )
+
+        thr = 0.35
+        got = {
+            (r.doc_a, r.doc_b): (r.cell, r.cos)
+            for r in semdedup_pairs(embs, cents, threshold=thr).collect()
+        }
+        cell_of = {
+            r.vec_id: r.cell for r in assign_cells(embs, cents).collect()
+        }
+        rows = embs.select("vec_id", "embedding").collect()
+        vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        ids = sorted(vecs)
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if cell_of[a] == cell_of[b]:
+                    c = cos(vecs[a], vecs[b])
+                    if c >= thr:
+                        want[(a, b)] = (cell_of[a], c)
+        assert set(got) == set(want)
+        assert want, "threshold too high — differential is vacuous"
+        for k, (cell, c) in want.items():
+            assert got[k][0] == cell
+            assert got[k][1] == pytest.approx(c, abs=1e-9)
+
+    def test_corpus_keeps_one_rep_per_transitive_group(self, spark, embs):
+        """Three planted copies of one vector (A~B, B~C via identical
+        embeddings) collapse to the min-id representative even though
+        every pair is only reachable transitively through the closure."""
+        from ocr_spark.operators.similarity import semdedup_corpus
+
+        base = embs.filter(F.col("vec_id") == 0).select("embedding")
+        copies = (
+            spark.range(3)
+            .withColumn("vec_id", F.col("id") + 900000)
+            .crossJoin(base)
+            .select("vec_id", "embedding")
+        )
+        corpus = embs.select("vec_id", "embedding").unionByName(copies)
+        kept = {
+            r.vec_id
+            for r in semdedup_corpus(
+                corpus, n_centroids=4, train_iters=1, threshold=0.999
+            ).collect()
+        }
+        # vec 0 and its three copies are mutual near-dups: min id (0) kept
+        assert 0 in kept
+        assert kept.isdisjoint({900000, 900001, 900002})
+        # nothing else in the testdata reaches cos 0.999 — all others kept
+        assert len(kept) == embs.count() - 0 + 0 + 1 - 1  # = embs.count()
+
+    def test_corpus_identity_when_no_pairs(self, embs):
+        from ocr_spark.operators.similarity import semdedup_corpus
+
+        out = semdedup_corpus(
+            embs, n_centroids=4, train_iters=1, threshold=0.9999
+        )
+        assert out.count() == embs.count()
+
+    def test_max_cell_cap_with_audit(self, spark):
+        """A degenerate constant-embedding corpus lands in one mega-cell;
+        the opt-in cap excludes it (no quadratic pair set) and the audit
+        view reports exactly that cell — never silent."""
+        from ocr_spark.operators.similarity import (
+            assign_cells,
+            semdedup_hot_cells,
+            semdedup_pairs,
+            train_centroids,
+        )
+
+        n = 300
+        df = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr("array(1.0D, 0.0D, 0.0D, 0.0D)").alias("embedding"),
+        )
+        cents = train_centroids(df, n_centroids=2, iters=1)
+        cells = assign_cells(df, cents).persist()
+        try:
+            uncapped = semdedup_pairs(cells=cells, threshold=0.5)
+            assert uncapped.count() == n * (n - 1) // 2
+            capped = semdedup_pairs(cells=cells, threshold=0.5, max_cell=100)
+            assert capped.count() == 0
+            audit = semdedup_hot_cells(cells=cells, max_cell=100).collect()
+            assert len(audit) == 1 and audit[0].n_docs == n
+        finally:
+            cells.unpersist()
+
+    def test_shared_cells_frame_guards(self, embs, cents):
+        from ocr_spark.operators.similarity import (
+            assign_cells,
+            semdedup_pairs,
+            train_centroids,
+        )
+
+        cells = assign_cells(embs, cents)
+        other = train_centroids(embs, n_centroids=2, iters=1)
+        with pytest.raises(ValueError, match="centroids"):
+            semdedup_pairs(cells=cells, cents=other)
+        with pytest.raises(ValueError, match="lacks columns"):
+            semdedup_pairs(cells=cells.drop("embedding"))
+        with pytest.raises(ValueError, match="pass"):
+            semdedup_pairs(threshold=0.5)
+
+    def test_zero_norm_vector_never_pairs(self, spark):
+        from ocr_spark.operators.similarity import (
+            semdedup_pairs,
+            train_centroids,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = train_centroids(df, n_centroids=1, iters=0)
+        rows = semdedup_pairs(df, cents, threshold=0.5).collect()
+        # the zero vector's cosine is defined to 0 (no NaN poisoning the
+        # filter); only the two real unit vectors pair
+        assert {(r.doc_a, r.doc_b) for r in rows} == {(0, 2)}
