@@ -707,6 +707,35 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("score", F.round("score", 9))
 
 
+# Corpus n-gram boilerplate report (text_analysis.ngram_report): all
+# positional word trigrams, two stacked aggregations (per-(gram, doc)
+# counts, then totals + doc frequency), deterministic top-k on
+# (occurrences DESC, ngram ASC).  All-integer outputs — engine-exact.
+_NGRAM_REPORT_SQL = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           CASE WHEN len(w) >= 3 THEN generate_series(0, len(w) - 3)
+                ELSE [] END,
+           i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))) AS ngram
+  FROM words),
+perdoc AS (SELECT ngram, doc_id, count(*) AS c FROM grams
+           GROUP BY ngram, doc_id),
+tot AS (SELECT ngram, CAST(sum(c) AS BIGINT) AS n_occurrences,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM perdoc GROUP BY ngram HAVING count(*) >= 2)
+SELECT ngram, n_occurrences, n_docs FROM tot
+ORDER BY n_occurrences DESC, ngram ASC LIMIT 50
+"""
+
+
+def _q_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.ngram_report(
+        _t(spark, sf_dir, "documents"), n=3, top_k=50, min_docs=2
+    )
+
+
 # Gate-threshold calibration quantiles: exact linear-interpolated
 # (rank = p*(n-1), the quantile_cont convention both engines implement);
 # interpolation divides doubles → round(value, 9) on both sides.
@@ -3729,6 +3758,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # coalesce)
     "sim_semdedup_pairs": (_q_semdedup_pairs, _SEMDEDUP_PAIRS_SQL),
     "sim_semdedup_corpus": (_q_semdedup_corpus, _SEMDEDUP_CORPUS_SQL),
+    "corpus_ngram_report": (_q_ngram_report, _NGRAM_REPORT_SQL),
     "corpus_pack_tokens": (_q_pack_tokens, _PACK_TOKENS_SQL),
     "text_tfidf_keywords": (_q_tfidf, _TFIDF_SQL),
     "corpus_quantile_report": (_q_quantile_report, _QUANTILE_SQL),

@@ -829,3 +829,69 @@ def quantile_report(
         ]
     )
     return row.select(F.explode(structs).alias("_s")).select("_s.*")
+
+
+def ngram_report(
+    df: DataFrame,
+    n: int = 3,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 1,
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams: ``(ngram, n_occurrences,
+    n_docs)``, the ``top_k`` by total occurrences.  Boilerplate discovery
+    — "sign up for our newsletter", cookie banners, SEO footers — the
+    report a curation team reads BEFORE writing line-dedup and blocklist
+    rules (C4's and RefinedWeb's boilerplate lists both started as
+    exactly this table).
+
+    Plan shape: the word array is bound to a real column (the split
+    rule — an inlined split re-tokenizes the document once per n-gram),
+    ALL positional n-grams explode (not the per-doc-distinct shingle set
+    — frequency is the point), then TWO stacked aggregations: per
+    ``(ngram, doc)`` counts first, per-ngram totals second, so document
+    frequency is a plain ``count(*)`` instead of a ``count_distinct``
+    expand over the full occurrence list.  The final top-k is
+    sort+limit, which Spark executes as TakeOrderedAndProject — a
+    bounded per-partition heap merged on the driver, never a global
+    sort (plan-pinned).  Ordering ties break on the ngram string, so
+    the cut is deterministic across runs, partitionings, and engines.
+    ``min_docs`` prunes the (at web scale, enormous) singleton tail
+    between the aggregate and the rank.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    tmp = "_ws"
+    while tmp in df.columns:
+        tmp += "_"
+    ws = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        tmp, F.split(F.col(text_col), " ")
+    )
+    # short/NULL docs → empty array (sequence(0, negative) counts DOWN;
+    # size(NULL) is -1) — same guard shape as dedup.with_shingles
+    expr = (
+        f"CASE WHEN size(`{tmp}`) >= {n} THEN "
+        f"transform(sequence(0, size(`{tmp}`) - {n}),"
+        f" i -> array_join(slice(`{tmp}`, i + 1, {n}), ' ')) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    grams = ws.select(
+        F.col(id_col), F.explode(F.expr(expr)).alias("ngram")
+    )
+    perdoc = grams.groupBy("ngram", id_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tot = (
+        perdoc.groupBy("ngram")
+        .agg(
+            F.sum("_c").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return tot.orderBy(
+        F.desc("n_occurrences"), F.col("ngram").asc()
+    ).limit(top_k)

@@ -3692,3 +3692,75 @@ class TestSemDeDup:
         # the zero vector's cosine is defined to 0 (no NaN poisoning the
         # filter); only the two real unit vectors pair
         assert {(r.doc_a, r.doc_b) for r in rows} == {(0, 2)}
+
+
+class TestNgramReport:
+    """text_analysis.ngram_report — corpus boilerplate discovery."""
+
+    def test_counts_and_ranks_hand_corpus(self, spark):
+        from ocr_spark.operators.text_analysis import ngram_report
+
+        rows = [
+            (1, "sign up for our newsletter today"),
+            (2, "please sign up for our newsletter"),
+            # doc 3 repeats the gram: occurrences > docs
+            (3, "sign up for fun sign up for profit"),
+            (4, None),
+            (5, ""),
+            (6, "too short"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.ngram: (r.n_occurrences, r.n_docs)
+            for r in ngram_report(df, n=3, top_k=100, min_docs=1).collect()
+        }
+        assert got["sign up for"] == (4, 3)
+        assert got["up for our"] == (2, 2)
+        assert got["for our newsletter"] == (2, 2)
+        assert got["up for fun"] == (1, 1)
+        # doc 6 has 2 words -> no trigram; NULL/empty contribute nothing
+        assert not any("too short" in g for g in got)
+
+    def test_min_docs_prunes_singletons(self, spark):
+        from ocr_spark.operators.text_analysis import ngram_report
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e")],
+            "doc_id long, text string",
+        )
+        got = {r.ngram for r in ngram_report(df, n=3, min_docs=2).collect()}
+        assert got == {"a b c"}
+
+    def test_topk_cut_is_deterministic_on_ties(self, spark):
+        from ocr_spark.operators.text_analysis import ngram_report
+
+        # ten distinct trigrams, every count 1: the k=3 cut must take the
+        # lexicographically first three, on any partitioning
+        docs = [(i, f"w{i:02d} x{i:02d} y{i:02d}") for i in range(10)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for parts in (1, 7):
+            got = [
+                r.ngram
+                for r in ngram_report(
+                    df.repartition(parts), n=3, top_k=3
+                ).collect()
+            ]
+            assert got == sorted(f"w{i:02d} x{i:02d} y{i:02d}"
+                                 for i in range(10))[:3]
+
+    def test_plan_topk_is_heap_not_global_sort(self, spark, docs):
+        from ocr_spark.operators.text_analysis import ngram_report
+
+        rep = ngram_report(docs, n=3, top_k=50, min_docs=2)
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        # the rank must not materialize as a full sort of the gram table
+        assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+    def test_validation(self, spark, docs):
+        from ocr_spark.operators.text_analysis import ngram_report
+
+        with pytest.raises(ValueError, match="n must"):
+            ngram_report(docs, n=0)
+        with pytest.raises(ValueError, match="top_k"):
+            ngram_report(docs, top_k=0)
