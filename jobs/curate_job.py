@@ -109,6 +109,13 @@ def main() -> int:
                          "--incremental-ref's exact pass)")
     ap.add_argument("--max-bucket", type=int, default=10_000,
                     help="LSH hot-bucket cap (audited; see summary)")
+    ap.add_argument("--boilerplate", type=int, default=None,
+                    metavar="MIN_DOCS",
+                    help="remove ALL occurrences of any line present in"
+                         " >= MIN_DOCS distinct documents (template chrome:"
+                         " cookie banners, nav, share buttons); runs before"
+                         " line dedup — per-host scoping is available via"
+                         " dedup.corpus_boilerplate_filter(scope_col=)")
     ap.add_argument("--line-dedup", action="store_true",
                     help="corpus-global duplicate-line removal")
     ap.add_argument("--span-dedup", type=int, default=None, metavar="W",
@@ -428,6 +435,21 @@ def main() -> int:
             cap_per_domain(docs, args.max_per_domain)
         )
         _stage("domain_cap")
+
+    if args.boilerplate is not None:
+        from ocr_spark.operators.dedup import corpus_boilerplate_filter
+
+        bp = corpus_boilerplate_filter(docs, min_docs=args.boilerplate).cache()
+        summary["boilerplate_lines_removed"] = int(
+            bp.agg(
+                F.sum(F.col("n_lines") - F.col("n_lines_kept"))
+            ).collect()[0][0]
+            or 0
+        )
+        docs = docs.drop("text").join(
+            bp.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+        )
+        _stage("boilerplate")
 
     if args.line_dedup:
         from ocr_spark.operators.dedup import corpus_line_dedup

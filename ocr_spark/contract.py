@@ -2492,6 +2492,104 @@ def _q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.corpus_line_dedup(corpus, delimiter="\n\n")
 
 
+# Boilerplate-line filter + report twins.  The synthetic docs share no
+# natural lines (measured: every sentence is corpus-unique at sf0.01), so
+# both engines build the SAME frequency structure deterministically:
+# sentence-split each doc (". " → "." + newline), append one universal
+# footer line (document frequency = corpus size → removed everywhere) and
+# one short "ok" line (high frequency but < min_line_chars → the
+# NULL-digest keep path), then copy every third doc under doc_id +
+# 1000000 so its sentences reach doc frequency 2 (removed from original
+# AND copy) while the other two thirds stay at frequency 1 (kept).
+_BP_INJECT_DUCK = (
+    "replace(text, '. ', '.' || chr(10)) || chr(10) || "
+    "'subscribe to our newsletter today' || chr(10) || 'ok'"
+)
+
+_BP_CORPUS_DUCK = f"""SELECT doc_id, {_BP_INJECT_DUCK} AS text FROM documents
+  UNION ALL SELECT doc_id + 1000000, {_BP_INJECT_DUCK} AS text
+  FROM documents WHERE doc_id % 3 = 0"""
+
+_BP_FILTER_SQL = f"""
+WITH corpus AS ({_BP_CORPUS_DUCK}),
+ls AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+       FROM corpus),
+lines AS (
+  SELECT doc_id, s.li, s.line FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ls)),
+                                 i -> {{'li': i - 1, 'line': ls[i]}})) AS s
+    FROM ls)),
+dig AS (
+  SELECT doc_id, li, line,
+         CASE WHEN length(line) >= 5 THEN md5(line) END AS digest
+  FROM lines),
+hot AS (
+  SELECT digest FROM (
+    SELECT DISTINCT digest, doc_id FROM dig WHERE digest IS NOT NULL)
+  GROUP BY digest HAVING count(*) >= 2),
+flagged AS (
+  SELECT dg.doc_id, dg.li, dg.line, (h.digest IS NULL) AS keep
+  FROM dig dg LEFT JOIN hot h ON dg.digest = h.digest)
+SELECT doc_id,
+  COALESCE(string_agg(line, chr(10) ORDER BY li) FILTER (WHERE keep), '')
+    AS clean_text,
+  CAST(count(*) AS INTEGER) AS n_lines,
+  CAST(count(*) FILTER (WHERE keep) AS INTEGER) AS n_lines_kept
+FROM flagged GROUP BY doc_id
+"""
+
+_BP_LINES_SQL = f"""
+WITH corpus AS ({_BP_CORPUS_DUCK}),
+ls AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+       FROM corpus),
+lines AS (
+  SELECT doc_id, s.line FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ls)),
+                                 i -> {{'line': ls[i]}})) AS s
+    FROM ls)),
+dig AS (
+  SELECT doc_id, line, md5(line) AS digest FROM lines
+  WHERE length(line) >= 5),
+perdoc AS (
+  SELECT digest, doc_id, count(*) AS c, min(line) AS line
+  FROM dig GROUP BY digest, doc_id)
+SELECT min(line) AS line,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM perdoc GROUP BY digest HAVING count(*) >= 2
+"""
+
+_BP_INJECT_SPARK = (
+    "concat(replace(text, '. ', concat('.', char(10))), char(10), "
+    "'subscribe to our newsletter today', char(10), 'ok')"
+)
+
+
+def _bp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_BP_INJECT_SPARK).alias("text")
+    )
+    return docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+
+
+def _q_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.corpus_boilerplate_filter(
+        _bp_corpus(spark, sf_dir), min_docs=2, min_line_chars=5
+    )
+
+
+def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.boilerplate_lines(
+        _bp_corpus(spark, sf_dir), min_docs=2, min_line_chars=5
+    )
+
+
 _DOMAIN_FILTER_SQL = """
 WITH u AS (
   SELECT doc_id,
@@ -3756,6 +3854,8 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # implementation changed (id-only lsh/ivf rerank joins, NULL-digest
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
+    "corpus_boilerplate_filter": (_q_boilerplate_filter, _BP_FILTER_SQL),
+    "corpus_boilerplate_lines": (_q_boilerplate_lines, _BP_LINES_SQL),
     "sim_semdedup_pairs": (_q_semdedup_pairs, _SEMDEDUP_PAIRS_SQL),
     "sim_semdedup_corpus": (_q_semdedup_corpus, _SEMDEDUP_CORPUS_SQL),
     "corpus_ngram_report": (_q_ngram_report, _NGRAM_REPORT_SQL),

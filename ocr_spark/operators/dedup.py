@@ -424,6 +424,173 @@ def corpus_line_dedup(
     )
 
 
+def _check_line_params(delimiter: str, min_docs: int) -> None:
+    if any(c in delimiter for c in "\\^$.|?*+()[]{}"):
+        raise ValueError(
+            f"delimiter must be a regex-free literal, got {delimiter!r}"
+        )
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+
+
+def _exploded_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    delimiter: str,
+    min_line_chars: int,
+    scope_col: str | None,
+) -> DataFrame:
+    """(id[, scope], li, line, digest) — one row per line occurrence;
+    digest NULL for lines shorter than ``min_line_chars`` (they never
+    participate in any corpus-frequency rule).  NULL text coalesces to
+    '' so zero-text documents survive the explode (the corpus_line_dedup
+    lesson: a posexplode of a NULL array emits no rows and the doc
+    silently vanishes)."""
+    cols = [F.col(id_col)]
+    if scope_col is not None:
+        cols.append(F.col(scope_col))
+    lines = df.select(
+        *cols,
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), delimiter)
+        ).alias("li", "line"),
+    )
+    return lines.withColumn(
+        "digest",
+        F.when(F.length("line") >= min_line_chars, F.md5(F.col("line"))),
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_line_chars: int = 5,
+    delimiter: str = "\n",
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Corpus boilerplate-line report: every line occurring in at least
+    ``min_docs`` DISTINCT documents, with its document frequency and
+    total occurrence count — ``([scope,] line, n_docs, n_occurrences)``.
+    The audit twin of :func:`corpus_boilerplate_filter` (same
+    parameters → the report lists exactly the lines the filter removes);
+    run it first to calibrate ``min_docs``, or alongside the filter so
+    what was removed is never silent.
+
+    ``scope_col`` (e.g. a domain column) counts frequency WITHIN each
+    scope — the RefinedWeb/CCNet formulation where "subscribe to our
+    newsletter" is boilerplate because it repeats across one host's
+    pages, not across the web.
+
+    Plan shape: explode → per-(digest, doc) counts (map-side combined)
+    → per-digest totals, so document frequency is a plain ``count(*)``
+    instead of a ``count_distinct`` expand over the occurrence list
+    (the ngram_report pattern).  The line text rides through as a
+    ``min`` fold (all occurrences of a digest share it)."""
+    _check_line_params(delimiter, min_docs)
+    keys = ([scope_col] if scope_col is not None else []) + ["digest"]
+    digested = _exploded_lines(
+        df, text_col, id_col, delimiter, min_line_chars, scope_col
+    ).filter(F.col("digest").isNotNull())
+    perdoc = digested.groupBy(*keys, id_col).agg(
+        F.count(F.lit(1)).alias("_c"), F.min("line").alias("_line")
+    )
+    out_cols = ([scope_col] if scope_col is not None else []) + [
+        "line",
+        "n_docs",
+        "n_occurrences",
+    ]
+    return (
+        perdoc.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_c").alias("n_occurrences"),
+            F.min("_line").alias("line"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(*out_cols)
+    )
+
+
+def corpus_boilerplate_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_line_chars: int = 5,
+    delimiter: str = "\n",
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Corpus boilerplate-line REMOVAL: delete ALL occurrences of any
+    line present in at least ``min_docs`` distinct documents (within
+    ``scope_col`` when given).  The complement of
+    :func:`corpus_line_dedup`, which keeps a first-occurrence winner:
+    dedup answers "this content should exist once"; boilerplate removal
+    answers "this line is template chrome — cookie banners, nav
+    leftovers, share buttons — and should not exist at all" (C4 §2.2
+    drops lines from its boilerplate list; RefinedWeb removes
+    host-repeated lines outright).
+
+    ``min_line_chars`` (default 5, lower than corpus_line_dedup's 15:
+    boilerplate lines are often short — "Menu", "Share this:") bounds
+    false positives on trivial lines; the real guard is ``min_docs`` —
+    a line must repeat across documents to be template chrome.  Both
+    parameters change the output; there is no silent default cap, and
+    :func:`boilerplate_lines` with the same parameters IS the audit of
+    what was removed.
+
+    Returns ``(id_col, clean_text, n_lines, n_lines_kept)`` — the
+    corpus_line_dedup output shape, so curation chains can swap or
+    stack the two.
+
+    Plan shape at 10^12 docs: explode → distinct (digest, doc) via a
+    map-side-combined count → per-digest doc frequency → equi-join of
+    occurrences against the (small, by definition: |lines|/min_docs at
+    most, in practice the template tail) hot-digest set — AQE broadcasts
+    it when it fits — → one groupBy(doc) rebuild with a sorted fold.
+    Shuffles carry digests + ids once each; nothing is quadratic."""
+    _check_line_params(delimiter, min_docs)
+    keys = ([scope_col] if scope_col is not None else []) + ["digest"]
+    digested = _exploded_lines(
+        df, text_col, id_col, delimiter, min_line_chars, scope_col
+    )
+    hot = (
+        digested.filter(F.col("digest").isNotNull())
+        .select(*keys, id_col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select(*keys)
+        .withColumn("_bp", F.lit(True))
+    )
+    # NULL digests (short lines) never match the join key → kept as-is
+    flagged = digested.join(hot, keys, "left").select(
+        id_col,
+        "li",
+        "line",
+        F.col("_bp").isNull().alias("keep"),
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.expr(
+            "sort_array(collect_list(CASE WHEN keep THEN "
+            "struct(li, line) END))"
+        ).alias("_kl"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_lines_kept"),
+    )
+    return agg.select(
+        id_col,
+        F.array_join(
+            F.transform(F.col("_kl"), lambda s: s["line"]), delimiter
+        ).alias("clean_text"),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
+    )
+
+
 def _bind_tokens(df: DataFrame, text_col: str) -> tuple[DataFrame, str]:
     """Bind the whitespace token array to a collision-free column (the
     CLAUDE.md rule: never inline an array build into a lambda body)."""

@@ -210,6 +210,7 @@ class TestJobs:
                 "--near-dup-ref", str(ref),
                 "--near-dup",
                 "--max-per-domain", "50",
+                "--boilerplate", "2",
                 "--line-dedup",
                 "--span-dedup", "20",
                 "--lm-head", "0.95",
@@ -238,6 +239,7 @@ class TestJobs:
         assert summary["after_incremental_near"] == summary["after_incremental"]
         assert "dup_clusters" in summary  # cluster-aware near-dup ran
         assert summary["after_domain_cap"] > 0
+        assert "boilerplate_lines_removed" in summary  # boilerplate ran
         assert "dup_span_tokens_removed" in summary  # span dedup ran
         assert summary["lm_threshold"] < 0  # LM cut reported, never silent
         assert summary["after_lm_head"] > 0
@@ -259,7 +261,7 @@ class TestJobs:
         for k in ("latest_capture", "input_scan", "blocklist", "lang",
                   "quality", "exact_dedup", "incremental",
                   "incremental_near", "near_dup", "domain_cap",
-                  "line_dedup", "span_dedup", "lm_head",
+                  "boilerplate", "line_dedup", "span_dedup", "lm_head",
                   "classifier_head", "decontam", "write"):
             assert k in st and st[k] >= 0, k
 

@@ -3764,3 +3764,146 @@ class TestNgramReport:
             ngram_report(docs, n=0)
         with pytest.raises(ValueError, match="top_k"):
             ngram_report(docs, top_k=0)
+
+
+class TestBoilerplateFilter:
+    """corpus_boilerplate_filter removes ALL occurrences of high-document-
+    frequency lines (vs corpus_line_dedup's keep-one winner), and
+    boilerplate_lines is its exact audit twin."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        footer = "subscribe to our newsletter today"
+        return spark.createDataFrame(
+            [
+                (1, f"unique prose of document one\n{footer}\nok"),
+                (2, f"document two distinct body\n{footer}\nok"),
+                (3, f"third document text here\n{footer}\nok\nshared tail line"),
+                (4, "fourth document only prose\nshared tail line"),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_removes_every_occurrence(self, spark, corpus):
+        from ocr_spark.operators.dedup import corpus_boilerplate_filter
+
+        got = {
+            r.doc_id: r
+            for r in corpus_boilerplate_filter(corpus, min_docs=2).collect()
+        }
+        # the footer is gone from ALL three docs — no first-winner kept
+        assert got[1].clean_text == "unique prose of document one\nok"
+        assert got[2].clean_text == "document two distinct body\nok"
+        # DF=2 lines removed too; DF=1 lines kept
+        assert got[3].clean_text == "third document text here\nok"
+        assert got[4].clean_text == "fourth document only prose"
+        # NULL text → one empty (short, NULL-digest) line, kept
+        assert got[5].clean_text == "" and got[5].n_lines_kept == 1
+        assert (got[3].n_lines, got[3].n_lines_kept) == (4, 2)
+
+    def test_short_lines_never_participate(self, spark, corpus):
+        from ocr_spark.operators.dedup import corpus_boilerplate_filter
+
+        got = {
+            r.doc_id: r.clean_text
+            for r in corpus_boilerplate_filter(corpus, min_docs=2).collect()
+        }
+        # "ok" is in 3 docs but < min_line_chars — never removed
+        assert all("ok" in got[d] for d in (1, 2, 3))
+
+    def test_within_doc_repeats_are_not_boilerplate(self, spark):
+        from ocr_spark.operators.dedup import corpus_boilerplate_filter
+
+        line = "repeated inside one document only"
+        df = spark.createDataFrame(
+            [(1, f"{line}\n{line}\n{line}"), (2, "other content entirely")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r
+            for r in corpus_boilerplate_filter(df, min_docs=2).collect()
+        }
+        # document frequency is DISTINCT docs: 3 occurrences in one doc = 1
+        assert got[1].n_lines_kept == 3
+
+    def test_report_is_the_filters_audit(self, spark, corpus):
+        from ocr_spark.operators.dedup import (
+            boilerplate_lines,
+            corpus_boilerplate_filter,
+        )
+
+        rep = boilerplate_lines(corpus, min_docs=2).collect()
+        by_line = {r.line: r for r in rep}
+        assert set(by_line) == {
+            "subscribe to our newsletter today",
+            "shared tail line",
+        }
+        assert by_line["subscribe to our newsletter today"].n_docs == 3
+        assert by_line["shared tail line"].n_docs == 2
+        # every reported line is absent from the filtered corpus
+        cleaned = corpus_boilerplate_filter(corpus, min_docs=2).collect()
+        for r in cleaned:
+            for line in by_line:
+                assert line not in r.clean_text.split("\n")
+
+    def test_scope_col_counts_within_scope(self, spark):
+        from ocr_spark.operators.dedup import (
+            boilerplate_lines,
+            corpus_boilerplate_filter,
+        )
+
+        nav = "home products about contact"
+        df = spark.createDataFrame(
+            [
+                (1, "a.com", f"{nav}\nalpha site page one"),
+                (2, "a.com", f"{nav}\nalpha site page two"),
+                (3, "b.com", f"{nav}\nbeta site single page"),
+            ],
+            "doc_id long, domain string, text string",
+        )
+        got = {
+            r.doc_id: r.clean_text
+            for r in corpus_boilerplate_filter(
+                df, min_docs=2, scope_col="domain"
+            ).collect()
+        }
+        # nav repeats WITHIN a.com → removed there; b.com has it once → kept
+        assert got[1] == "alpha site page one"
+        assert got[2] == "alpha site page two"
+        assert got[3] == f"{nav}\nbeta site single page"
+        rep = boilerplate_lines(df, min_docs=2, scope_col="domain").collect()
+        assert [(r.domain, r.line, r.n_docs) for r in rep] == [
+            ("a.com", nav, 2)
+        ]
+
+    def test_partitioning_invariant(self, spark, docs):
+        from ocr_spark.operators.dedup import corpus_boilerplate_filter
+
+        base = docs.select("doc_id", "text").limit(50)
+        dup = base.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+        corpus = base.unionByName(dup)
+        a = sorted(map(tuple, corpus_boilerplate_filter(corpus).collect()))
+        b = sorted(
+            map(
+                tuple,
+                corpus_boilerplate_filter(corpus.repartition(13)).collect(),
+            )
+        )
+        assert a == b
+        # duplicated docs lose their eligible lines in BOTH copies
+        by_id = {r[0]: r for r in a}
+        for r in a:
+            if r[0] >= 500000:
+                assert by_id[r[0] - 500000][1] == r[1]
+
+    def test_validation(self, spark, corpus):
+        from ocr_spark.operators.dedup import (
+            boilerplate_lines,
+            corpus_boilerplate_filter,
+        )
+
+        with pytest.raises(ValueError, match="min_docs"):
+            corpus_boilerplate_filter(corpus, min_docs=0)
+        with pytest.raises(ValueError, match="delimiter"):
+            boilerplate_lines(corpus, delimiter=".")
