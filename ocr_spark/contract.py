@@ -3297,6 +3297,62 @@ def _q_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Random projection (JL dim-reduce, operators/embed.py).  The ±1 sign
+# matrix is generated ONCE at import (driver-side hashlib — deterministic,
+# no Spark/DuckDB hashing needed) and inlined as a literal in BOTH
+# engines; products are ±x (exact), folds are sequential index-order with
+# a 0.0 init on both sides (DuckDB prepends 0.0 to its list_reduce), and
+# the 1/sqrt(out_dim) scale is one correctly-rounded multiply — so the
+# exploded (vec_id, j, value) rows hash-compare UNROUNDED.
+
+_RP_IN, _RP_OUT = 64, 8
+
+
+def _rp_sql() -> str:
+    from .operators.embed import random_projection_matrix
+
+    m = random_projection_matrix(_RP_IN, _RP_OUT)
+    m_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"{v!r}" for v in row) + "]" for row in m
+        )
+        + "]"
+    )
+    # the matrix literal must be HOISTED out of the lambda body (the
+    # repo's inline-array rule applies to DuckDB too: inlined, the
+    # 512-literal list rebuilds per element — measured 58 s vs < 1 s)
+    return f"""
+WITH mr AS (
+  SELECT j, ({m_lit})[j] AS mrow
+  FROM generate_series(1, {_RP_OUT}) AS g(j))
+SELECT vec_id, CAST(mr.j AS INTEGER) AS j,
+  list_reduce(
+    [CAST(0 AS DOUBLE)] || list_transform(generate_series(1, {_RP_IN}),
+      i -> mr.mrow[i] * CAST(embedding[i] AS DOUBLE)),
+    (a, b) -> a + b)
+  * (CAST(1 AS DOUBLE) / sqrt(CAST({_RP_OUT} AS DOUBLE))) AS value
+FROM embeddings, mr
+"""
+
+
+_RP_SQL = _rp_sql()
+
+
+def _q_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import embed
+
+    rp = embed.random_project(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        in_dim=_RP_IN,
+        out_dim=_RP_OUT,
+    )
+    return rp.select(
+        "vec_id", F.posexplode("rp").alias("j", "value")
+    ).select("vec_id", (F.col("j") + 1).alias("j"), "value")
+
+
+# ---------------------------------------------------------------------------
 # outlink extraction + host web graph (operators/links.py)
 #
 # Same analytic-template strategy as extract_html: Spark builds HTML
@@ -3854,6 +3910,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # implementation changed (id-only lsh/ivf rerank joins, NULL-digest
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
+    "sim_random_project": (_q_random_project, _RP_SQL),
     "corpus_boilerplate_filter": (_q_boilerplate_filter, _BP_FILTER_SQL),
     "corpus_boilerplate_lines": (_q_boilerplate_lines, _BP_LINES_SQL),
     "sim_semdedup_pairs": (_q_semdedup_pairs, _SEMDEDUP_PAIRS_SQL),

@@ -207,3 +207,100 @@ def semantic_near_dup(
         max_bucket=max_bucket,
         banded=banded,
     )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss dimensionality reduction)
+
+RP_SALT = "rp:"  # hash-domain prefix: independent of emb/splits/minhash
+
+
+def random_projection_matrix(
+    in_dim: int, out_dim: int, seed: str = "v1"
+) -> list[list[float]]:
+    """Deterministic ±1 sign matrix (out_dim × in_dim) for
+    :func:`random_project` — Achlioptas (2003) database-friendly random
+    projections: entries in {+1, -1} with equal probability satisfy the
+    Johnson-Lindenstrauss lemma just like Gaussian entries, and keep
+    every product exact in float64 (``±x`` carries no rounding).
+
+    Entry (j, i) draws its sign from the parity of the repo's portable
+    48-bit md5 hash of ``"rp:{seed}:{j}:{i}"`` — reproducible on the
+    driver, in Spark, and in the DuckDB oracle with no RNG state.  The
+    matrix is generated ONCE driver-side (hashlib, not a Spark job) and
+    ridden into the plan as a literal, so executors never hash."""
+    import hashlib
+
+    def sign(j: int, i: int) -> float:
+        h = hashlib.md5(
+            f"{RP_SALT}{seed}:{j}:{i}".encode()
+        ).hexdigest()
+        return 1.0 if int(h[:12], 16) % 2 == 0 else -1.0
+
+    return [[sign(j, i) for i in range(in_dim)] for j in range(out_dim)]
+
+
+def random_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    vec_col: str = "embedding",
+    seed: str = "v1",
+    matrix: list[list[float]] | None = None,
+    out_col: str = "rp",
+) -> DataFrame:
+    """Append ``out_col`` = the ``out_dim``-dimensional random projection
+    of ``vec_col`` — ONE shuffle-free codegen projection (the
+    with_dsir_weight inline-literal pattern).
+
+    Why at 100 TB: every approximate-similarity stage downstream (LSH
+    banding, IVF cell assignment, candidate rerank) pays O(dim) per
+    vector per comparison, and the pair joins' shuffle bytes scale with
+    dim.  Projecting 768 → 64 once (this op) cuts all of that ~12× while
+    the JL lemma bounds the distance distortion; the final rerank can
+    still join the FULL vectors by id (the id-only pair rule).  The sign
+    matrix rides the plan as a double-array literal (~6 bytes/entry of
+    plan text — fine to ~10^5 entries; past that broadcast a matrix
+    table and use a join formulation).
+
+    Exactness: products are ``±x`` (no rounding), the per-output fold is
+    a sequential index-order ``aggregate`` (0-init; ``0.0 + x`` is
+    exact), and the final ``1/sqrt(out_dim)`` scale is one correctly-
+    rounded multiply — so values are bit-identical across partitionings
+    and engines (the DuckDB twin mirrors the fold with ``list_reduce``
+    over a 0.0-prepended list).  The scale preserves expected L2 norms
+    (JL's isometry); cosine consumers are scale-invariant either way.
+
+    A row whose vector is shorter than ``in_dim`` (or NULL) projects to
+    NULL components — ``try_element_at`` past the end is NULL (plain
+    ``element_at`` RAISES under Spark's ANSI default, which would kill
+    the whole job on one malformed row) and NULL propagates through the
+    fold — never a silently-wrong value.  Matrix indexing stays strict
+    ``element_at``: its indices are generated in-range, so a raise there
+    is a real bug, not data.
+    """
+    if matrix is None:
+        matrix = random_projection_matrix(in_dim, out_dim, seed)
+    if len(matrix) != out_dim or any(len(r) != in_dim for r in matrix):
+        raise ValueError(
+            f"matrix shape {len(matrix)}x{len(matrix[0]) if matrix else 0}"
+            f" != out_dim x in_dim ({out_dim}x{in_dim})"
+        )
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    m_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(v)!r}D" for v in row) + ")"
+            for row in matrix
+        )
+        + ")"
+    )
+    inv = f"(CAST(1 AS DOUBLE) / sqrt(CAST({out_dim} AS DOUBLE)))"
+    expr = (
+        f"transform(sequence(1, {out_dim}), j -> "
+        f"aggregate(sequence(1, {in_dim}), CAST(0 AS DOUBLE), (acc, i) -> "
+        f"acc + element_at(element_at({m_lit}, j), i) * "
+        f"CAST(try_element_at(`{vec_col}`, i) AS DOUBLE)) * {inv})"
+    )
+    return df.withColumn(out_col, F.expr(expr))

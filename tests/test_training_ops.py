@@ -3907,3 +3907,77 @@ class TestBoilerplateFilter:
             corpus_boilerplate_filter(corpus, min_docs=0)
         with pytest.raises(ValueError, match="delimiter"):
             boilerplate_lines(corpus, delimiter=".")
+
+
+class TestRandomProjection:
+    """random_project: deterministic ±1 JL dim-reduce as one shuffle-free
+    codegen projection (matrix constant-folded into the plan)."""
+
+    def test_deterministic_and_seeded(self):
+        from ocr_spark.operators.embed import random_projection_matrix
+
+        a = random_projection_matrix(8, 4)
+        assert a == random_projection_matrix(8, 4)
+        assert a != random_projection_matrix(8, 4, seed="v2")
+        assert all(v in (1.0, -1.0) for row in a for v in row)
+        assert len(a) == 4 and all(len(r) == 8 for r in a)
+
+    def test_exact_values_and_null_propagation(self, spark):
+        from ocr_spark.operators.embed import random_project
+
+        m = [[1.0, -1.0, 1.0], [1.0, 1.0, 1.0]]
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 4.0]), (2, [1.0, 2.0]), (3, None)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            r.vec_id: r.rp
+            for r in random_project(df, 3, 2, matrix=m).collect()
+        }
+        inv = 1.0 / (2.0 ** 0.5)
+        assert got[1] == [3.0 * inv, 7.0 * inv]
+        # short vector: element_at past the end is NULL → NULL output,
+        # never a silently-truncated projection
+        assert got[2] == [None, None]
+        assert got[3] == [None, None]
+
+    def test_plan_is_one_shuffle_free_projection(self, spark, embs):
+        from ocr_spark.operators.embed import random_project
+
+        rp = random_project(embs.select("vec_id", "embedding"), 64, 8)
+        plan = rp._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # the sign matrix must be constant-folded to ONE literal, not a
+        # CreateArray rebuilt per row (the inline-array rule)
+        assert "[[" in plan and "create_array" not in plan.lower()
+
+    def test_jl_distance_preservation(self, spark, embs):
+        """64 → 32 on the fixture embeddings: mean pairwise-distance
+        distortion ~9.6% (measured; the JL bound for k=32).  Pinned with
+        margin — the matrix and data are deterministic."""
+        import numpy as np
+        from itertools import combinations
+        from ocr_spark.operators.embed import random_project
+
+        rows = random_project(
+            embs.select("vec_id", "embedding").limit(100), 64, 32
+        ).collect()
+        X = np.array([r.embedding for r in rows], dtype=np.float64)
+        Y = np.array([r.rp for r in rows], dtype=np.float64)
+        dx, dy = [], []
+        for a, b in combinations(range(len(rows)), 2):
+            dx.append(np.linalg.norm(X[a] - X[b]))
+            dy.append(np.linalg.norm(Y[a] - Y[b]))
+        dx, dy = np.array(dx), np.array(dy)
+        rel = np.abs(dy - dx) / dx
+        assert rel.mean() < 0.15
+        # the 1/sqrt(out_dim) scale preserves expected norms (isometry)
+        assert 0.9 < dy.mean() / dx.mean() < 1.1
+
+    def test_validation(self, spark, embs):
+        from ocr_spark.operators.embed import random_project
+
+        with pytest.raises(ValueError, match="matrix shape"):
+            random_project(embs, 64, 8, matrix=[[1.0, -1.0]])
+        with pytest.raises(ValueError, match="already exists"):
+            random_project(embs, 64, 8, out_col="embedding")
