@@ -1897,6 +1897,91 @@ FROM px GROUP BY media_id, i
 """
 
 
+# Perceptual average-hash + image near-dup pairs: the Spark side decodes
+# REAL bytes (PNG codec), nearest-resizes to 8×8, and packs the
+# above-mean bits; the oracle replays the exact integer pipeline — the
+# resize index map (x2·W//8), the closed-form fixture channels, and the
+# CROSS-MULTIPLIED mean comparison (v·64 > total, no float anywhere) —
+# packing via HUGEINT shifts (DuckDB raises on 1::BIGINT << 63) and
+# mapping bit 63 back into the signed bigint domain.  The pairs row
+# additionally proves the pigeonhole banding's EXACT recall: the oracle
+# counts disagreeing bits per pair directly (no bands), so any missed
+# band pair breaks the hash.
+
+_MM_AH_G = 8
+
+
+def _ahash_sql() -> str:
+    sx, sy = _MM_W // _MM_AH_G, _MM_H // _MM_AH_G
+    n = _MM_AH_G * _MM_AH_G
+    return f"""
+WITH {_MM_IDS_CTE},
+rs AS (SELECT media_id, ys.y2 * {_MM_AH_G} + xs.x2 AS i,
+              xs.x2 * {sx} AS x, ys.y2 * {sy} AS y
+       FROM ids CROSS JOIN range({_MM_AH_G}) xs(x2)
+                CROSS JOIN range({_MM_AH_G}) ys(y2)),
+v AS (SELECT media_id, i,
+             {_MM_RGB[0]} + {_MM_RGB[1]} + {_MM_RGB[2]} AS v
+      FROM rs),
+tot AS (SELECT media_id, sum(v) AS total FROM v GROUP BY media_id),
+h AS (SELECT v.media_id,
+        sum(CASE WHEN v.v * {n} > t.total
+            THEN (1::HUGEINT << CAST(v.i AS INTEGER)) ELSE 0::HUGEINT END)
+          AS hh,
+        CAST(min(t.total) AS BIGINT) AS intensity_sum
+      FROM v JOIN tot t ON v.media_id = t.media_id
+      GROUP BY v.media_id)
+SELECT media_id,
+  CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
+       THEN hh - 18446744073709551616::HUGEINT ELSE hh END AS BIGINT)
+    AS ahash,
+  intensity_sum
+FROM h
+"""
+
+
+_AHASH_SQL = _ahash_sql()
+_MM_AH_MAXH = 6
+
+
+def _ahash_pairs_sql() -> str:
+    sx, sy = _MM_W // _MM_AH_G, _MM_H // _MM_AH_G
+    n = _MM_AH_G * _MM_AH_G
+    return f"""
+WITH {_MM_IDS_CTE},
+rs AS (SELECT media_id, ys.y2 * {_MM_AH_G} + xs.x2 AS i,
+              xs.x2 * {sx} AS x, ys.y2 * {sy} AS y
+       FROM ids CROSS JOIN range({_MM_AH_G}) xs(x2)
+                CROSS JOIN range({_MM_AH_G}) ys(y2)),
+v AS (SELECT media_id, i,
+             {_MM_RGB[0]} + {_MM_RGB[1]} + {_MM_RGB[2]} AS v
+      FROM rs),
+tot AS (SELECT media_id, sum(v) AS total FROM v GROUP BY media_id),
+bits AS (SELECT v.media_id, v.i,
+                CASE WHEN v.v * {n} > t.total THEN 1 ELSE 0 END AS b
+         FROM v JOIN tot t ON v.media_id = t.media_id)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+  CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+FROM bits a JOIN bits b ON a.i = b.i AND a.media_id < b.media_id
+GROUP BY 1, 2 HAVING hamming <= {_MM_AH_MAXH}
+"""
+
+
+_AHASH_PAIRS_SQL = _ahash_pairs_sql()
+
+
+def _q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = multimodal.synthetic_images(_mm_ids(spark, sf_dir), _MM_W, _MM_H)
+    return multimodal.image_ahash(imgs, grid=_MM_AH_G)
+
+
+def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = multimodal.synthetic_images(_mm_ids(spark, sf_dir), _MM_W, _MM_H)
+    return multimodal.image_near_dup_pairs(
+        imgs, max_hamming=_MM_AH_MAXH, grid=_MM_AH_G
+    )
+
+
 # mm audio decode/resample/features — REAL decoded samples vs an ANALYTIC
 # oracle, the audio twin of the image rows above.  The fixture WAV for
 # seed s holds sample ((7·i + 13·c + s) % 4001 − 2000) on channel c of
@@ -3911,6 +3996,8 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
     "sim_random_project": (_q_random_project, _RP_SQL),
+    "mm_image_ahash": (_q_image_ahash, _AHASH_SQL),
+    "mm_image_near_dup": (_q_image_near_dup, _AHASH_PAIRS_SQL),
     "corpus_boilerplate_filter": (_q_boilerplate_filter, _BP_FILTER_SQL),
     "corpus_boilerplate_lines": (_q_boilerplate_lines, _BP_LINES_SQL),
     "sim_semdedup_pairs": (_q_semdedup_pairs, _SEMDEDUP_PAIRS_SQL),

@@ -897,18 +897,21 @@ def simhash(
     )
 
 
-def _simhash_buckets(
-    sig: DataFrame, id_col: str, bits: int, max_hamming: int
+def _sig_buckets(
+    sig: DataFrame, id_col: str, sig_col: str, bits: int, max_hamming: int
 ) -> DataFrame:
-    """Pigeonhole band buckets over a simhash column: ``max_hamming + 1``
-    bands, so any pair within the distance budget shares a whole band.
+    """Pigeonhole band buckets over a bigint signature column:
+    ``max_hamming + 1`` bands, so any pair within the distance budget
+    shares a whole band.  Emits ``(id, _sig, band, key)``.
 
     Bits distribute into exactly ``max_hamming + 1`` NONEMPTY bands with
     balanced widths (⌈bits/bands⌉ then ⌊bits/bands⌋) — the old uniform
     ceil-width layout could run out of bits and emit FEWER bands (e.g.
     bits=16, max_hamming=4 → four 4-bit bands and a dropped fifth),
     silently voiding the exact-recall pigeonhole guarantee for pairs
-    that spread their differences one-per-band."""
+    that spread their differences one-per-band.  ``shiftright`` is
+    arithmetic on a signed bigint, but every band key is ``& mask``-ed,
+    so sign-fill bits never reach a key (bit 63 signatures are fine)."""
     bands = max_hamming + 1
     if bands > bits:
         raise ValueError(
@@ -924,13 +927,17 @@ def _simhash_buckets(
         band_cols.append(
             F.struct(
                 F.lit(b).alias("band"),
-                F.expr(f"shiftright(simhash, {start}) & {mask}").alias("key"),
+                F.expr(
+                    f"shiftright(`{sig_col}`, {start}) & {mask}"
+                ).alias("key"),
             )
         )
         start += w
     return sig.select(
-        id_col, "simhash", F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, "simhash", "bk.band", "bk.key")
+        id_col,
+        F.col(sig_col).alias("_sig"),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(id_col, "_sig", "bk.band", "bk.key")
 
 
 def simhash_hot_buckets(
@@ -954,11 +961,8 @@ def simhash_hot_buckets(
         sig = simhash(df, text_col, id_col, bits, hash_mode)
     else:
         _check_sig(sig, bits, hash_mode)
-    return (
-        _simhash_buckets(sig, id_col, bits, max_hamming)
-        .groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") > max_bucket)
+    return hamming_hot_buckets(
+        sig, bits, max_hamming, id_col=id_col, max_bucket=max_bucket
     )
 
 
@@ -992,7 +996,31 @@ def simhash_near_dup_pairs(
         sig = simhash(df, text_col, id_col, bits, hash_mode)
     else:
         _check_sig(sig, bits, hash_mode)
-    buck = _simhash_buckets(sig, id_col, bits, max_hamming)
+    return hamming_near_dup_pairs(
+        sig, bits, max_hamming, id_col=id_col, max_bucket=max_bucket
+    )
+
+
+def hamming_near_dup_pairs(
+    sig: DataFrame,
+    bits: int,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs over ANY ``bits``-wide bigint signature column —
+    the generic Hamming engine behind :func:`simhash_near_dup_pairs`
+    (text) and :func:`ocr_spark.operators.multimodal.image_near_dup_pairs`
+    (perceptual image hashes).  Returns ``(doc_a, doc_b, hamming)`` with
+    ``hamming <= max_hamming``.
+
+    Exact-recall pigeonhole banding (``max_hamming + 1`` bands — any
+    within-budget pair agrees on a whole band), then an xor+bit_count
+    verify; the band equi-join carries (id, signature) rows only.  The
+    ``max_bucket`` cap stays OPT-IN with the standard audit contract
+    (:func:`hamming_hot_buckets` with the same parameters)."""
+    buck = _sig_buckets(sig, id_col, sig_col, bits, max_hamming)
     if max_bucket is not None:
         hot = (
             buck.groupBy("band", "key")
@@ -1012,13 +1040,32 @@ def simhash_near_dup_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("doc_a"),
         F.col(f"b.{id_col}").alias("doc_b"),
-        F.expr("a.simhash ^ b.simhash").alias("xor"),
+        F.expr("a._sig ^ b._sig").alias("xor"),
     )
     return (
         pairs.withColumn("hamming", F.bit_count("xor"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
         .distinct()
+    )
+
+
+def hamming_hot_buckets(
+    sig: DataFrame,
+    bits: int,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Audit view for a capped :func:`hamming_near_dup_pairs` run — the
+    band buckets the cap would exclude, same never-cap-silently contract
+    as every pair operator."""
+    return (
+        _sig_buckets(sig, id_col, sig_col, bits, max_hamming)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
     )
 
 

@@ -35,7 +35,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .. import audiocodec, imagecodec
 
@@ -853,4 +853,135 @@ def synthetic_gifs(
 
     return df.select(df[id_col].alias("media_id")).mapInPandas(
         fn, RESIZED_SCHEMA
+    )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), False),
+        T.StructField("intensity_sum", T.LongType(), False),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame,
+    grid: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual average-hash per image: decode → nearest-neighbor
+    resize to ``grid×grid`` (the canonical aHash normalization — scale
+    and format invariant by construction) → bit i set iff cell i's
+    intensity exceeds the image mean → pack row-major into a signed
+    bigint.  ``(media_id, ahash, intensity_sum)``; re-encodes of the
+    same picture, resizes, and format conversions land within a few
+    bits, which is what :func:`image_near_dup_pairs` thresholds on.
+
+    Exactness: intensity is the integer r+g+b of the resized pixel, and
+    the mean comparison is CROSS-MULTIPLIED (``v·grid² > total``) so no
+    float exists anywhere — the hash is bit-deterministic across
+    partitionings and analytically reproducible in SQL (the oracle
+    twin).  Ties (``v·grid² == total``) are 0 bits.  Bit ``grid²-1`` of
+    an 8×8 hash is the bigint sign bit; downstream banding masks after
+    its arithmetic shifts, and XOR/bit_count are sign-agnostic, so the
+    full 64-bit domain is safe (unlike the bloom positions, nothing
+    here re-shifts an unmasked value).
+
+    The whole operator is ONE Arrow-batched ``mapInPandas`` pass (the
+    decode is necessarily Python; the hash costs nothing more on top),
+    no shuffle, no driver state — at corpus scale each executor streams
+    its images once."""
+    if grid < 2 or grid * grid > 64:
+        raise ValueError(
+            f"grid must be in [2, 8] (grid² bits must fit a bigint), "
+            f"got {grid}"
+        )
+    n = grid * grid
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, sums = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = imagecodec.resize_nearest(
+                    decode_image(_req_bytes(payload, "image")), grid, grid
+                )
+                vals = [
+                    img.pixels[3 * i]
+                    + img.pixels[3 * i + 1]
+                    + img.pixels[3 * i + 2]
+                    for i in range(n)
+                ]
+                total = sum(vals)
+                h = 0
+                for i, v in enumerate(vals):
+                    if v * n > total:
+                        h |= 1 << i
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                ids.append(int(mid))
+                hashes.append(h)
+                sums.append(total)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "ahash": pd.array(hashes, dtype="int64"),
+                    "intensity_sum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(
+        df[id_col].alias("media_id"), df[payload_col].alias(payload_col)
+    ).mapInPandas(fn, AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    grid: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_bucket: int | None = None,
+    ahash: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance —
+    ``(media_a, media_b, hamming)`` with ``hamming <= max_hamming``:
+    the image twin of text simhash dedup (re-encoded thumbnails, format
+    conversions, light recompression collapse to the same aHash
+    neighborhood).
+
+    Plan shape: one decode pass (:func:`image_ahash`) → the generic
+    exact-recall pigeonhole band join
+    (:func:`ocr_spark.operators.dedup.hamming_near_dup_pairs`) carrying
+    8-byte signatures only — image payloads never enter any join.  The
+    ``max_bucket`` cap is OPT-IN with the standard audit
+    (``dedup.hamming_hot_buckets`` over the same ``ahash`` frame — pass
+    a persisted one via ``ahash=`` to share the decode, caller owns the
+    lifecycle)."""
+    from .dedup import hamming_near_dup_pairs
+
+    sig = (
+        image_ahash(df, grid, payload_col, id_col)
+        if ahash is None
+        else ahash
+    )
+    if "ahash" not in sig.columns:
+        raise ValueError(
+            "ahash frame lacks an 'ahash' column — build it with "
+            "image_ahash(df, ...)"
+        )
+    pairs = hamming_near_dup_pairs(
+        sig.select(
+            F.col("media_id"), F.col("ahash").alias("simhash")
+        ),
+        bits=grid * grid,
+        max_hamming=max_hamming,
+        id_col="media_id",
+        max_bucket=max_bucket,
+    )
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
     )

@@ -97,13 +97,15 @@ class TestDedup:
         one bit in each old band — bits 0,4,8,12 — was silently missed
         despite hamming 4 <= budget.  Balanced widths guarantee exactly
         max_hamming+1 nonempty bands, restoring the pigeonhole."""
-        from ocr_spark.operators.dedup import _simhash_buckets
+        from ocr_spark.operators.dedup import _sig_buckets
 
         sig = spark.createDataFrame(
             [(1, 0), (2, 1 | (1 << 4) | (1 << 8) | (1 << 12))],
             "doc_id long, simhash long",
         )
-        rows = _simhash_buckets(sig, "doc_id", bits=16, max_hamming=4).collect()
+        rows = _sig_buckets(
+            sig, "doc_id", "simhash", bits=16, max_hamming=4
+        ).collect()
         assert {r.band for r in rows} == {0, 1, 2, 3, 4}
         by_doc = {
             d: {(r.band, r.key) for r in rows if r.doc_id == d}
@@ -111,7 +113,9 @@ class TestDedup:
         }
         assert by_doc[1] & by_doc[2], "pigeonhole violated: no shared band"
         with pytest.raises(ValueError, match="nonempty bands"):
-            _simhash_buckets(sig, "doc_id", bits=4, max_hamming=4).collect()
+            _sig_buckets(
+                sig, "doc_id", "simhash", bits=4, max_hamming=4
+            ).collect()
 
     def test_simhash_strategies_identical(self, docs):
         """The zero-shuffle hof fold and the codegen explode aggregation
@@ -3981,3 +3985,101 @@ class TestRandomProjection:
             random_project(embs, 64, 8, matrix=[[1.0, -1.0]])
         with pytest.raises(ValueError, match="already exists"):
             random_project(embs, 64, 8, out_col="embedding")
+
+
+class TestImageAhash:
+    """Perceptual average-hash + Hamming image near-dup (the image twin
+    of text simhash dedup), over the pure-stdlib codec."""
+
+    def test_known_hash_2x2(self, spark):
+        from ocr_spark import imagecodec
+        from ocr_spark.operators.multimodal import image_ahash
+
+        # 2x2 image: intensities 30, 60, 90, 120 (row-major); mean 75 →
+        # bits 2 and 3 set (90·4 > 300, 120·4 > 300) → hash 0b1100
+        px = bytes([10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40])
+        payload = imagecodec.ppm_encode(2, 2, px)
+        df = spark.createDataFrame(
+            [(1, payload)], "media_id long, payload binary"
+        )
+        r = image_ahash(df, grid=2).collect()[0]
+        assert (r.ahash, r.intensity_sum) == (0b1100, 300)
+
+    def test_format_and_scale_invariance(self, spark):
+        """The same picture as PNG/PPM/BMP hashes identically, and a
+        2x nearest-upscale of it stays within a couple of bits — the
+        property the near-dup operator exists for."""
+        from ocr_spark import imagecodec
+        from ocr_spark.operators.multimodal import (
+            image_ahash,
+            synthetic_image_bytes,
+        )
+
+        variants = [
+            (i, synthetic_image_bytes(7, 24, 16, fmt))
+            for i, fmt in enumerate(("png", "ppm", "bmp"))
+        ]
+        big = imagecodec.resize_nearest(
+            imagecodec.png_decode(variants[0][1]), 48, 32
+        )
+        variants.append(
+            (3, imagecodec.ppm_encode(48, 32, big.pixels))
+        )
+        df = spark.createDataFrame(
+            variants, "media_id long, payload binary"
+        )
+        got = {r.media_id: r.ahash for r in image_ahash(df).collect()}
+        assert got[0] == got[1] == got[2]
+        xor = got[0] ^ got[3]
+        assert bin(xor & (2**64 - 1)).count("1") <= 2
+
+    def test_near_dup_recall_is_exact(self, spark):
+        """The pigeonhole band join must find EXACTLY the brute-force
+        pair set (banding is a candidate filter, never a recall cut)."""
+        from itertools import combinations
+        from ocr_spark.operators.multimodal import (
+            image_ahash,
+            image_near_dup_pairs,
+            synthetic_images,
+        )
+
+        ids = spark.range(12).selectExpr("id AS media_id")
+        imgs = synthetic_images(ids, 24, 16)
+        hashes = {
+            r.media_id: r.ahash for r in image_ahash(imgs).collect()
+        }
+        brute = {
+            (a, b): bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+            for a, b in combinations(sorted(hashes), 2)
+        }
+        expected = {k: h for k, h in brute.items() if h <= 8}
+        got = {
+            (r.media_a, r.media_b): r.hamming
+            for r in image_near_dup_pairs(imgs, max_hamming=8).collect()
+        }
+        assert got == expected and len(got) > 0
+
+    def test_sign_bit_signature_bands_safely(self, spark):
+        """A signature with bit 63 set (negative bigint) must band and
+        pair correctly — arithmetic shiftright's sign-fill is masked."""
+        from ocr_spark.operators.dedup import hamming_near_dup_pairs
+
+        neg = -(2**63) | 1  # bit 63 and bit 0
+        sig = spark.createDataFrame(
+            [(1, neg), (2, neg ^ (1 << 62))],
+            "doc_id long, simhash long",
+        )
+        got = hamming_near_dup_pairs(sig, bits=64, max_hamming=1).collect()
+        assert [(r.doc_a, r.doc_b, r.hamming) for r in got] == [(1, 2, 1)]
+
+    def test_validation(self, spark):
+        from ocr_spark.operators.multimodal import (
+            image_ahash,
+            image_near_dup_pairs,
+        )
+
+        df = spark.createDataFrame([(1, b"")], "media_id long, payload binary")
+        with pytest.raises(ValueError, match="grid"):
+            image_ahash(df, grid=9)
+        with pytest.raises(ValueError, match="ahash"):
+            image_near_dup_pairs(df, ahash=df)
