@@ -2083,6 +2083,90 @@ FROM s GROUP BY media_id, i // {_MM_AU_N // _MM_AU_BANDS}
 """
 
 
+# Acoustic fingerprint + audio near-dup: the Spark side decodes REAL WAV
+# bytes and packs the energy-delta sign bits over 65 RAGGED time windows
+# (480 frames / 65 windows exercises the cross-multiplied comparison —
+# nothing divides evenly); the oracle recomputes the window sums from the
+# sample formula using the INVERSE boundary map w = (i·W + W−1)//F
+# (frame→window) against the Python side's forward map f0(b) = b·F//W —
+# a genuine differential on the boundary arithmetic.  Same HUGEINT
+# pack / signed-map as mm_image_ahash; the pairs oracle counts
+# disagreeing bits band-free, re-proving exact banding recall on a
+# second signature family.
+
+_MM_FP_BITS = 64
+_MM_FP_W = _MM_FP_BITS + 1
+_MM_FP_MAXH = 2
+
+
+def _fp_len(w: str) -> str:
+    return (
+        f"((({w}) + 1) * {_MM_AU_N}) // {_MM_FP_W} "
+        f"- (({w}) * {_MM_AU_N}) // {_MM_FP_W}"
+    )
+
+
+_MM_FP_SUMS_CTE = f"""
+ws AS (SELECT media_id, (i * {_MM_FP_W} + {_MM_FP_W - 1}) // {_MM_AU_N}
+                AS w, abs(v) AS a
+       FROM s),
+sums AS (SELECT media_id, w, sum(a) AS sw FROM ws GROUP BY media_id, w),
+fpbits AS (
+  SELECT a.media_id, a.w AS i,
+    CASE WHEN b.sw * ({_fp_len('a.w')}) > a.sw * ({_fp_len('b.w')})
+         THEN 1 ELSE 0 END AS bit
+  FROM sums a JOIN sums b
+    ON b.media_id = a.media_id AND b.w = a.w + 1)
+"""
+
+_AUDIO_FP_SQL = f"""
+WITH {_MM_IDS_CTE},
+{_MM_AU_SAMPLES_CTE},
+{_MM_FP_SUMS_CTE},
+h AS (SELECT media_id,
+        sum(CASE WHEN bit = 1
+            THEN (1::HUGEINT << CAST(i AS INTEGER)) ELSE 0::HUGEINT END)
+          AS hh
+      FROM fpbits GROUP BY media_id),
+e AS (SELECT media_id, CAST(sum(abs(v)) AS BIGINT) AS energy_sum
+      FROM s GROUP BY media_id)
+SELECT h.media_id,
+  CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
+       THEN hh - 18446744073709551616::HUGEINT ELSE hh END AS BIGINT)
+    AS fingerprint,
+  e.energy_sum
+FROM h JOIN e ON h.media_id = e.media_id
+"""
+
+_AUDIO_NEAR_DUP_SQL = f"""
+WITH {_MM_IDS_CTE},
+{_MM_AU_SAMPLES_CTE},
+{_MM_FP_SUMS_CTE}
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+  CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER)
+    AS hamming
+FROM fpbits a JOIN fpbits b
+  ON a.i = b.i AND a.media_id < b.media_id
+GROUP BY 1, 2 HAVING hamming <= {_MM_FP_MAXH}
+"""
+
+
+def _q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = multimodal.synthetic_audio(
+        _mm_ids(spark, sf_dir), _MM_AU_N, _MM_AU_RATE, _MM_AU_CH
+    )
+    return multimodal.audio_fingerprint(au, n_bits=_MM_FP_BITS)
+
+
+def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = multimodal.synthetic_audio(
+        _mm_ids(spark, sf_dir), _MM_AU_N, _MM_AU_RATE, _MM_AU_CH
+    )
+    return multimodal.audio_near_dup_pairs(
+        au, max_hamming=_MM_FP_MAXH, n_bits=_MM_FP_BITS
+    )
+
+
 # mm GIF frame decode — REAL LZW + compositing vs an ANALYTIC oracle.
 # The fixture animation for seed s (multimodal.synthetic_gif_bytes) has
 # palette entry i = ((7i)%256, (11i+3)%256, (13i+5)%256) and frame f
@@ -3998,6 +4082,8 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "sim_random_project": (_q_random_project, _RP_SQL),
     "mm_image_ahash": (_q_image_ahash, _AHASH_SQL),
     "mm_image_near_dup": (_q_image_near_dup, _AHASH_PAIRS_SQL),
+    "mm_audio_fingerprint": (_q_audio_fingerprint, _AUDIO_FP_SQL),
+    "mm_audio_near_dup": (_q_audio_near_dup, _AUDIO_NEAR_DUP_SQL),
     "corpus_boilerplate_filter": (_q_boilerplate_filter, _BP_FILTER_SQL),
     "corpus_boilerplate_lines": (_q_boilerplate_lines, _BP_LINES_SQL),
     "sim_semdedup_pairs": (_q_semdedup_pairs, _SEMDEDUP_PAIRS_SQL),

@@ -985,3 +985,123 @@ def image_near_dup_pairs(
         F.col("doc_b").alias("media_b"),
         "hamming",
     )
+
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fingerprint", T.LongType(), False),
+        T.StructField("energy_sum", T.LongType(), False),
+    ]
+)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    n_bits: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Acoustic fingerprint per clip (Haitsma-Kalker / Chromaprint
+    family, time-energy variant): decode → ``n_bits + 1`` time windows
+    of summed |amplitude| → bit i set iff window i+1 carries more energy
+    per frame than window i → pack into a signed bigint.
+    ``(media_id, fingerprint, energy_sum)``; re-encodes, resamples, and
+    small amplitude scalings preserve the energy-DELTA signs, which is
+    what :func:`audio_near_dup_pairs` thresholds on.
+
+    Exactness: window sums are exact integers (PCM samples), and the
+    per-frame comparison is CROSS-MULTIPLIED
+    (``s[i+1]·len(i) > s[i]·len(i+1)``) so no float exists anywhere —
+    bit-deterministic and analytically reproducible in SQL.  Window
+    boundaries are the shared exact-integer convention
+    (``f0(b) = b·F//W``); windows may be ragged, the cross-multiply
+    normalizes for it.  Ties are 0 bits.
+
+    One Arrow ``mapInPandas`` decode pass, no shuffle — the image_ahash
+    posture."""
+    if n_bits < 1 or n_bits > 64:
+        raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
+    windows = n_bits + 1
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, prints, sums = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                au = audiocodec.wav_decode(_req_bytes(payload, "audio"))
+                nf, ch = au.n_frames, au.n_channels
+                if nf < windows:
+                    raise ValueError(
+                        f"audio {int(mid)} has {nf} frames; needs >= "
+                        f"{windows} for a {n_bits}-bit fingerprint"
+                    )
+                s, ln = [], []
+                for b in range(windows):
+                    f0 = b * nf // windows
+                    f1 = (b + 1) * nf // windows
+                    s.append(
+                        sum(abs(v) for v in au.samples[f0 * ch : f1 * ch])
+                    )
+                    ln.append(f1 - f0)
+                h = 0
+                for i in range(n_bits):
+                    if s[i + 1] * ln[i] > s[i] * ln[i + 1]:
+                        h |= 1 << i
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                ids.append(int(mid))
+                prints.append(h)
+                sums.append(sum(s))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "fingerprint": pd.array(prints, dtype="int64"),
+                    "energy_sum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(
+        df[id_col].alias("media_id"), df[payload_col].alias(payload_col)
+    ).mapInPandas(fn, FINGERPRINT_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    n_bits: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_bucket: int | None = None,
+    fingerprint: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs by fingerprint Hamming distance —
+    ``(media_a, media_b, hamming)``, the audio face of the generic
+    Hamming engine (text simhash / image aHash / this).  Same plan
+    shape and cap/audit contract as :func:`image_near_dup_pairs`;
+    payloads never enter a join."""
+    from .dedup import hamming_near_dup_pairs
+
+    sig = (
+        audio_fingerprint(df, n_bits, payload_col, id_col)
+        if fingerprint is None
+        else fingerprint
+    )
+    if "fingerprint" not in sig.columns:
+        raise ValueError(
+            "fingerprint frame lacks a 'fingerprint' column — build it "
+            "with audio_fingerprint(df, ...)"
+        )
+    pairs = hamming_near_dup_pairs(
+        sig.select(
+            F.col("media_id"), F.col("fingerprint").alias("simhash")
+        ),
+        bits=n_bits,
+        max_hamming=max_hamming,
+        id_col="media_id",
+        max_bucket=max_bucket,
+    )
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )

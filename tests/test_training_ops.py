@@ -4083,3 +4083,86 @@ class TestImageAhash:
             image_ahash(df, grid=9)
         with pytest.raises(ValueError, match="ahash"):
             image_near_dup_pairs(df, ahash=df)
+
+
+class TestAudioFingerprint:
+    """Energy-delta acoustic fingerprint + Hamming audio near-dup — the
+    audio face of the generic Hamming engine."""
+
+    def test_known_fingerprint(self, spark):
+        from ocr_spark import audiocodec
+        from ocr_spark.operators.multimodal import audio_fingerprint
+
+        # 6 frames, 3 windows (n_bits=2), mono: windows hold 2 frames
+        # each with |sums| 10, 30, 20 → bits: (30>10)=1, (20<30)=0 → 0b01
+        payload = audiocodec.wav_encode(
+            [4, -6, 10, -20, 15, -5], 8000, 1
+        )
+        df = spark.createDataFrame(
+            [(1, payload)], "media_id long, payload binary"
+        )
+        r = audio_fingerprint(df, n_bits=2).collect()[0]
+        assert (r.fingerprint, r.energy_sum) == (0b01, 60)
+
+    def test_amplitude_scaling_invariance(self, spark):
+        """Doubling every sample preserves every energy-delta sign —
+        the robustness the fingerprint exists for."""
+        from ocr_spark import audiocodec
+        from ocr_spark.operators.multimodal import audio_fingerprint
+
+        base = [((7 * i) % 401 - 200) for i in range(200)]
+        df = spark.createDataFrame(
+            [
+                (1, audiocodec.wav_encode(base, 8000, 1)),
+                (2, audiocodec.wav_encode([2 * v for v in base], 8000, 1)),
+            ],
+            "media_id long, payload binary",
+        )
+        got = {
+            r.media_id: r.fingerprint
+            for r in audio_fingerprint(df, n_bits=16).collect()
+        }
+        assert got[1] == got[2]
+
+    def test_near_dup_recall_is_exact(self, spark):
+        from itertools import combinations
+        from ocr_spark.operators.multimodal import (
+            audio_fingerprint,
+            audio_near_dup_pairs,
+            synthetic_audio,
+        )
+
+        ids = spark.range(8).selectExpr("id AS media_id")
+        au = synthetic_audio(ids, 480, 8000, 2)
+        fps = {
+            r.media_id: r.fingerprint
+            for r in audio_fingerprint(au).collect()
+        }
+        expected = {
+            (a, b): bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+            for a, b in combinations(sorted(fps), 2)
+        }
+        expected = {k: h for k, h in expected.items() if h <= 4}
+        got = {
+            (r.media_a, r.media_b): r.hamming
+            for r in audio_near_dup_pairs(au, max_hamming=4).collect()
+        }
+        assert got == expected and len(got) > 0
+
+    def test_validation(self, spark):
+        from ocr_spark import audiocodec
+        from ocr_spark.operators.multimodal import (
+            audio_fingerprint,
+            audio_near_dup_pairs,
+        )
+
+        short = audiocodec.wav_encode([1, 2, 3], 8000, 1)
+        df = spark.createDataFrame(
+            [(1, short)], "media_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="frames"):
+            audio_fingerprint(df, n_bits=8).collect()
+        with pytest.raises(ValueError, match="n_bits"):
+            audio_fingerprint(df, n_bits=65)
+        with pytest.raises(ValueError, match="fingerprint"):
+            audio_near_dup_pairs(df, fingerprint=df)
