@@ -1982,6 +1982,52 @@ def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# End-to-end perceptual dedup survivors: min-id representative per
+# connected component (transitive closure) — the oracle reuses the
+# band-free pair set and the recursive-CTE closure convention of
+# dedup_clusters.  Payload column projected away (binary is not
+# driver-hashable); survivorship is the semantics under test.
+
+_AHASH_DEDUP_SQL = f"""
+WITH RECURSIVE {_MM_IDS_CTE},
+rs AS (SELECT media_id, ys.y2 * {_MM_AH_G} + xs.x2 AS i,
+              xs.x2 * {_MM_W // _MM_AH_G} AS x,
+              ys.y2 * {_MM_H // _MM_AH_G} AS y
+       FROM ids CROSS JOIN range({_MM_AH_G}) xs(x2)
+                CROSS JOIN range({_MM_AH_G}) ys(y2)),
+v AS (SELECT media_id, i,
+             {_MM_RGB[0]} + {_MM_RGB[1]} + {_MM_RGB[2]} AS v
+      FROM rs),
+tot AS (SELECT media_id, sum(v) AS total FROM v GROUP BY media_id),
+bits AS (SELECT v.media_id, v.i,
+                CASE WHEN v.v * {_MM_AH_G * _MM_AH_G} > t.total
+                     THEN 1 ELSE 0 END AS b
+         FROM v JOIN tot t ON v.media_id = t.media_id),
+prs AS (
+  SELECT a.media_id AS doc_a, b.media_id AS doc_b
+  FROM bits a JOIN bits b ON a.i = b.i AND a.media_id < b.media_id
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= {_MM_AH_MAXH}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION SELECT doc_b, doc_a FROM prs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT media_id FROM ids
+WHERE media_id NOT IN (
+  SELECT src FROM reach GROUP BY src HAVING least(src, min(dst)) <> src)
+"""
+
+
+def _q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = multimodal.synthetic_images(_mm_ids(spark, sf_dir), _MM_W, _MM_H)
+    return multimodal.image_dedup_corpus(
+        imgs, max_hamming=_MM_AH_MAXH, grid=_MM_AH_G
+    ).select("media_id")
+
+
 # mm audio decode/resample/features — REAL decoded samples vs an ANALYTIC
 # oracle, the audio twin of the image rows above.  The fixture WAV for
 # seed s holds sample ((7·i + 13·c + s) % 4001 − 2000) on channel c of
@@ -4084,6 +4130,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "mm_image_near_dup": (_q_image_near_dup, _AHASH_PAIRS_SQL),
     "mm_audio_fingerprint": (_q_audio_fingerprint, _AUDIO_FP_SQL),
     "mm_audio_near_dup": (_q_audio_near_dup, _AUDIO_NEAR_DUP_SQL),
+    "mm_image_dedup": (_q_image_dedup, _AHASH_DEDUP_SQL),
     "corpus_boilerplate_filter": (_q_boilerplate_filter, _BP_FILTER_SQL),
     "corpus_boilerplate_lines": (_q_boilerplate_lines, _BP_LINES_SQL),
     "sim_semdedup_pairs": (_q_semdedup_pairs, _SEMDEDUP_PAIRS_SQL),

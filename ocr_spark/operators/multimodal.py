@@ -1105,3 +1105,35 @@ def audio_near_dup_pairs(
         F.col("doc_b").alias("media_b"),
         "hamming",
     )
+
+
+def image_dedup_corpus(
+    df: DataFrame,
+    max_hamming: int = 6,
+    grid: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_bucket: int | None = None,
+    ahash: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end perceptual image dedup: rows of ``df`` that survive —
+    one min-id representative per connected near-dup component
+    (transitive closure: A~B~C keeps exactly one even though (A, C) was
+    never an emitted pair), all unpaired images kept.  The image face of
+    ``dedup.dedup_by_clusters`` over :func:`image_near_dup_pairs`; the
+    anti-join is id-keyed, so payloads ride through untouched and never
+    enter a shuffle."""
+    from .dedup import dedup_by_clusters
+
+    pairs = image_near_dup_pairs(
+        df,
+        max_hamming=max_hamming,
+        grid=grid,
+        payload_col=payload_col,
+        id_col=id_col,
+        max_bucket=max_bucket,
+        ahash=ahash,
+    )
+    return dedup_by_clusters(
+        df, pairs, id_col=id_col, a_col="media_a", b_col="media_b"
+    )

@@ -4084,6 +4084,34 @@ class TestImageAhash:
         with pytest.raises(ValueError, match="ahash"):
             image_near_dup_pairs(df, ahash=df)
 
+    def test_image_dedup_corpus_keeps_representatives(self, spark):
+        """Transitive closure: one min-id survivor per connected visual
+        cluster, unpaired images untouched, payloads ride through."""
+        from ocr_spark.operators.multimodal import (
+            image_dedup_corpus,
+            image_near_dup_pairs,
+            synthetic_images,
+        )
+
+        ids = spark.range(10).selectExpr("id AS media_id")
+        imgs = synthetic_images(ids, 24, 16)
+        survivors = {
+            r.media_id for r in image_dedup_corpus(imgs, max_hamming=8).collect()
+        }
+        pairs = image_near_dup_pairs(imgs, max_hamming=8).collect()
+        # every pair lost its higher member transitively: no two
+        # survivors may be a pair
+        paired = {(p.media_a, p.media_b) for p in pairs}
+        assert not any(
+            (a, b) in paired for a in survivors for b in survivors
+        )
+        # unpaired images all survive
+        in_pairs = {m for p in pairs for m in (p.media_a, p.media_b)}
+        assert set(range(10)) - in_pairs <= survivors
+        # output keeps the full row shape (payload intact)
+        cols = image_dedup_corpus(imgs, max_hamming=8).columns
+        assert "payload" in cols
+
 
 class TestAudioFingerprint:
     """Energy-delta acoustic fingerprint + Hamming audio near-dup — the
