@@ -2213,6 +2213,39 @@ def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIO_DEDUP_SQL = f"""
+WITH RECURSIVE {_MM_IDS_CTE},
+{_MM_AU_SAMPLES_CTE},
+{_MM_FP_SUMS_CTE},
+prs AS (
+  SELECT a.media_id AS doc_a, b.media_id AS doc_b
+  FROM fpbits a JOIN fpbits b
+    ON a.i = b.i AND a.media_id < b.media_id
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+    <= {_MM_FP_MAXH}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION SELECT doc_b, doc_a FROM prs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT media_id FROM ids
+WHERE media_id NOT IN (
+  SELECT src FROM reach GROUP BY src HAVING least(src, min(dst)) <> src)
+"""
+
+
+def _q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    au = multimodal.synthetic_audio(
+        _mm_ids(spark, sf_dir), _MM_AU_N, _MM_AU_RATE, _MM_AU_CH
+    )
+    return multimodal.audio_dedup_corpus(
+        au, max_hamming=_MM_FP_MAXH, n_bits=_MM_FP_BITS
+    ).select("media_id")
+
+
 # mm GIF frame decode — REAL LZW + compositing vs an ANALYTIC oracle.
 # The fixture animation for seed s (multimodal.synthetic_gif_bytes) has
 # palette entry i = ((7i)%256, (11i+3)%256, (13i+5)%256) and frame f
@@ -4131,6 +4164,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "mm_audio_fingerprint": (_q_audio_fingerprint, _AUDIO_FP_SQL),
     "mm_audio_near_dup": (_q_audio_near_dup, _AUDIO_NEAR_DUP_SQL),
     "mm_image_dedup": (_q_image_dedup, _AHASH_DEDUP_SQL),
+    "mm_audio_dedup": (_q_audio_dedup, _AUDIO_DEDUP_SQL),
     "corpus_boilerplate_filter": (_q_boilerplate_filter, _BP_FILTER_SQL),
     "corpus_boilerplate_lines": (_q_boilerplate_lines, _BP_LINES_SQL),
     "sim_semdedup_pairs": (_q_semdedup_pairs, _SEMDEDUP_PAIRS_SQL),

@@ -1137,3 +1137,32 @@ def image_dedup_corpus(
     return dedup_by_clusters(
         df, pairs, id_col=id_col, a_col="media_a", b_col="media_b"
     )
+
+
+def audio_dedup_corpus(
+    df: DataFrame,
+    max_hamming: int = 6,
+    n_bits: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_bucket: int | None = None,
+    fingerprint: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end acoustic dedup: one min-id representative per
+    connected fingerprint-near-dup component, unpaired clips kept —
+    the audio twin of :func:`image_dedup_corpus` (same plan shape,
+    payloads never shuffle)."""
+    from .dedup import dedup_by_clusters
+
+    pairs = audio_near_dup_pairs(
+        df,
+        max_hamming=max_hamming,
+        n_bits=n_bits,
+        payload_col=payload_col,
+        id_col=id_col,
+        max_bucket=max_bucket,
+        fingerprint=fingerprint,
+    )
+    return dedup_by_clusters(
+        df, pairs, id_col=id_col, a_col="media_a", b_col="media_b"
+    )

@@ -4194,3 +4194,19 @@ class TestAudioFingerprint:
             audio_fingerprint(df, n_bits=65)
         with pytest.raises(ValueError, match="fingerprint"):
             audio_near_dup_pairs(df, fingerprint=df)
+
+    def test_audio_dedup_corpus(self, spark):
+        from ocr_spark.operators.multimodal import (
+            audio_dedup_corpus,
+            synthetic_audio,
+        )
+
+        ids = spark.range(8).selectExpr("id AS media_id")
+        au = synthetic_audio(ids, 480, 8000, 2)
+        survivors = {
+            r.media_id
+            for r in audio_dedup_corpus(au, max_hamming=2).collect()
+        }
+        # the fixture clips share their energy-delta profile: one
+        # connected component, min-id representative survives
+        assert survivors == {0}
