@@ -354,7 +354,11 @@ def corpus_line_dedup(
     ``min(struct(doc_id, li))`` per 16-byte line digest → equi-join back
     on the digest → one groupBy(doc) rebuild with a sorted fold.  The
     shuffles carry digests + ids + the line text once each; nothing is
-    quadratic and no driver-side state exists.
+    quadratic and no driver-side state exists.  The exploded subtree is
+    referenced twice (winners + probe) and deliberately not persisted —
+    it is a corpus-sized projection (line text included), so caching it
+    would cost more storage/spill than the one extra codegen
+    split+md5 pass it saves.
 
     Returns (id_col, clean_text, n_lines, n_lines_kept) — clean_text is
     the document with losing duplicate lines removed, preserving original
@@ -366,25 +370,9 @@ def corpus_line_dedup(
     bigger (raise ``min_line_chars`` accordingly).  The delimiter must be
     a regex-free literal (it feeds ``split`` as a pattern and
     ``array_join`` as a literal)."""
-    if any(c in delimiter for c in "\\^$.|?*+()[]{}"):
-        raise ValueError(
-            f"delimiter must be a regex-free literal, got {delimiter!r}"
-        )
-    lines = df.select(
-        id_col,
-        # NULL text coalesces to '' (one empty line, kept): posexplode of
-        # a NULL array emits zero rows, and the doc would silently vanish
-        # from the output — curate_job's inner join then dropped it from
-        # the corpus entirely
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), delimiter)
-        ).alias("li", "line"),
-    )
-    digested = lines.withColumn(
-        "digest",
-        F.when(
-            F.length("line") >= min_line_chars, F.md5(F.col("line"))
-        ),
+    _check_line_params(delimiter)
+    digested = _exploded_lines(
+        df, text_col, id_col, delimiter, min_line_chars, None
     )
     winners = (
         digested.filter(F.col("digest").isNotNull())
@@ -406,6 +394,26 @@ def corpus_line_dedup(
             | ((F.col("w.d") == F.col(id_col)) & (F.col("w.p") == F.col("li")))
         ).alias("keep"),
     )
+    return _rebuild_clean_text(flagged, id_col, delimiter)
+
+
+def _check_line_params(delimiter: str, min_docs: int = 1) -> None:
+    if any(c in delimiter for c in "\\^$.|?*+()[]{}"):
+        raise ValueError(
+            f"delimiter must be a regex-free literal, got {delimiter!r}"
+        )
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+
+
+def _rebuild_clean_text(
+    flagged: DataFrame, id_col: str, delimiter: str
+) -> DataFrame:
+    """(id, li, line, keep) occurrences → (id, clean_text, n_lines,
+    n_lines_kept): one groupBy(doc) with a sorted fold, original line
+    order preserved — the shared rebuild of corpus_line_dedup and
+    corpus_boilerplate_filter (one copy, so the NULL-text / ordering
+    semantics cannot diverge)."""
     agg = flagged.groupBy(id_col).agg(
         F.expr(
             "sort_array(collect_list(CASE WHEN keep THEN "
@@ -422,15 +430,6 @@ def corpus_line_dedup(
         F.col("n_lines").cast("int").alias("n_lines"),
         F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
     )
-
-
-def _check_line_params(delimiter: str, min_docs: int) -> None:
-    if any(c in delimiter for c in "\\^$.|?*+()[]{}"):
-        raise ValueError(
-            f"delimiter must be a regex-free literal, got {delimiter!r}"
-        )
-    if min_docs < 1:
-        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
 
 
 def _exploded_lines(
@@ -550,7 +549,15 @@ def corpus_boilerplate_filter(
     occurrences against the (small, by definition: |lines|/min_docs at
     most, in practice the template tail) hot-digest set — AQE broadcasts
     it when it fits — → one groupBy(doc) rebuild with a sorted fold.
-    Shuffles carry digests + ids once each; nothing is quadratic."""
+    Shuffles carry digests + ids once each; nothing is quadratic.
+
+    The exploded-lines subtree is referenced twice (frequency build +
+    probe side) and deliberately NOT persisted: unlike the bloom bitmap
+    (a small aggregate — the CLAUDE.md persist rule's subject), this
+    subtree is a corpus-sized projection WITH the line text — caching it
+    costs corpus-scale storage/spill, while recomputing is one extra
+    codegen split+md5 pass over a scan that runs anyway.  Same trade as
+    corpus_line_dedup."""
     _check_line_params(delimiter, min_docs)
     keys = ([scope_col] if scope_col is not None else []) + ["digest"]
     digested = _exploded_lines(
@@ -573,22 +580,7 @@ def corpus_boilerplate_filter(
         "line",
         F.col("_bp").isNull().alias("keep"),
     )
-    agg = flagged.groupBy(id_col).agg(
-        F.expr(
-            "sort_array(collect_list(CASE WHEN keep THEN "
-            "struct(li, line) END))"
-        ).alias("_kl"),
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_lines_kept"),
-    )
-    return agg.select(
-        id_col,
-        F.array_join(
-            F.transform(F.col("_kl"), lambda s: s["line"]), delimiter
-        ).alias("clean_text"),
-        F.col("n_lines").cast("int").alias("n_lines"),
-        F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
-    )
+    return _rebuild_clean_text(flagged, id_col, delimiter)
 
 
 def _bind_tokens(df: DataFrame, text_col: str) -> tuple[DataFrame, str]:

@@ -279,6 +279,12 @@ def random_project(
     ``element_at``: its indices are generated in-range, so a raise there
     is a real bug, not data.
     """
+    if in_dim < 1 or out_dim < 1:
+        # sequence(1, 0) generates DESCENDING [1, 0] — a zero dim would
+        # fail mid-job with an opaque index error instead of here
+        raise ValueError(
+            f"in_dim and out_dim must be >= 1, got {in_dim}x{out_dim}"
+        )
     if matrix is None:
         matrix = random_projection_matrix(in_dim, out_dim, seed)
     if len(matrix) != out_dim or any(len(r) != in_dim for r in matrix):

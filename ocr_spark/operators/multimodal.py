@@ -106,7 +106,7 @@ def media_metadata(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k.name: [] for k in MEDIA_META_SCHEMA.fields}
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
                 sha = hashlib.sha256(data).hexdigest()
                 w, h, nf = fake_decode_dims(sha)
@@ -148,7 +148,7 @@ def extract_features(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, feats = [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
                 digest = hashlib.sha256(data).digest()
                 ids.append(int(mid))
@@ -251,7 +251,7 @@ def decode_image_stats(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k.name: [] for k in DECODE_STATS_SCHEMA.fields}
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 img = imagecodec.to_rgb(decode_image(payload))
                 px = img.pixels
                 out["media_id"].append(int(mid))
@@ -292,7 +292,7 @@ def resize_images(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads = [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 ids.append(int(mid))
                 payloads.append(resize_image(_req_bytes(payload, "image"), width, height))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
@@ -335,7 +335,7 @@ def image_features(
 
         for pdf in batches:
             ids, feats = [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 img = imagecodec.to_rgb(decode_image(payload))
                 if img.width < grid or img.height < grid:
                     raise ValueError(
@@ -411,7 +411,7 @@ def synthetic_images(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = [int(m) for m in pdf[id_col]]
+            ids = [int(m) for m in pdf["media_id"]]
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -452,7 +452,7 @@ def sample_frames(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, fis, shas = [], [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
                 sha = hashlib.sha256(data).hexdigest()
                 _, _, nf = fake_decode_dims(sha)
@@ -505,7 +505,7 @@ def decode_audio_stats(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k.name: [] for k in AUDIO_STATS_SCHEMA.fields}
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 au = audiocodec.wav_decode(_req_bytes(payload, "audio"))
                 out["media_id"].append(int(mid))
                 out["sample_rate"].append(au.sample_rate)
@@ -543,7 +543,7 @@ def resample_audio(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads = [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 au = audiocodec.resample_nearest(
                     audiocodec.wav_decode(_req_bytes(payload, "audio")), out_rate
                 )
@@ -590,7 +590,7 @@ def audio_features(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, feats = [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 au = audiocodec.wav_decode(_req_bytes(payload, "audio"))
                 nf, ch = au.n_frames, au.n_channels
                 if nf < n_bands:
@@ -652,7 +652,7 @@ def synthetic_audio(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = [int(m) for m in pdf[id_col]]
+            ids = [int(m) for m in pdf["media_id"]]
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -711,7 +711,7 @@ def decode_gif_frames(
 
         for pdf in batches:
             out = {k.name: [] for k in GIF_FRAME_STATS_SCHEMA.fields}
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 dec = gifcodec.gif_decode(_req_bytes(payload, "gif"))
                 for fi in range(0, len(dec.frames), every):
                     px = dec.frames[fi]
@@ -764,7 +764,7 @@ def gif_frame_features(
 
         for pdf in batches:
             ids, fis, feats = [], [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 dec = gifcodec.gif_decode(_req_bytes(payload, "gif"))
                 if dec.width < grid or dec.height < grid:
                     raise ValueError(
@@ -840,7 +840,7 @@ def synthetic_gifs(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = [int(m) for m in pdf[id_col]]
+            ids = [int(m) for m in pdf["media_id"]]
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -856,13 +856,20 @@ def synthetic_gifs(
     )
 
 
-AHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("ahash", T.LongType(), False),
-        T.StructField("intensity_sum", T.LongType(), False),
-    ]
-)
+def _ahash_schema(grid: int) -> T.StructType:
+    """The ahash column's metadata records the grid it was built with —
+    the shared-frame param guard (CLAUDE.md: simhash sig= precedent).  A
+    grid-4 frame banded as 64 bits would give every image key 0 in the
+    five high bands: a silent full-corpus bucket, quadratic at scale."""
+    return T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField(
+                "ahash", T.LongType(), False, {"ahash_grid": grid}
+            ),
+            T.StructField("intensity_sum", T.LongType(), False),
+        ]
+    )
 
 
 def image_ahash(
@@ -903,7 +910,7 @@ def image_ahash(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes, sums = [], [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 img = imagecodec.resize_nearest(
                     decode_image(_req_bytes(payload, "image")), grid, grid
                 )
@@ -933,7 +940,7 @@ def image_ahash(
 
     return df.select(
         df[id_col].alias("media_id"), df[payload_col].alias(payload_col)
-    ).mapInPandas(fn, AHASH_SCHEMA)
+    ).mapInPandas(fn, _ahash_schema(grid))
 
 
 def image_near_dup_pairs(
@@ -971,6 +978,13 @@ def image_near_dup_pairs(
             "ahash frame lacks an 'ahash' column — build it with "
             "image_ahash(df, ...)"
         )
+    got = (sig.schema["ahash"].metadata or {}).get("ahash_grid")
+    if got is not None and int(got) != grid:
+        raise ValueError(
+            f"ahash frame was built with grid={got}; this call passed "
+            f"grid={grid} — banding the wrong bit width makes the high "
+            f"bands a single full-corpus bucket (silently quadratic)"
+        )
     pairs = hamming_near_dup_pairs(
         sig.select(
             F.col("media_id"), F.col("ahash").alias("simhash")
@@ -987,13 +1001,21 @@ def image_near_dup_pairs(
     )
 
 
-FINGERPRINT_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("fingerprint", T.LongType(), False),
-        T.StructField("energy_sum", T.LongType(), False),
-    ]
-)
+def _fp_schema(n_bits: int) -> T.StructType:
+    """fingerprint is NULLABLE: a clip shorter than n_bits+1 frames is
+    decodable data, not corruption — it gets a NULL fingerprint (never
+    pairs) instead of killing the whole corpus job, the random_project
+    try_element_at posture.  Metadata records n_bits for the
+    shared-frame guard."""
+    return T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField(
+                "fingerprint", T.LongType(), True, {"fp_bits": n_bits}
+            ),
+            T.StructField("energy_sum", T.LongType(), False),
+        ]
+    )
 
 
 def audio_fingerprint(
@@ -1019,7 +1041,9 @@ def audio_fingerprint(
     normalizes for it.  Ties are 0 bits.
 
     One Arrow ``mapInPandas`` decode pass, no shuffle — the image_ahash
-    posture."""
+    posture.  A clip shorter than ``n_bits + 1`` frames gets a NULL
+    fingerprint (it is valid data and must not abort the job); NULL
+    rows are excluded from pairing by :func:`audio_near_dup_pairs`."""
     if n_bits < 1 or n_bits > 64:
         raise ValueError(f"n_bits must be in [1, 64], got {n_bits}")
     windows = n_bits + 1
@@ -1027,14 +1051,17 @@ def audio_fingerprint(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, prints, sums = [], [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 au = audiocodec.wav_decode(_req_bytes(payload, "audio"))
                 nf, ch = au.n_frames, au.n_channels
                 if nf < windows:
-                    raise ValueError(
-                        f"audio {int(mid)} has {nf} frames; needs >= "
-                        f"{windows} for a {n_bits}-bit fingerprint"
-                    )
+                    # a short-but-decodable clip is DATA, not corruption:
+                    # NULL fingerprint (never pairs) instead of one row
+                    # killing the corpus job
+                    ids.append(int(mid))
+                    prints.append(None)
+                    sums.append(sum(abs(v) for v in au.samples))
+                    continue
                 s, ln = [], []
                 for b in range(windows):
                     f0 = b * nf // windows
@@ -1055,14 +1082,14 @@ def audio_fingerprint(
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "fingerprint": pd.array(prints, dtype="int64"),
+                    "fingerprint": pd.array(prints, dtype="Int64"),
                     "energy_sum": pd.array(sums, dtype="int64"),
                 }
             )
 
     return df.select(
         df[id_col].alias("media_id"), df[payload_col].alias(payload_col)
-    ).mapInPandas(fn, FINGERPRINT_SCHEMA)
+    ).mapInPandas(fn, _fp_schema(n_bits))
 
 
 def audio_near_dup_pairs(
@@ -1091,8 +1118,16 @@ def audio_near_dup_pairs(
             "fingerprint frame lacks a 'fingerprint' column — build it "
             "with audio_fingerprint(df, ...)"
         )
+    got = (sig.schema["fingerprint"].metadata or {}).get("fp_bits")
+    if got is not None and int(got) != n_bits:
+        raise ValueError(
+            f"fingerprint frame was built with n_bits={got}; this call "
+            f"passed n_bits={n_bits} — banding the wrong bit width makes "
+            f"the high bands a single full-corpus bucket"
+        )
     pairs = hamming_near_dup_pairs(
-        sig.select(
+        # NULL fingerprints (short clips) never pair
+        sig.filter(F.col("fingerprint").isNotNull()).select(
             F.col("media_id"), F.col("fingerprint").alias("simhash")
         ),
         bits=n_bits,

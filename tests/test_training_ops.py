@@ -4188,8 +4188,12 @@ class TestAudioFingerprint:
         df = spark.createDataFrame(
             [(1, short)], "media_id long, payload binary"
         )
-        with pytest.raises(Exception, match="frames"):
-            audio_fingerprint(df, n_bits=8).collect()
+        # a short-but-decodable clip must NOT kill the job: NULL
+        # fingerprint (never pairs), energy still reported
+        r = audio_fingerprint(df, n_bits=8).collect()[0]
+        assert r.fingerprint is None and r.energy_sum == 6
+        from ocr_spark.operators.multimodal import audio_near_dup_pairs as p2
+        assert p2(df, n_bits=8) is not None  # plan builds; NULLs filtered
         with pytest.raises(ValueError, match="n_bits"):
             audio_fingerprint(df, n_bits=65)
         with pytest.raises(ValueError, match="fingerprint"):
@@ -4210,3 +4214,30 @@ class TestAudioFingerprint:
         # the fixture clips share their energy-delta profile: one
         # connected component, min-id representative survives
         assert survivors == {0}
+
+    def test_shared_frame_guards(self, spark):
+        """ahash=/fingerprint= reject a frame built with different
+        grid/n_bits — banding the wrong width makes the high bands one
+        full-corpus bucket (silently quadratic)."""
+        from ocr_spark import audiocodec, imagecodec
+        from ocr_spark.operators.multimodal import (
+            audio_fingerprint,
+            audio_near_dup_pairs,
+            image_ahash,
+            image_near_dup_pairs,
+        )
+
+        img = spark.createDataFrame(
+            [(1, imagecodec.ppm_encode(2, 2, bytes(12)))],
+            "media_id long, payload binary",
+        )
+        with pytest.raises(ValueError, match="grid=4"):
+            image_near_dup_pairs(img, grid=8, ahash=image_ahash(img, grid=4))
+        au = spark.createDataFrame(
+            [(1, audiocodec.wav_encode(list(range(100)), 8000, 1))],
+            "media_id long, payload binary",
+        )
+        with pytest.raises(ValueError, match="n_bits=16"):
+            audio_near_dup_pairs(
+                au, n_bits=64, fingerprint=audio_fingerprint(au, n_bits=16)
+            )
