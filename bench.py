@@ -161,6 +161,13 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
     ivf_cents = similarity.train_centroids(
         emb, n_centroids=16, iters=0
     )
+    # D4 stage two over the same coarse centroids: score-to-own-centroid
+    # projection + per-cell rank + id semi-join (the centroid fit is the
+    # shared write-once cost, outside the timer like the rows above)
+    timed(
+        "sim_prototype_prune",
+        similarity.prototype_prune(emb, ivf_cents, prune_fraction=0.5),
+    )
     timed(
         "sim_ivf_pq_topk",
         similarity.ivf_pq_topk(

@@ -1450,6 +1450,47 @@ def _q_semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id")
 
 
+# Prototype pruning (similarity.prototype_prune — D4 stage two): the same
+# one-round Lloyd centroids, each vector scored against its OWN centroid,
+# then the floor(frac·n) most-prototypical rows of each cell dropped under
+# (cos DESC, id ASC) order.  The rank ORDER BY is over raw cosines —
+# dot/sqrt/÷ only (the IEEE correctly-rounded set, no transcendentals), the
+# same cross-engine-exact ordering sim_ivf_trained's rank already proves —
+# so ranks, counts, and the floor() drop boundary are integer-exact on both
+# engines; only the reported cosine is display-rounded.
+_PROTO_PRUNE_SQL = f"""
+WITH {_LLOYD_CENTS_CTE},
+pp_cells AS (
+  SELECT vec_id, cell, cos FROM (
+    SELECT e.vec_id, c.cid AS cell,
+      {_cos_duck('e.embedding', 'c.cvec')} AS cos,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_cos_duck('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1),
+pp_ranked AS (
+  SELECT vec_id, cell, cos,
+    row_number() OVER (PARTITION BY cell
+      ORDER BY cos DESC, vec_id ASC) AS prank,
+    count(*) OVER (PARTITION BY cell) AS n_cell
+  FROM pp_cells)
+SELECT vec_id, cell, CAST(prank AS INTEGER) AS proto_rank,
+       n_cell AS cell_n, round(cos, 6) AS proto_cos_r
+FROM pp_ranked
+WHERE prank > CAST(floor(5e-1 * n_cell) AS BIGINT)
+"""
+
+
+def _q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.train_centroids(emb, n_centroids=8, iters=1)
+    res = similarity.prototype_prune(emb, cents, prune_fraction=0.5)
+    return res.select(
+        "vec_id", "cell", "proto_rank", "cell_n",
+        F.round("proto_cos", 6).alias("proto_cos_r"),
+    )
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     res = similarity.cosine_topk_bruteforce(
@@ -4158,6 +4199,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # implementation changed (id-only lsh/ivf rerank joins, NULL-digest
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
+    "sim_prototype_prune": (_q_prototype_prune, _PROTO_PRUNE_SQL),
     "sim_random_project": (_q_random_project, _RP_SQL),
     "mm_image_ahash": (_q_image_ahash, _AHASH_SQL),
     "mm_image_near_dup": (_q_image_near_dup, _AHASH_PAIRS_SQL),

@@ -383,6 +383,19 @@ def nearest_cell_expr(
     centroid-literal norms are constant-folded by Catalyst, but the row
     norm is not.  The value is bit-identical either way (same sqrt of the
     same sequential fold)."""
+    return f"-({_best_cell_struct(vec_col, cents, norm_expr)}.ncid)"
+
+
+def _best_cell_struct(
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    norm_expr: str | None = None,
+) -> str:
+    """The argmax struct :func:`nearest_cell_expr` unwraps: ``array_max``
+    over ``named_struct('ccos', …, 'ncid', …)`` — ``.ncid`` is the
+    (negated) winning cell, ``.ccos`` the winning cosine.  Factored out so
+    :func:`prototype_scores` can read BOTH fields from one binding instead
+    of paying the n_centroids-way scoring twice."""
     rn = norm_expr if norm_expr is not None else _norm(vec_col)
     structs = []
     for cid, cvec in cents:
@@ -402,7 +415,7 @@ def nearest_cell_expr(
         structs.append(
             f"named_struct('ccos', {ccos}, 'ncid', {-int(cid)}L)"
         )
-    return f"-(array_max(array({', '.join(structs)})).ncid)"
+    return f"array_max(array({', '.join(structs)}))"
 
 
 def assign_cells(
@@ -1488,3 +1501,145 @@ def semdedup_corpus(
         # localCheckpoint); the surviving plan is df ⟕ anti losers with
         # the cells lineage already cut
         cells.unpersist()
+
+
+def prototype_scores(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id, vec, cell, proto_cos)`` — each vector's nearest centroid AND
+    its cosine to that centroid (its "prototypicality"), in ONE
+    shuffle-free projection chain.
+
+    This is :func:`assign_cells` plus the winning score: the argmax
+    struct (:func:`_best_cell_struct`) is bound to a real column and both
+    fields are read from that one binding, so the n_centroids-way scoring
+    runs once per row — not once for the cell and again for the score
+    (the CLAUDE.md bind-don't-inline rule: the struct is referenced twice
+    in the next projection, which keeps CollapseProject from inlining the
+    expensive array build back per reference).  The ``cell`` column
+    carries the same build-parameter metadata as :func:`assign_cells`, so
+    the frame can be shared with every ``cells=`` consumer
+    (:func:`semdedup_hot_cells`, :func:`semdedup_pairs`) and a mismatched
+    geometry is refused rather than silently mis-bucketed."""
+    rn = "_rnorm"
+    while rn in df.columns:
+        rn += "_"
+    best = "_best"
+    while best in df.columns:
+        best += "_"
+    bound = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn(rn, F.expr(_norm(vec_col)))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(
+                _best_cell_struct(vec_col, cents, norm_expr=f"`{rn}`")
+            ).alias(best),
+        )
+    )
+    return bound.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(f"-(`{best}`.ncid)").alias(
+            "cell", metadata={"n_cents": len(cents), "vec_col": vec_col}
+        ),
+        F.col(f"{best}.ccos").alias("proto_cos"),
+    )
+
+
+def prototype_prune(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    prune_fraction: float = 0.5,
+    scored: DataFrame | None = None,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Prototype pruning (Sorscher et al. 2022, "Beyond neural scaling
+    laws"; the second stage of D4, Tirumala et al. 2023): within each
+    embedding cluster, DROP the ``prune_fraction`` most *prototypical*
+    examples — the ones closest to their cluster centroid — and keep the
+    informative tail.  Run after :func:`semdedup_corpus` (D4's stage one)
+    for the published pipeline: dedup removes the near-copies, pruning
+    then removes the easy redundant core of each semantic cluster.
+
+    Returns the surviving rows of ``df`` with four appended audit columns
+    — ``cell``, ``proto_cos``, ``proto_rank`` (1 = most prototypical in
+    its cell), ``cell_n`` — so a curator can SEE why each row survived
+    (never-silent policy).  Per cell of size n, exactly
+    ``floor(prune_fraction · n)`` rows are dropped, chosen by
+    (proto_cos DESC, id ASC) — deterministic across partitionings and
+    engines (cosines here are dot/sqrt/÷ folds, the IEEE
+    correctly-rounded set, so the order is engine-stable; no
+    transcendentals).  Singleton cells lose nothing at fractions < 1.
+
+    Plan shape: one shuffle-free scoring projection
+    (:func:`prototype_scores`), one rank window partitioned by cell, one
+    id-keyed semi-join back to ``df``.  The per-cell window is the same
+    posture as :func:`semdedup_pairs`' within-cell pairing — SemDeDup/D4
+    size ``n_centroids`` with the corpus (tens of thousands of clusters
+    at web scale, cells ~10^4 rows), and ranking is n·log n per cell vs
+    the pairing's n².  A degenerate mega-cell is the familiar hazard:
+    pass ``max_cell`` (OPT-IN, default None) to EXEMPT cells above the
+    cap from pruning — exempted rows are all KEPT (the conservative
+    direction; a cap must never silently widen what gets dropped) with
+    ``proto_rank`` still reported — and log
+    :func:`semdedup_hot_cells(cells=scored, max_cell=...)` alongside,
+    sharing this run's persisted ``scored`` frame with the audit.
+
+    Pass ``scored`` (a persisted :func:`prototype_scores` frame) to share
+    the scoring across the prune, the audit, and any SemDeDup stage run
+    over the same geometry; the frame's ``cell`` metadata is verified
+    against ``cents`` before use."""
+    if not (0.0 <= prune_fraction < 1.0):
+        raise ValueError(
+            f"prune_fraction must be in [0, 1), got {prune_fraction} "
+            f"(1.0 would drop every row of every cell)"
+        )
+    out_cols = {"cell", "proto_cos", "proto_rank", "cell_n"}
+    clash = out_cols & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries reserved output column(s) "
+            f"{sorted(clash)}; drop or rename them before prototype_prune"
+        )
+    if scored is None:
+        if cents is None:
+            raise ValueError("pass cents or a precomputed scored frame")
+        scored = prototype_scores(df, cents, vec_col, id_col)
+    else:
+        _check_cells(scored, id_col, vec_col,
+                     len(cents) if cents is not None else None)
+        if "proto_cos" not in scored.columns:
+            raise ValueError(
+                "scored frame lacks proto_cos — build it with "
+                "prototype_scores (assign_cells frames carry no score)"
+            )
+    rk, nc = "_prank", "_pn"
+    w_rank = Window.partitionBy("cell").orderBy(
+        F.col("proto_cos").desc(), F.col(id_col).asc()
+    )
+    w_cell = Window.partitionBy("cell")
+    ranked = (
+        scored.select(id_col, "cell", "proto_cos")
+        .withColumn(rk, F.row_number().over(w_rank))
+        .withColumn(nc, F.count(F.lit(1)).over(w_cell))
+    )
+    survive = F.col(rk) > F.floor(
+        F.lit(float(prune_fraction)) * F.col(nc)
+    )
+    if max_cell is not None:
+        survive = survive | (F.col(nc) > max_cell)
+    keep = ranked.filter(survive).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.col("proto_cos"),
+        F.col(rk).alias("proto_rank"),
+        F.col(nc).alias("cell_n"),
+    )
+    return df.join(keep, id_col)

@@ -3698,6 +3698,183 @@ class TestSemDeDup:
         assert {(r.doc_a, r.doc_b) for r in rows} == {(0, 2)}
 
 
+class TestPrototypePrune:
+    """similarity.prototype_scores / prototype_prune — D4 stage two
+    (Sorscher et al. 2022 prototype pruning after SemDeDup)."""
+
+    @pytest.fixture(scope="class")
+    def cents(self, embs):
+        from ocr_spark.operators.similarity import train_centroids
+
+        return train_centroids(embs, n_centroids=4, iters=1)
+
+    def test_scores_match_assignment_and_bruteforce_cos(self, embs, cents):
+        """Differential: cell == assign_cells' cell for every row, and
+        proto_cos == the brute-force max cosine over the centroids."""
+        from ocr_spark.operators.similarity import (
+            assign_cells,
+            prototype_scores,
+        )
+
+        got = {
+            r.vec_id: (r.cell, r.proto_cos)
+            for r in prototype_scores(embs, cents).collect()
+        }
+        cell_of = {
+            r.vec_id: r.cell for r in assign_cells(embs, cents).collect()
+        }
+        vecs = {
+            r.vec_id: [float(x) for x in r.embedding]
+            for r in embs.select("vec_id", "embedding").collect()
+        }
+
+        def cos(a, b):
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            if na == 0 or nb == 0:
+                return 0.0
+            return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+        assert set(got) == set(vecs)
+        for vid, (cell, pc) in got.items():
+            assert cell == cell_of[vid]
+            want = max(cos(vecs[vid], cvec) for _, cvec in cents)
+            assert pc == pytest.approx(want, abs=1e-9)
+
+    def test_scores_plan_is_shuffle_free(self, embs, cents):
+        from ocr_spark.operators.similarity import prototype_scores
+
+        plan = (
+            prototype_scores(embs, cents)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "Join" not in plan
+
+    def test_prune_drops_exact_per_cell_counts(self, embs, cents):
+        """floor(frac·n) most-prototypical rows dropped per cell; the
+        survivors are exactly the rank > floor(frac·n) tail."""
+        from ocr_spark.operators.similarity import (
+            prototype_prune,
+            prototype_scores,
+        )
+
+        frac = 0.5
+        scored = prototype_scores(embs, cents).collect()
+        by_cell: dict[int, list] = {}
+        for r in scored:
+            by_cell.setdefault(r.cell, []).append(r)
+        want = set()
+        for cell, rows in by_cell.items():
+            rows.sort(key=lambda r: (-r.proto_cos, r.vec_id))
+            k = int(frac * len(rows))
+            want |= {r.vec_id for r in rows[k:]}
+        got = {
+            r.vec_id
+            for r in prototype_prune(embs, cents, prune_fraction=frac).collect()
+        }
+        assert got == want
+        # survivors carry the audit columns
+        out = prototype_prune(embs, cents, prune_fraction=frac)
+        assert {"cell", "proto_cos", "proto_rank", "cell_n"} <= set(out.columns)
+
+    def test_prune_fraction_zero_keeps_all_and_singletons_survive(
+        self, spark, embs, cents
+    ):
+        from ocr_spark.operators.similarity import prototype_prune
+
+        assert (
+            prototype_prune(embs, cents, prune_fraction=0.0).count()
+            == embs.count()
+        )
+        # a singleton cell loses nothing at fraction < 1
+        one = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        from ocr_spark.operators.similarity import train_centroids
+
+        c2 = train_centroids(one, n_centroids=2, iters=0)
+        assert prototype_prune(one, c2, prune_fraction=0.9).count() == 2
+
+    def test_partition_invariance(self, embs, cents):
+        from ocr_spark.operators.similarity import prototype_prune
+
+        a = {
+            r.vec_id
+            for r in prototype_prune(embs, cents, prune_fraction=0.5).collect()
+        }
+        b = {
+            r.vec_id
+            for r in prototype_prune(
+                embs.repartition(13), cents, prune_fraction=0.5
+            ).collect()
+        }
+        assert a == b
+
+    def test_max_cell_exempts_hot_cell_conservatively(self, spark):
+        """A constant-embedding mega-cell above the cap is KEPT wholesale
+        (a cap must never widen what gets dropped) and the shared scored
+        frame feeds the hot-cell audit."""
+        from ocr_spark.operators.similarity import (
+            prototype_prune,
+            prototype_scores,
+            semdedup_hot_cells,
+            train_centroids,
+        )
+
+        n = 200
+        df = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr("array(1.0D, 0.0D)").alias("embedding"),
+        )
+        cents = train_centroids(df, n_centroids=2, iters=1)
+        scored = prototype_scores(df, cents).persist()
+        try:
+            pruned = prototype_prune(
+                df, cents, prune_fraction=0.5, scored=scored
+            )
+            assert pruned.count() == n // 2
+            exempt = prototype_prune(
+                df, cents, prune_fraction=0.5, scored=scored, max_cell=100
+            )
+            assert exempt.count() == n
+            audit = semdedup_hot_cells(cells=scored, max_cell=100).collect()
+            assert len(audit) == 1 and audit[0].n_docs == n
+        finally:
+            scored.unpersist()
+
+    def test_guards(self, embs, cents):
+        from ocr_spark.operators.similarity import (
+            assign_cells,
+            prototype_prune,
+            train_centroids,
+        )
+
+        with pytest.raises(ValueError, match="prune_fraction"):
+            prototype_prune(embs, cents, prune_fraction=1.0)
+        with pytest.raises(ValueError, match="reserved output"):
+            prototype_prune(
+                embs.withColumn("cell", F.lit(1)), cents
+            )
+        with pytest.raises(ValueError, match="pass cents"):
+            prototype_prune(embs)
+        # an assign_cells frame has no score column — refused loudly
+        with pytest.raises(ValueError, match="proto_cos"):
+            prototype_prune(
+                embs, cents, scored=assign_cells(embs, cents)
+            )
+        # mismatched geometry refused via the shared cell metadata
+        from ocr_spark.operators.similarity import prototype_scores
+
+        other = train_centroids(embs, n_centroids=2, iters=1)
+        with pytest.raises(ValueError, match="centroids"):
+            prototype_prune(
+                embs, cents, scored=prototype_scores(embs, other)
+            )
+
+
 class TestNgramReport:
     """text_analysis.ngram_report — corpus boilerplate discovery."""
 
