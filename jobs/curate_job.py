@@ -109,6 +109,37 @@ def main() -> int:
                          "--incremental-ref's exact pass)")
     ap.add_argument("--max-bucket", type=int, default=10_000,
                     help="LSH hot-bucket cap (audited; see summary)")
+    ap.add_argument("--semdedup", type=float, default=None, metavar="COS",
+                    help="semantic near-dup removal at cosine >= COS over "
+                         "model-free hashed embeddings (SemDeDup, D4 stage "
+                         "one): k-means cells, within-cell pairs, one "
+                         "representative per transitive group")
+    ap.add_argument("--prototype", type=float, default=None, metavar="FRAC",
+                    help="prototype pruning (D4 stage two): drop the FRAC "
+                         "most-centroid-like documents of each embedding "
+                         "cluster; shares the --semdedup embedding, "
+                         "centroid fit, and scored frame when both run")
+    ap.add_argument("--embed-dim", type=int, default=64,
+                    help="hashed-embedding dimension for --semdedup / "
+                         "--prototype (default 64)")
+    ap.add_argument("--n-clusters", type=int, default=64,
+                    help="k-means cell count for --semdedup / --prototype "
+                         "(default 64; SCALE THIS WITH THE CORPUS — "
+                         "within-cell pairing is quadratic in cell size, "
+                         "SemDeDup uses tens of thousands of clusters at "
+                         "web scale)")
+    ap.add_argument("--centroid-fit-frac", type=float, default=1.0,
+                    help="deterministic-hash fraction of the corpus the "
+                         "centroid fit sees (default 1.0 — exact at test "
+                         "scale; LOWER AT CORPUS SCALE: the Lloyd mean "
+                         "gathers each cell's sampled vectors into one "
+                         "row, so fit on ~10^5 docs and assign all)")
+    ap.add_argument("--max-cell", type=int, default=None,
+                    help="opt-in mega-cell cap for --semdedup / "
+                         "--prototype: cells above it produce no pairs "
+                         "(semdedup) and are exempted whole from pruning "
+                         "(prototype); the excluded cells are counted in "
+                         "the summary — never silent")
     ap.add_argument("--boilerplate", type=int, default=None,
                     metavar="MIN_DOCS",
                     help="remove ALL occurrences of any line present in"
@@ -427,6 +458,75 @@ def main() -> int:
             docs.join(losers, "doc_id", "left_anti")
         )
         _stage("near_dup")
+
+    if args.semdedup is not None or args.prototype is not None:
+        # D4 (SemDeDup then prototype pruning) over model-free hashed
+        # embeddings: ONE embedding projection, ONE centroid fit, ONE
+        # scored frame shared by both stages and the mega-cell audit.
+        from ocr_spark.operators.embed import hashed_embedding
+        from ocr_spark.operators.similarity import (
+            prototype_prune,
+            prototype_scores,
+            semdedup_hot_cells,
+            semdedup_pairs,
+            train_centroids,
+        )
+
+        emb = hashed_embedding(docs, dim=args.embed_dim).select(
+            "doc_id", "embedding"
+        )
+        fit = emb
+        if args.centroid_fit_frac < 1.0:
+            from ocr_spark.operators.splits import deterministic_sample
+
+            fit = deterministic_sample(
+                emb, args.centroid_fit_frac, salt=args.salt
+            )
+        cents = train_centroids(
+            fit, id_col="doc_id", n_centroids=args.n_clusters, iters=1
+        )
+        scored = prototype_scores(
+            emb, cents, id_col="doc_id"
+        ).persist()
+        if args.max_cell is not None:
+            # the cap is never silent: the excluded cells are counted
+            # whether or not either stage ends up hitting them
+            summary["semdedup_hot_cells"] = semdedup_hot_cells(
+                cells=scored, id_col="doc_id", max_cell=args.max_cell
+            ).count()
+        if args.semdedup is not None:
+            from ocr_spark.operators.dedup import dedup_by_clusters
+
+            pairs = semdedup_pairs(
+                cells=scored,
+                cents=cents,
+                id_col="doc_id",
+                threshold=args.semdedup,
+                max_cell=args.max_cell,
+            )
+            docs, summary["after_semdedup"] = _count(
+                dedup_by_clusters(docs, pairs)
+            )
+            _stage("semdedup")
+        if args.prototype is not None:
+            # rank over the CURRENT survivors (D4 prunes after dedup);
+            # the semi-join keeps the scored frame's cell metadata, so
+            # the geometry guard still holds
+            kept_scores = scored.join(
+                docs.select("doc_id"), "doc_id", "left_semi"
+            )
+            docs, summary["after_prototype"] = _count(
+                prototype_prune(
+                    docs,
+                    cents,
+                    id_col="doc_id",
+                    prune_fraction=args.prototype,
+                    scored=kept_scores,
+                    max_cell=args.max_cell,
+                ).drop("cell", "proto_cos", "proto_rank", "cell_n")
+            )
+            _stage("prototype")
+        scored.unpersist()
 
     if args.max_per_domain is not None:
         from ocr_spark.operators.text_analysis import cap_per_domain

@@ -381,6 +381,55 @@ class TestJobs:
             seqs.append(len(s))
         assert sum(seqs) == summary["output_docs"]
 
+    def test_curate_job_d4_semdedup_and_prototype(
+        self, extracted_dir, tmp_path
+    ):
+        """--semdedup + --prototype compose the D4 pipeline over hashed
+        embeddings: stage two ranks the stage-one SURVIVORS, drops
+        floor(frac·n) per cell, and both stage keys + wall-times appear
+        in the summary (pruning semantics oracle-checked by
+        sim_prototype_prune; pair/closure semantics by
+        sim_semdedup_pairs / sim_semdedup_corpus)."""
+        out = tmp_path / "d4"
+        summary = _run(
+            [
+                "jobs/curate_job.py",
+                "--input", str(extracted_dir),
+                "--output", str(out),
+                "--semdedup", "0.999",
+                "--prototype", "0.25",
+                "--n-clusters", "4",
+                "--max-cell", "1000",
+            ]
+        )
+        n0 = summary["after_exact_dedup"]
+        # cos 0.999 over distinct synthetic docs: nothing semantic-dups
+        assert summary["after_semdedup"] == n0
+        # pruning then drops >= floor(0.25 * n_cell) summed over cells:
+        # never more than a quarter, and nonzero on 4 cells of ~30 docs
+        assert summary["after_prototype"] < n0
+        assert summary["after_prototype"] >= n0 - n0 // 4
+        assert summary["semdedup_hot_cells"] == 0  # cap audit never silent
+        for k in ("semdedup", "prototype"):
+            assert k in summary["stage_seconds"], k
+        # the pruning audit columns are internal — output schema is clean
+        import pyarrow.parquet as pq
+
+        cols = set(pq.read_schema(next(out.glob("*.parquet"))).names)
+        assert "proto_rank" not in cols and "cell" not in cols
+        # prototype alone (no semdedup): ranks over the full corpus
+        out2 = tmp_path / "proto_only"
+        s2 = _run(
+            [
+                "jobs/curate_job.py",
+                "--input", str(extracted_dir),
+                "--output", str(out2),
+                "--prototype", "0.25",
+                "--n-clusters", "4",
+            ]
+        )
+        assert s2["after_prototype"] == summary["after_prototype"]
+
     def test_curate_job_dsir_keep(self, extracted_dir, tmp_path):
         """--dsir-keep resamples the corpus toward --dsir-ref: exactly K
         docs survive and the stage wall-time is attributed in the
