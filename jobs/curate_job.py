@@ -102,6 +102,11 @@ def main() -> int:
                          "recrawl shape)")
     ap.add_argument("--near-dup", action="store_true",
                     help="MinHash-LSH near-duplicate removal")
+    ap.add_argument("--keep-longest", action="store_true",
+                    help="--near-dup / --semdedup keep the LONGEST "
+                         "member of each duplicate cluster (ties to min "
+                         "id) instead of the min-id member — the "
+                         "keep-the-best-capture policy")
     ap.add_argument("--near-dup-ref", default=None, metavar="PATH",
                     help="previously-kept corpus parquet (text column); "
                          "also drop documents that NEAR-duplicate it "
@@ -442,11 +447,11 @@ def main() -> int:
         )
         # cluster-aware removal: A~B~C keeps exactly one representative
         # (pairwise doc_b removal could keep two near-copies of the same
-        # transitively-linked content)
+        # transitively-linked content).  ONE propagation run feeds both
+        # the cluster count and the removal (components= share).
+        from ocr_spark.operators.dedup import dedup_by_clusters
+
         components = connected_components(pairs)
-        losers = components.filter(
-            F.col("doc_id") != F.col("cluster_id")
-        ).select("doc_id")
         summary["dup_clusters"] = (
             components.select("cluster_id").distinct().count()
         )
@@ -454,9 +459,15 @@ def main() -> int:
             sigs, num_perm=8, max_bucket=args.max_bucket
         ).count()
         sigs.unpersist()
-        docs, summary["after_near_dup"] = _count(
-            docs.join(losers, "doc_id", "left_anti")
-        )
+        if args.keep_longest:
+            deduped = dedup_by_clusters(
+                docs.withColumn("_len", F.length("text")),
+                components=components,
+                score_col="_len",
+            ).drop("_len")
+        else:
+            deduped = dedup_by_clusters(docs, components=components)
+        docs, summary["after_near_dup"] = _count(deduped)
         _stage("near_dup")
 
     if args.semdedup is not None or args.prototype is not None:
@@ -504,9 +515,15 @@ def main() -> int:
                 threshold=args.semdedup,
                 max_cell=args.max_cell,
             )
-            docs, summary["after_semdedup"] = _count(
-                dedup_by_clusters(docs, pairs)
-            )
+            if args.keep_longest:
+                deduped = dedup_by_clusters(
+                    docs.withColumn("_len", F.length("text")),
+                    pairs,
+                    score_col="_len",
+                ).drop("_len")
+            else:
+                deduped = dedup_by_clusters(docs, pairs)
+            docs, summary["after_semdedup"] = _count(deduped)
             _stage("semdedup")
         if args.prototype is not None:
             # rank over the CURRENT survivors (D4 prunes after dedup);

@@ -340,6 +340,37 @@ WHERE doc_id NOT IN (
   SELECT src FROM reach GROUP BY src HAVING least(src, min(dst)) <> src)
 """
 
+# Scored-representative cluster dedup (dedup_by_clusters(score_col=…)):
+# the same recursive-CTE closure, but the kept member of each component
+# is the one with the most characters (FineWeb-style "keep the longest
+# capture"), ties to min id.  Ordering key (-n_chars AS DOUBLE, doc_id)
+# is integer-derived and unique, so winner choice is engine-exact; the
+# Spark side is a map-side-combinable min_by over the identical struct.
+_CLUSTER_BEST_SQL = f"""
+WITH RECURSIVE {_LSH_PAIRS_CTE},
+{_REACH_CTE},
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src),
+member AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)),
+win AS (
+  SELECT cluster_id, doc_id AS winner FROM (
+    SELECT cluster_id, doc_id,
+      row_number() OVER (PARTITION BY cluster_id
+        ORDER BY coalesce(-CAST(n_chars AS DOUBLE),
+                          CAST('Infinity' AS DOUBLE)) ASC,
+                 doc_id ASC) AS rk
+    FROM member) WHERE rk = 1),
+losers AS (
+  SELECT m.doc_id FROM member m
+  JOIN win w ON m.cluster_id = w.cluster_id AND m.doc_id <> w.winner)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 _JACCARD_SQL = f"""
 WITH words AS ({_WORDS_CTE}),
 sh AS ({_shingle_cte(2)}),
@@ -893,6 +924,14 @@ def _q_cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_by_clusters(
         _t(spark, sf_dir, "documents"),
         _lsh_pairs_portable(spark, sf_dir),
+    ).select("doc_id", "n_chars")
+
+
+def _q_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_by_clusters(
+        _t(spark, sf_dir, "documents"),
+        _lsh_pairs_portable(spark, sf_dir),
+        score_col="n_chars",
     ).select("doc_id", "n_chars")
 
 
@@ -4200,6 +4239,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # dedup convention, pack coalesce, quality split binding, pii
     # coalesce)
     "sim_prototype_prune": (_q_prototype_prune, _PROTO_PRUNE_SQL),
+    "dedup_cluster_best": (_q_cluster_best, _CLUSTER_BEST_SQL),
     "sim_random_project": (_q_random_project, _RP_SQL),
     "mm_image_ahash": (_q_image_ahash, _AHASH_SQL),
     "mm_image_near_dup": (_q_image_near_dup, _AHASH_PAIRS_SQL),

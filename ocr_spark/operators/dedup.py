@@ -1168,23 +1168,87 @@ def connected_components(
 
 def dedup_by_clusters(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    score_col: str | None = None,
+    prefer: str = "max",
+    components: DataFrame | None = None,
 ) -> DataFrame:
-    """Cluster-aware near-dup removal: keep the min-id representative of
-    every connected component of the pair graph, keep all unpaired docs.
-    The end-to-end operator a curation pipeline calls after
+    """Cluster-aware near-dup removal: keep ONE representative of every
+    connected component of the pair graph, keep all unpaired docs.  The
+    end-to-end operator a curation pipeline calls after
     :func:`lsh_candidate_pairs` / :func:`simhash_near_dup_pairs` —
     transitive closure means A~B~C keeps exactly one of the three even
     though (A,C) was never emitted as a pair.
 
-    One anti-join against the (small) loser list: members of a component
-    whose id is not the component minimum."""
+    Default representative: the component's min id (stable, content-
+    independent).  Pass ``score_col`` to keep the BEST-scoring member
+    instead — the FineWeb-style choice (keep the longest / highest-
+    quality capture of a duplicated page, not whichever hashed lowest):
+    ``prefer='max'`` keeps the highest score, ``'min'`` the lowest; ties
+    break to the min id, so the choice is deterministic across
+    partitionings and engines.  NULL (and NaN) scores always LOSE to any
+    real score — a doc with no quality signal must not displace one that
+    has it; an all-NULL component falls back to min id.  With
+    ``score_col`` the representative is chosen among members PRESENT in
+    ``df`` (the score lives there); the default path needs no scores and
+    ignores ``df`` membership.
+
+    Plan: components (iterative min-label propagation, edge-list-sized
+    working set), one id-keyed score join (ids + one double — never the
+    payload), a map-side-combinable ``min_by`` per component, and one
+    anti-join of ``df`` against the loser ids.  Pass ``components`` (a
+    precomputed :func:`connected_components` frame) to share one
+    propagation run with a caller that also reads cluster counts —
+    the propagation is eager (per-round localCheckpoint), so running it
+    twice is twice the jobs, not a reused plan."""
+    if components is None:
+        if pairs is None:
+            raise ValueError("pass pairs or a precomputed components frame")
+        comp = connected_components(pairs, a_col, b_col)
+    else:
+        missing = {"doc_id", "cluster_id"} - set(components.columns)
+        if missing:
+            raise ValueError(
+                f"components frame lacks columns {sorted(missing)} — "
+                f"build it with connected_components(pairs)"
+            )
+        comp = components
+    if score_col is None:
+        losers = comp.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select(F.col("doc_id").alias(id_col))
+        return df.join(losers, on=id_col, how="left_anti")
+    if prefer not in ("max", "min"):
+        raise ValueError(f"prefer must be 'max' or 'min', got {prefer!r}")
+    if score_col not in df.columns:
+        raise ValueError(
+            f"score_col {score_col!r} is not a column of df "
+            f"(have {sorted(df.columns)[:8]}…)"
+        )
+    sgn = "-" if prefer == "max" else ""
+    member = comp.join(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(score_col).cast("double").alias("_s"),
+        ),
+        "doc_id",
+    )
+    # min_by over (ns, id): ns = signed score with NULL→+inf (always
+    # loses); the id component makes the ordering key unique, so min_by's
+    # tie nondeterminism can never engage
+    winners = member.groupBy("cluster_id").agg(
+        F.expr(
+            f"min_by(doc_id, named_struct("
+            f"'ns', coalesce({sgn}_s, CAST('Infinity' AS DOUBLE)), "
+            f"'i', doc_id))"
+        ).alias("_w")
+    )
     losers = (
-        connected_components(pairs, a_col, b_col)
-        .filter(F.col("doc_id") != F.col("cluster_id"))
+        member.join(winners, "cluster_id")
+        .filter(F.col("doc_id") != F.col("_w"))
         .select(F.col("doc_id").alias(id_col))
     )
     return df.join(losers, on=id_col, how="left_anti")

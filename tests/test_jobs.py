@@ -430,6 +430,51 @@ class TestJobs:
         )
         assert s2["after_prototype"] == summary["after_prototype"]
 
+    def test_curate_job_keep_longest_representative(self, tmp_path):
+        """--keep-longest makes the semantic-dup winner the LONGEST
+        member, not the min-xxhash member: a short page and its tripled
+        expansion are exact semantic dups (cos = 1 for a scaled TF
+        vector), and the long one must survive regardless of how the
+        url hashes land."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_w
+
+        short = "alpha beta gamma delta epsilon zeta"
+        rows = {
+            "url": [
+                "https://a.example/short",
+                "https://b.example/long",
+                "https://c.example/other",
+            ],
+            "text": [
+                short,
+                " ".join([short] * 3),
+                "completely different unrelated content words here",
+            ],
+        }
+        src = tmp_path / "mini.parquet"
+        pq_w.write_table(pa.table(rows), src)
+        out = tmp_path / "curated_longest"
+        summary = _run(
+            [
+                "jobs/curate_job.py",
+                "--input", str(src),
+                "--output", str(out),
+                "--semdedup", "0.95",
+                "--n-clusters", "2",
+                "--keep-longest",
+            ]
+        )
+        assert summary["after_semdedup"] == 2
+        import pyarrow.parquet as pq
+
+        urls = set()
+        for p in out.glob("*.parquet"):
+            urls |= set(pq.read_table(p).column("url").to_pylist())
+        assert "https://b.example/long" in urls
+        assert "https://a.example/short" not in urls
+        assert "https://c.example/other" in urls
+
     def test_curate_job_dsir_keep(self, extracted_dir, tmp_path):
         """--dsir-keep resamples the corpus toward --dsir-ref: exactly K
         docs survive and the stage wall-time is attributed in the

@@ -2098,6 +2098,57 @@ class TestConnectedComponents:
         )
         assert kept == [1, 50]
 
+    def test_dedup_by_clusters_scored_representative(self, spark):
+        """score_col keeps the BEST member per component (FineWeb-style
+        keep-the-longest), ties to min id, NULL scores always lose."""
+        from ocr_spark.operators.dedup import dedup_by_clusters
+
+        docs = spark.createDataFrame(
+            [
+                # component {1,2,3}: 2 has the highest score
+                (1, 5.0), (2, 9.0), (3, 7.0),
+                # component {10,11}: tie -> min id (10)
+                (10, 4.0), (11, 4.0),
+                # component {20,21}: NULL loses to a real score
+                (20, None), (21, 1.0),
+                # unpaired: always kept, score irrelevant
+                (50, None),
+            ],
+            "doc_id long, q double",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21)], "doc_a long, doc_b long"
+        )
+        kept = sorted(
+            r.doc_id
+            for r in dedup_by_clusters(docs, pairs, score_col="q").collect()
+        )
+        assert kept == [2, 10, 21, 50]
+        # prefer='min' inverts the choice (keep the LOWEST score)
+        kept_min = sorted(
+            r.doc_id
+            for r in dedup_by_clusters(
+                docs, pairs, score_col="q", prefer="min"
+            ).collect()
+        )
+        assert kept_min == [1, 10, 21, 50]
+        # all-NULL component falls back to min id
+        docs2 = spark.createDataFrame(
+            [(1, None), (2, None)], "doc_id long, q double"
+        )
+        pairs2 = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        assert [
+            r.doc_id
+            for r in dedup_by_clusters(
+                docs2, pairs2, score_col="q"
+            ).collect()
+        ] == [1]
+        # guards
+        with pytest.raises(ValueError, match="prefer"):
+            dedup_by_clusters(docs, pairs, score_col="q", prefer="best")
+        with pytest.raises(ValueError, match="score_col"):
+            dedup_by_clusters(docs, pairs, score_col="nope")
+
 
 class TestLmScore:
     """CCNet-style unigram LM gate (operators/lm.py): train counts on a
