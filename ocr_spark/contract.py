@@ -1160,14 +1160,18 @@ def _q_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN recall ledger: lsh/ivf/quantized recall@10 against brute-force
-    ground truth in one report.  recall/min_recall are divisions of exact
-    integer counts (order-independent sums), so they are bit-identical
-    cross-engine with no rounding (the round(·,9) policy is only for
-    transcendentals)."""
+    """ANN recall ledger: lsh/ivf/quantized/pq recall@10 against
+    brute-force ground truth in one report.  recall/min_recall are
+    divisions of exact integer counts (order-independent sums), so they
+    are bit-identical cross-engine with no rounding (the round(·,9)
+    policy is only for transcendentals); the pq branch's top-k membership
+    carries the same last-ulp ADC-cos ordering evidence class as the
+    green sim_pq_topk rank column (same codebooks: ksub=8 seed)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_recall_report(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, signs=_SIGNS
+        emb, emb.filter(F.col("vec_id") < 5), k=10, signs=_SIGNS,
+        methods=("lsh", "ivf", "quantized", "pq"),
+        pq_m=_PQ_M, pq_ksub=_PQ_KSUB, pq_iters=0,
     )
 
 
@@ -1203,8 +1207,11 @@ def _pq_dot(a: str, b: str) -> str:
     return _DOT.format(a=a, b=b)
 
 
-_PQ_SQL = f"""
-WITH seeds AS (SELECT vec_id, embedding FROM embeddings
+# Shared CTE chain ending at pq_scored — _PQ_SQL takes its top-10, the
+# recall ledger (_RECALL_REPORT_SQL) takes its top-10 ids as the 'pq'
+# method branch.
+_PQ_CTE = f"""
+seeds AS (SELECT vec_id, embedding FROM embeddings
                ORDER BY vec_id LIMIT {_PQ_KSUB}),
 cents AS (SELECT sj.j,
             row_number() OVER (PARTITION BY sj.j ORDER BY s.vec_id) - 1
@@ -1242,15 +1249,19 @@ ipx AS (SELECT qs.vec_id AS q_id, enc.vec_id AS c_id,
         JOIN sub qs ON qs.j = enc.j
         WHERE qs.vec_id < 5 AND qs.vec_id <> enc.vec_id
         GROUP BY qs.vec_id, enc.vec_id),
-scored AS (SELECT ipx.q_id, ipx.c_id,
+pq_scored AS (SELECT ipx.q_id, ipx.c_id,
              CASE WHEN rn.rnorm = 0 OR qn.qnorm = 0 THEN 0
                   ELSE ipx.ip / (qn.qnorm * rn.rnorm) END AS cos
            FROM ipx JOIN rn ON rn.c_id = ipx.c_id
                     JOIN qn ON qn.q_id = ipx.q_id)
+"""
+
+_PQ_SQL = f"""
+WITH {_PQ_CTE}
 SELECT q_id AS query_id, c_id AS neighbor_id, CAST(rank AS INTEGER) AS rank,
        round(cos, 6) AS cos_r
 FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-        ORDER BY cos DESC, c_id ASC) AS rank FROM scored)
+        ORDER BY cos DESC, c_id ASC) AS rank FROM pq_scored)
 WHERE rank <= 10
 """
 
@@ -1317,6 +1328,8 @@ rr_quant_scored AS (
        (SELECT vec_id AS q_id, q AS qq FROM qz WHERE vec_id < 5) qs
   WHERE c.vec_id <> qs.q_id),
 rr_quant AS ({_topk_ids('rr_quant_scored')}),
+{_PQ_CTE},
+rr_pq AS ({_topk_ids('pq_scored')}),
 rr_perq AS (
   SELECT 'lsh' AS method, t.query_id,
          count(a.query_id) AS n_hit, count(*) AS n_truth
@@ -1331,6 +1344,11 @@ rr_perq AS (
   UNION ALL
   SELECT 'quantized', t.query_id, count(a.query_id), count(*)
   FROM rr_truth t LEFT JOIN rr_quant a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY t.query_id
+  UNION ALL
+  SELECT 'pq', t.query_id, count(a.query_id), count(*)
+  FROM rr_truth t LEFT JOIN rr_pq a
     ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
   GROUP BY t.query_id)
 SELECT method, CAST(10 AS INTEGER) AS k, count(*) AS n_queries,

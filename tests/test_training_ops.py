@@ -1683,6 +1683,41 @@ class TestQuantizedSimilarity:
         assert report["quantized"].recall >= 0.8
         assert report["lsh"].recall < report["quantized"].recall
 
+    def test_ann_recall_report_pq_branch(self, embs):
+        """The opt-in 'pq' method's numbers equal a direct intersection
+        of pq_topk (same deterministic seed codebooks) with the truth."""
+        from ocr_spark.operators.similarity import (
+            ann_recall_report,
+            cosine_topk_bruteforce,
+            pq_encode,
+            pq_topk,
+            train_pq_codebooks,
+        )
+
+        queries = embs.filter("vec_id < 5")
+        k = 10
+        row = ann_recall_report(
+            embs, queries, k=k, methods=("pq",), pq_m=8, pq_ksub=8,
+            pq_iters=0,
+        ).collect()[0]
+        assert row.method == "pq"
+
+        def pairsets(rows):
+            d = {}
+            for r in rows:
+                d.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return d
+
+        truth = pairsets(cosine_topk_bruteforce(embs, queries, k=k).collect())
+        books = train_pq_codebooks(embs, m=8, ksub=8, iters=0)
+        approx = pairsets(
+            pq_topk(pq_encode(embs, books), queries, books, k=k).collect()
+        )
+        n_truth = sum(len(v) for v in truth.values())
+        n_hit = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+        assert row.n_truth == n_truth and row.n_hit == n_hit
+        assert row.recall == n_hit / n_truth
+
     def test_ann_recall_report_rejects_unknown_method(self, embs):
         from ocr_spark.operators.similarity import ann_recall_report
 
