@@ -526,19 +526,16 @@ def main() -> int:
             docs, summary["after_semdedup"] = _count(deduped)
             _stage("semdedup")
         if args.prototype is not None:
-            # rank over the CURRENT survivors (D4 prunes after dedup);
-            # the semi-join keeps the scored frame's cell metadata, so
-            # the geometry guard still holds
-            kept_scores = scored.join(
-                docs.select("doc_id"), "doc_id", "left_semi"
-            )
+            # the operator reconciles membership itself: ranks cover the
+            # CURRENT survivors only (D4 prunes after dedup), and a doc
+            # the frame cannot score raises rather than vanishing
             docs, summary["after_prototype"] = _count(
                 prototype_prune(
                     docs,
                     cents,
                     id_col="doc_id",
                     prune_fraction=args.prototype,
-                    scored=kept_scores,
+                    scored=scored,
                     max_cell=args.max_cell,
                 ).drop("cell", "proto_cos", "proto_rank", "cell_n")
             )

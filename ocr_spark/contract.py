@@ -343,9 +343,9 @@ WHERE doc_id NOT IN (
 # Scored-representative cluster dedup (dedup_by_clusters(score_col=…)):
 # the same recursive-CTE closure, but the kept member of each component
 # is the one with the most characters (FineWeb-style "keep the longest
-# capture"), ties to min id.  Ordering key (-n_chars AS DOUBLE, doc_id)
-# is integer-derived and unique, so winner choice is engine-exact; the
-# Spark side is a map-side-combinable min_by over the identical struct.
+# capture"), ties to min id.  Ordering key (isnull, -n_chars AS DOUBLE,
+# doc_id) is integer-derived and unique, so winner choice is
+# engine-exact; the Spark side is one window min over the same struct.
 _CLUSTER_BEST_SQL = f"""
 WITH RECURSIVE {_LSH_PAIRS_CTE},
 {_REACH_CTE},
@@ -359,8 +359,8 @@ win AS (
   SELECT cluster_id, doc_id AS winner FROM (
     SELECT cluster_id, doc_id,
       row_number() OVER (PARTITION BY cluster_id
-        ORDER BY coalesce(-CAST(n_chars AS DOUBLE),
-                          CAST('Infinity' AS DOUBLE)) ASC,
+        ORDER BY CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END ASC,
+                 coalesce(-CAST(n_chars AS DOUBLE), 0e0) ASC,
                  doc_id ASC) AS rk
     FROM member) WHERE rk = 1),
 losers AS (

@@ -1236,19 +1236,26 @@ def dedup_by_clusters(
         ),
         "doc_id",
     )
-    # min_by over (ns, id): ns = signed score with NULL→+inf (always
-    # loses); the id component makes the ordering key unique, so min_by's
-    # tie nondeterminism can never engage
-    winners = member.groupBy("cluster_id").agg(
+    # Winner key = (isnull, signed score, id): the leading null flag makes
+    # a real score — INCLUDING -Infinity — strictly beat any NULL (a bare
+    # coalesce(+inf) sentinel would TIE a real infinite score and let the
+    # NULL-scored doc win on ids); NaN sorts after every finite/infinite
+    # double, so the preference order is reals < NaN < NULL, ties to min
+    # id.  ONE window pass computes the per-component winner — a
+    # groupBy-winners + rejoin would reference the unpersisted `member`
+    # subtree twice, executing the comp⋈score join twice (CLAUDE.md:
+    # Spark does not reuse-merge identical non-broadcast subtrees).
+    win = F.min(
         F.expr(
-            f"min_by(doc_id, named_struct("
-            f"'ns', coalesce({sgn}_s, CAST('Infinity' AS DOUBLE)), "
-            f"'i', doc_id))"
-        ).alias("_w")
-    )
+            f"named_struct("
+            f"'isnull', CASE WHEN _s IS NULL THEN 1 ELSE 0 END, "
+            f"'ns', coalesce({sgn}_s, 0D), "
+            f"'i', doc_id)"
+        )
+    ).over(Window.partitionBy("cluster_id"))
     losers = (
-        member.join(winners, "cluster_id")
-        .filter(F.col("doc_id") != F.col("_w"))
+        member.withColumn("_w", win)
+        .filter(F.col("doc_id") != F.col("_w.i"))
         .select(F.col("doc_id").alias(id_col))
     )
     return df.join(losers, on=id_col, how="left_anti")

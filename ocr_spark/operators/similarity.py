@@ -426,27 +426,15 @@ def assign_cells(
 ) -> DataFrame:
     """Corpus → (id, vec, cell) via the shuffle-free argmax projection.
 
-    The row norm is bound to a real column first and referenced by every
-    centroid struct (n_centroids references keep CollapseProject from
-    inlining the fold back), so each corpus vector pays ONE norm fold, not
-    ``n_centroids``."""
-    tmp = "_rnorm"
-    while tmp in df.columns:
-        tmp += "_"
-    bound = df.select(F.col(id_col), F.col(vec_col)).withColumn(
-        tmp, F.expr(_norm(vec_col))
-    )
-    return bound.select(
-        F.col(id_col),
-        F.col(vec_col),
-        # build parameters ride as column metadata so a consumer handed a
-        # precomputed cells frame (semdedup_pairs cells=) can refuse a
-        # mismatched geometry instead of silently pairing in the wrong
-        # cells (same guard convention as hyperplane_buckets' key column)
-        F.expr(
-            nearest_cell_expr(vec_col, cents, norm_expr=f"`{tmp}`")
-        ).alias("cell", metadata={"n_cents": len(cents), "vec_col": vec_col}),
-    )
+    One implementation with :func:`prototype_scores` (this is that frame
+    minus the winning-cosine column), so the bound-norm/bound-struct
+    projection chain, the collision-safe temp naming, and the ``cell``
+    metadata contract — build parameters ride as column metadata so a
+    consumer handed a precomputed cells frame (semdedup_pairs ``cells=``)
+    can refuse a mismatched geometry instead of silently pairing in the
+    wrong cells (same guard convention as hyperplane_buckets' key
+    column) — evolve in exactly one place."""
+    return prototype_scores(df, cents, vec_col, id_col).drop("proto_cos")
 
 
 def train_centroids(
@@ -1595,7 +1583,13 @@ def prototype_prune(
     Pass ``scored`` (a persisted :func:`prototype_scores` frame) to share
     the scoring across the prune, the audit, and any SemDeDup stage run
     over the same geometry; the frame's ``cell`` metadata is verified
-    against ``cents`` before use."""
+    against ``cents`` before use.  A shared frame may cover a SUPERSET of
+    ``df`` (e.g. scores computed before a dedup stage removed rows) —
+    ranks and cell sizes are always computed over ``df``'s CURRENT
+    members only (stale rows would otherwise inflate the drop boundary
+    past the survivors: a cell whose top half was already deduped away
+    would then lose EVERYTHING silently).  A ``df`` row with no score row
+    is an error (it could neither rank nor survive) and RAISES."""
     if not (0.0 <= prune_fraction < 1.0):
         raise ValueError(
             f"prune_fraction must be in [0, 1), got {prune_fraction} "
@@ -1620,6 +1614,20 @@ def prototype_prune(
                 "scored frame lacks proto_cos — build it with "
                 "prototype_scores (assign_cells frames carry no score)"
             )
+        # reconcile membership: rank over df's CURRENT rows only (a
+        # stale superset inflates floor(frac·n) past the survivors), and
+        # refuse a df row the frame cannot score (it would silently
+        # vanish through the final inner join) — bounded probe, eager
+        ids = df.select(id_col)
+        unscored = ids.join(scored.select(id_col), id_col, "left_anti")
+        missing = unscored.limit(1).collect()
+        if missing:
+            raise ValueError(
+                f"df contains rows absent from the scored frame (e.g. "
+                f"{id_col}={missing[0][0]!r}) — score the full input, or "
+                f"let prototype_prune compute its own scores"
+            )
+        scored = scored.join(ids, id_col, "left_semi")
     rk, nc = "_prank", "_pn"
     w_rank = Window.partitionBy("cell").orderBy(
         F.col("proto_cos").desc(), F.col(id_col).asc()

@@ -2167,6 +2167,19 @@ class TestConnectedComponents:
             ).collect()
         )
         assert kept_min == [1, 10, 21, 50]
+        # a real -Infinity score still beats NULL (the null flag leads
+        # the winner key; a bare +inf sentinel would tie — review
+        # finding, pinned)
+        docs_inf = spark.createDataFrame(
+            [(1, None), (2, float("-inf"))], "doc_id long, q double"
+        )
+        pairs_inf = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        assert [
+            r.doc_id
+            for r in dedup_by_clusters(
+                docs_inf, pairs_inf, score_col="q"
+            ).collect()
+        ] == [2]
         # all-NULL component falls back to min id
         docs2 = spark.createDataFrame(
             [(1, None), (2, None)], "doc_id long, q double"
@@ -3930,6 +3943,41 @@ class TestPrototypePrune:
             assert len(audit) == 1 and audit[0].n_docs == n
         finally:
             scored.unpersist()
+
+    def test_stale_superset_scored_frame_ranks_current_members(
+        self, spark
+    ):
+        """A shared scored frame computed BEFORE a dedup stage removed
+        rows must rank over df's CURRENT members — stale rows would
+        inflate floor(frac·n) past the survivors and silently drop an
+        entire cell (review finding, pinned).  And a df row the frame
+        cannot score raises instead of vanishing through the join."""
+        from ocr_spark.operators.similarity import (
+            prototype_prune,
+            prototype_scores,
+            train_centroids,
+        )
+
+        # one cell of 10 collinear vectors: proto_cos identical, so the
+        # rank order is by id and floor(0.5*n) semantics are transparent
+        df = spark.range(10).select(
+            F.col("id").alias("vec_id"),
+            F.expr("array(CAST(id + 1 AS DOUBLE), 0D)").alias("embedding"),
+        )
+        cents = train_centroids(df, n_centroids=1, iters=0)
+        scored = prototype_scores(df, cents)
+        survivors = df.filter(F.col("vec_id") >= 5)  # "dedup" took 0-4
+        kept = prototype_prune(
+            survivors, cents, prune_fraction=0.5, scored=scored
+        )
+        # 5 current members -> drop floor(2.5)=2, keep 3 (stale ranking
+        # over all 10 would drop 5 and keep ZERO)
+        assert kept.count() == 3
+        with pytest.raises(ValueError, match="absent from the scored"):
+            prototype_prune(
+                df, cents, prune_fraction=0.5,
+                scored=scored.filter(F.col("vec_id") < 8),
+            )
 
     def test_guards(self, embs, cents):
         from ocr_spark.operators.similarity import (
