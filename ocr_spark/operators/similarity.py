@@ -423,6 +423,7 @@ def assign_cells(
     cents: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Corpus → (id, vec, cell) via the shuffle-free argmax projection.
 
@@ -433,8 +434,13 @@ def assign_cells(
     consumer handed a precomputed cells frame (semdedup_pairs ``cells=``)
     can refuse a mismatched geometry instead of silently pairing in the
     wrong cells (same guard convention as hyperplane_buckets' key
-    column) — evolve in exactly one place."""
-    return prototype_scores(df, cents, vec_col, id_col).drop("proto_cos")
+    column) — evolve in exactly one place.  ``strategy`` is
+    :func:`prototype_scores`' knob: ``'literal'`` (bit-exact folds, the
+    oracle strategy) vs ``'pandas'`` (NumPy matmul, the large-k
+    strategy); ``'auto'`` switches at :data:`_LITERAL_CENTS_MAX`."""
+    return prototype_scores(
+        df, cents, vec_col, id_col, strategy
+    ).drop("proto_cos")
 
 
 def train_centroids(
@@ -1491,52 +1497,145 @@ def semdedup_corpus(
         cells.unpersist()
 
 
+# The inlined-literal argmax is a higher-order-function expression, and
+# Spark HOFs are CodegenFallback — the projection runs INTERPRETED at any
+# k (measured: WholeStageCodegen absent even at k=2), so its per-row cost
+# is a straight k·dim interpreted fold.  Fine to ~64 cells; past that the
+# Arrow/NumPy kernel wins by the matmul margin (measured at k=256,
+# 200k × dim-16: literal 22.3 s vs pandas 2.8 s — 8×, and the gap grows
+# linearly with k).  The auto threshold:
+_LITERAL_CENTS_MAX = 64
+
+
 def prototype_scores(
     df: DataFrame,
     cents: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    strategy: str = "auto",
 ) -> DataFrame:
     """``(id, vec, cell, proto_cos)`` — each vector's nearest centroid AND
-    its cosine to that centroid (its "prototypicality"), in ONE
-    shuffle-free projection chain.
+    its cosine to that centroid (its "prototypicality").
 
-    This is :func:`assign_cells` plus the winning score: the argmax
-    struct (:func:`_best_cell_struct`) is bound to a real column and both
-    fields are read from that one binding, so the n_centroids-way scoring
-    runs once per row — not once for the cell and again for the score
-    (the CLAUDE.md bind-don't-inline rule: the struct is referenced twice
-    in the next projection, which keeps CollapseProject from inlining the
-    expensive array build back per reference).  The ``cell`` column
-    carries the same build-parameter metadata as :func:`assign_cells`, so
-    the frame can be shared with every ``cells=`` consumer
-    (:func:`semdedup_hot_cells`, :func:`semdedup_pairs`) and a mismatched
-    geometry is refused rather than silently mis-bucketed."""
-    rn = "_rnorm"
-    while rn in df.columns:
-        rn += "_"
-    best = "_best"
-    while best in df.columns:
-        best += "_"
-    bound = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .withColumn(rn, F.expr(_norm(vec_col)))
-        .select(
+    Two physical strategies (``'auto'`` picks by ``len(cents)`` vs
+    :data:`_LITERAL_CENTS_MAX`):
+
+    - ``'literal'`` — ONE shuffle-free projection chain:
+      :func:`assign_cells` plus the winning score; the argmax struct
+      (:func:`_best_cell_struct`) is bound to a real column and both
+      fields are read from that one binding, so the n_centroids-way
+      scoring runs once per row (the CLAUDE.md bind-don't-inline rule).
+      Values are BIT-identical to the DuckDB oracles (sequential folds),
+      which is why every contract row pins this strategy.  HOF-
+      interpreted, so cost is linear in k·dim — the small-k strategy.
+    - ``'pandas'`` — Arrow-batched ``mapInPandas``: one float64 BLAS
+      matmul per batch against the (k × dim) centroid matrix, argmax
+      with lowest-cid ties (centroids sorted by cid; NumPy argmax takes
+      the first maximum).  Also shuffle-free (a mapper stage), 8×+
+      faster at k ≥ 256 — the SemDeDup/D4 web-scale regime (tens of
+      thousands of clusters).  Element widening matches the fold
+      (``CAST(x AS DOUBLE)`` before multiply), but BLAS sums pairwise,
+      so cosines can differ from the fold path in the last ulp and an
+      EXACT argmax tie could in principle assign a different cell
+      (pytest pins zero divergence on the test corpora).  Use
+      ``'literal'`` when bit-exact oracle reproducibility matters more
+      than speed.
+
+    The ``cell`` column carries the same build-parameter metadata under
+    both strategies, so the frame can be shared with every ``cells=``
+    consumer (:func:`semdedup_hot_cells`, :func:`semdedup_pairs`) and a
+    mismatched geometry is refused rather than silently mis-bucketed."""
+    if strategy == "auto":
+        strategy = (
+            "literal" if len(cents) <= _LITERAL_CENTS_MAX else "pandas"
+        )
+    if strategy == "literal":
+        rn = "_rnorm"
+        while rn in df.columns:
+            rn += "_"
+        best = "_best"
+        while best in df.columns:
+            best += "_"
+        bound = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .withColumn(rn, F.expr(_norm(vec_col)))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.expr(
+                    _best_cell_struct(vec_col, cents, norm_expr=f"`{rn}`")
+                ).alias(best),
+            )
+        )
+        return bound.select(
             F.col(id_col),
             F.col(vec_col),
-            F.expr(
-                _best_cell_struct(vec_col, cents, norm_expr=f"`{rn}`")
-            ).alias(best),
+            F.expr(f"-(`{best}`.ncid)").alias(
+                "cell", metadata={"n_cents": len(cents), "vec_col": vec_col}
+            ),
+            F.col(f"{best}.ccos").alias("proto_cos"),
         )
+    if strategy != "pandas":
+        raise ValueError(
+            f"strategy must be 'auto', 'literal', or 'pandas', "
+            f"got {strategy!r}"
+        )
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    return bound.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.expr(f"-(`{best}`.ncid)").alias(
-            "cell", metadata={"n_cents": len(cents), "vec_col": vec_col}
+
+    ordered = sorted(cents, key=lambda c: int(c[0]))
+    C = np.array([[float(x) for x in v] for _, v in ordered],
+                 dtype=np.float64)
+    cids = np.array([int(cid) for cid, _ in ordered], dtype=np.int64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    dim = C.shape[1]
+    in_fields = {f.name: f for f in df.schema.fields}
+    schema = StructType([
+        in_fields[id_col],
+        in_fields[vec_col],
+        StructField(
+            "cell", LongType(), False,
+            metadata={"n_cents": len(cents), "vec_col": vec_col},
         ),
-        F.col(f"{best}.ccos").alias("proto_cos"),
-    )
+        StructField("proto_cos", DoubleType(), False),
+    ])
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cell=np.array([], dtype=np.int64),
+                                 proto_cos=np.array([], dtype=np.float64))
+                continue
+            vals = pdf[vec_col].to_list()
+            for i, v in enumerate(vals):
+                if v is None or len(v) != dim:
+                    raise ValueError(
+                        f"{vec_col} for {id_col}="
+                        f"{pdf[id_col].iloc[i]!r} is "
+                        f"{'NULL' if v is None else f'dim {len(v)}'}; "
+                        f"expected dim {dim}"
+                    )
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vals]
+            )
+            rn_v = np.sqrt((V * V).sum(axis=1))
+            S = V @ C.T
+            denom = np.outer(rn_v, cn)
+            # zero-norm rows/centroids score 0 (the literal CASE guard)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom > 0, S / denom, 0.0)
+            idx = S.argmax(axis=1)
+            yield pdf.assign(
+                cell=cids[idx],
+                proto_cos=S[np.arange(len(V)), idx],
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_score, schema)
 
 
 def prototype_prune(
@@ -1547,6 +1646,7 @@ def prototype_prune(
     prune_fraction: float = 0.5,
     scored: DataFrame | None = None,
     max_cell: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Prototype pruning (Sorscher et al. 2022, "Beyond neural scaling
     laws"; the second stage of D4, Tirumala et al. 2023): within each
@@ -1605,7 +1705,7 @@ def prototype_prune(
     if scored is None:
         if cents is None:
             raise ValueError("pass cents or a precomputed scored frame")
-        scored = prototype_scores(df, cents, vec_col, id_col)
+        scored = prototype_scores(df, cents, vec_col, id_col, strategy)
     else:
         _check_cells(scored, id_col, vec_col,
                      len(cents) if cents is not None else None)
