@@ -1085,29 +1085,121 @@ def pq_encode(
     codebooks: list[list[tuple[int, list[float]]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Corpus → ``(id, codes array<int>, rnorm double)``.
 
     ``codes[j]`` is the argmin-L2 centroid of subspace ``j`` (expressed
-    as argmax of ``dot(x_j, c) - 0.5·|c|²`` over inlined literals, ties
-    to the lowest cid — one shuffle-free projection, the
-    :func:`nearest_cell_expr` posture per subspace).  ``rnorm`` is the
-    L2 norm of the RECONSTRUCTION (sqrt of the chosen centroids' squared
-    norms, folded in subspace order) — the denominator ADC cosine needs,
-    carried as one double so scoring never touches the original
-    vector."""
+    as argmax of ``dot(x_j, c) - 0.5·|c|²``, ties to the lowest cid).
+    ``rnorm`` is the L2 norm of the RECONSTRUCTION (sqrt of the chosen
+    centroids' squared norms, folded in subspace order) — the
+    denominator ADC cosine needs, carried as one double so scoring never
+    touches the original vector.
+
+    Strategies (the :func:`prototype_scores` split — the inlined-literal
+    expression is HOF-interpreted at any size, cost ∝ ksub·dim per row):
+    ``'literal'`` — one shuffle-free projection over inlined literals,
+    bit-identical to the DuckDB oracle (what ``sim_pq_topk`` pins);
+    ``'pandas'`` — Arrow-batched NumPy per-subspace matmul argmax,
+    needed at the PUBLISHED PQ setting (ksub = 256, where the literal
+    path crawls).  ``'auto'`` picks literal iff
+    ``ksub <= _LITERAL_CENTS_MAX``.  The pandas path's per-codeword
+    ``0.5·|c|²`` constants and the rnorm accumulation reuse the SAME
+    sequential fold order, so identical code choices give a
+    BIT-identical rnorm; only the BLAS dot can differ in the last ulp,
+    which flips a code only on an exact argmax score tie (pytest pins
+    zero divergence on the test corpus)."""
     m = len(codebooks)
+    ksub = len(codebooks[0])
     dsub = len(codebooks[0][0][1])
-    bound, subcols = _pq_bind_subvecs(
-        df.select(F.col(id_col), F.col(vec_col)), m, dsub, vec_col
+    if strategy == "auto":
+        strategy = "literal" if ksub <= _LITERAL_CENTS_MAX else "pandas"
+    if strategy == "literal":
+        bound, subcols = _pq_bind_subvecs(
+            df.select(F.col(id_col), F.col(vec_col)), m, dsub, vec_col
+        )
+        coded = bound.select(
+            F.col(id_col),
+            F.expr(_pq_codes_expr(codebooks, subcols)).alias("codes"),
+        )
+        return coded.select(
+            id_col, "codes",
+            F.expr(_pq_rnorm_expr(codebooks)).alias("rnorm"),
+        )
+    if strategy != "pandas":
+        raise ValueError(
+            f"strategy must be 'auto', 'literal', or 'pandas', "
+            f"got {strategy!r}"
+        )
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
-    coded = bound.select(
-        F.col(id_col),
-        F.expr(_pq_codes_expr(codebooks, subcols)).alias("codes"),
-    )
-    return coded.select(
-        id_col, "codes", F.expr(_pq_rnorm_expr(codebooks)).alias("rnorm")
-    )
+
+    def _seq_sq_norm(v: list[float]) -> float:
+        # the SQL fold: 0D seed, sequential index-order adds
+        acc = 0.0
+        for x in v:
+            acc += float(x) * float(x)
+        return acc
+
+    books = [sorted(b, key=lambda c: int(c[0])) for b in codebooks]
+    C = [
+        np.array([[float(x) for x in v] for _, v in b], dtype=np.float64)
+        for b in books
+    ]
+    cid_maps = [
+        np.array([int(cid) for cid, _ in b], dtype=np.int32) for b in books
+    ]
+    nsq = [
+        np.array([_seq_sq_norm(v) for _, v in b], dtype=np.float64)
+        for b in books
+    ]
+    dim = m * dsub
+    in_fields = {f.name: f for f in df.schema.fields}
+    schema = StructType([
+        in_fields[id_col],
+        StructField("codes", ArrayType(IntegerType(), False), False),
+        StructField("rnorm", DoubleType(), False),
+    ])
+
+    def _encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[[id_col]].assign(
+                    codes=[], rnorm=np.array([], dtype=np.float64)
+                )
+                continue
+            vals = pdf[vec_col].to_list()
+            for i, v in enumerate(vals):
+                if v is None or len(v) != dim:
+                    raise ValueError(
+                        f"{vec_col} for {id_col}="
+                        f"{pdf[id_col].iloc[i]!r} is "
+                        f"{'NULL' if v is None else f'dim {len(v)}'}; "
+                        f"expected dim {dim} (m={m} × dsub={dsub})"
+                    )
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vals]
+            )
+            n = len(V)
+            codes = np.empty((n, m), dtype=np.int32)
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(m):
+                Vj = V[:, j * dsub:(j + 1) * dsub]
+                S = Vj @ C[j].T - 0.5 * nsq[j]
+                cj = S.argmax(axis=1)  # first max = lowest cid (sorted)
+                codes[:, j] = cid_maps[j][cj]
+                acc += nsq[j][cj]  # j-order sequential adds == the fold
+            yield pdf[[id_col]].assign(
+                codes=list(codes), rnorm=np.sqrt(acc)
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_encode, schema)
 
 
 def pq_topk(

@@ -3492,6 +3492,45 @@ class TestProductQuantization:
     the codebook can represent the corpus, python differential for the
     argmin encode, plan shape, and the recall-ledger wiring."""
 
+    def test_encode_pandas_strategy_parity(self, embs):
+        """The Arrow/NumPy encode (the ksub=256 published-regime path —
+        the literal expression is HOF-interpreted, measured 31× slower
+        there) emits IDENTICAL codes and a BIT-equal rnorm (same
+        sequential fold order for the codeword norms and the subspace
+        accumulation), so the downstream ADC top-k is identical."""
+        from ocr_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            train_pq_codebooks,
+        )
+
+        books = train_pq_codebooks(embs, m=8, ksub=8)
+        lit = {
+            r.vec_id: (list(r.codes), r.rnorm)
+            for r in pq_encode(embs, books, strategy="literal").collect()
+        }
+        pdx = {
+            r.vec_id: (list(r.codes), r.rnorm)
+            for r in pq_encode(embs, books, strategy="pandas").collect()
+        }
+        assert lit == pdx  # codes equal AND rnorm bit-equal
+        q = embs.filter("vec_id < 3")
+        a = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in pq_topk(
+                pq_encode(embs, books, strategy="pandas"), q, books
+            ).collect()
+        )
+        b = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in pq_topk(
+                pq_encode(embs, books, strategy="literal"), q, books
+            ).collect()
+        )
+        assert a == b
+        with pytest.raises(ValueError, match="strategy"):
+            pq_encode(embs, books, strategy="numpy")
+
     def test_encode_matches_python_argmin(self, embs):
         import numpy as np
 
