@@ -248,6 +248,7 @@ def random_project(
     seed: str = "v1",
     matrix: list[list[float]] | None = None,
     out_col: str = "rp",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Append ``out_col`` = the ``out_dim``-dimensional random projection
     of ``vec_col`` — ONE shuffle-free codegen projection (the
@@ -278,6 +279,19 @@ def random_project(
     fold — never a silently-wrong value.  Matrix indexing stays strict
     ``element_at``: its indices are generated in-range, so a raise there
     is a real bug, not data.
+
+    Strategies (the similarity-module split — the literal transform is a
+    HOF expression, CodegenFallback, so it runs INTERPRETED with cost
+    ∝ out_dim·in_dim per row: measured 3.2k rows/s on 32 cores at the
+    768→64 production shape): ``'literal'`` keeps the bit-exact
+    sequential fold every oracle hash pins; ``'pandas'`` is one
+    Arrow-batched float64 matmul per batch — same exact ±x products,
+    BLAS pairwise summation, so components can differ from the fold in
+    the last ulp (JL consumers are distance-approximate by construction;
+    use ``'literal'`` when oracle bit-identity matters).  The pandas
+    path round-trips the WHOLE row through Arrow (it is a
+    ``withColumn``): project payload columns away first at scale.
+    ``'auto'`` picks literal iff ``out_dim·in_dim <= 4096``.
     """
     if in_dim < 1 or out_dim < 1:
         # sequence(1, 0) generates DESCENDING [1, 0] — a zero dim would
@@ -294,6 +308,60 @@ def random_project(
         )
     if out_col in df.columns:
         raise ValueError(f"output column {out_col!r} already exists")
+    if strategy == "auto":
+        strategy = "literal" if out_dim * in_dim <= 4096 else "pandas"
+    if strategy == "pandas":
+        import math
+
+        import numpy as np
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            StructField,
+            StructType,
+        )
+
+        M = np.array(
+            [[float(v) for v in row] for row in matrix], dtype=np.float64
+        )
+        inv = 1.0 / math.sqrt(float(out_dim))
+        schema = StructType(
+            list(df.schema.fields)
+            + [StructField(out_col, ArrayType(DoubleType(), True), True)]
+        )
+
+        def _proj(batches):
+            for pdf in batches:
+                out: list = [None] * len(pdf)
+                vals = pdf[vec_col].to_list()
+                ok = [
+                    i for i, v in enumerate(vals)
+                    if v is not None and len(v) >= in_dim
+                ]
+                if ok:
+                    V = np.asarray(
+                        [
+                            np.asarray(vals[i][:in_dim], dtype=np.float64)
+                            for i in ok
+                        ]
+                    )
+                    R = (V @ M.T) * inv
+                    for r_i, i in enumerate(ok):
+                        out[i] = R[r_i].tolist()
+                for i in range(len(pdf)):
+                    if out[i] is None:
+                        # a short/NULL vector projects to NULL COMPONENTS
+                        # (an array of NULLs), exactly like the literal
+                        # fold's try_element_at propagation
+                        out[i] = [None] * out_dim
+                yield pdf.assign(**{out_col: out})
+
+        return df.mapInPandas(_proj, schema)
+    if strategy != "literal":
+        raise ValueError(
+            f"strategy must be 'auto', 'literal', or 'pandas', "
+            f"got {strategy!r}"
+        )
     m_lit = (
         "array("
         + ", ".join(
