@@ -345,14 +345,23 @@ def random_project(
                             for i in ok
                         ]
                     )
+                    # Arrow coerces a NULL ELEMENT to NaN; the literal
+                    # fold turns a NULL element into all-NULL components.
+                    # Coalesce NaN rows to the same NULL-components shape
+                    # (a true-NaN input maps to NaN components on the
+                    # literal path vs NULL here — both non-values, and
+                    # the two are indistinguishable after Arrow; never a
+                    # silently-wrong number either way).
+                    finite = ~np.isnan(V).any(axis=1)
                     R = (V @ M.T) * inv
                     for r_i, i in enumerate(ok):
-                        out[i] = R[r_i].tolist()
+                        if finite[r_i]:
+                            out[i] = R[r_i].tolist()
                 for i in range(len(pdf)):
                     if out[i] is None:
-                        # a short/NULL vector projects to NULL COMPONENTS
-                        # (an array of NULLs), exactly like the literal
-                        # fold's try_element_at propagation
+                        # a short/NULL/NaN vector projects to NULL
+                        # COMPONENTS (an array of NULLs), like the
+                        # literal fold's try_element_at propagation
                         out[i] = [None] * out_dim
                 yield pdf.assign(**{out_col: out})
 

@@ -969,6 +969,73 @@ def _sq_norm(a: str) -> str:
     return f"aggregate({a}, 0D, (acc, x) -> acc + x * x)"
 
 
+def _seq_sq_norm(v: list[float]) -> float:
+    """The SQL fold, in Python: 0.0 seed, sequential index-order adds of
+    exact per-element squares — bit-identical to ``_sq_norm`` on the same
+    values (every add is the same IEEE op in the same order)."""
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return acc
+
+
+def _resolve_strategy(strategy: str, small: bool) -> str:
+    """'auto' → 'literal' when ``small`` (the bit-exact fold regime every
+    oracle row pins) else 'pandas'; explicit values validated."""
+    if strategy == "auto":
+        return "literal" if small else "pandas"
+    if strategy not in ("literal", "pandas"):
+        raise ValueError(
+            f"strategy must be 'auto', 'literal', or 'pandas', "
+            f"got {strategy!r}"
+        )
+    return strategy
+
+
+def _coerce_vec_batch(pdf, vec_col: str, id_col: str, dim: int):
+    """Arrow batch → (n, dim) float64 matrix, REFUSING malformed rows
+    (NULL vector, wrong dimension, NaN / NULL elements — Arrow coerces a
+    NULL element to NaN) with the offending id in the message.
+
+    This is the deliberate divergence of every pandas strategy from its
+    literal twin on GARBAGE rows: an expression cannot raise, so the
+    literal paths silently land a NULL/NaN vector in the lowest cid with
+    a NULL/NaN score; the pandas paths refuse loudly (never-silent).
+    On clean data the two agree to the documented ulp."""
+    import numpy as np
+
+    vals = pdf[vec_col].to_list()
+    for i, v in enumerate(vals):
+        if v is None or len(v) != dim:
+            raise ValueError(
+                f"{vec_col} for {id_col}={pdf[id_col].iloc[i]!r} is "
+                f"{'NULL' if v is None else f'dim {len(v)}'}; "
+                f"expected dim {dim}"
+            )
+    V = np.asarray([np.asarray(v, dtype=np.float64) for v in vals])
+    bad = np.isnan(V).any(axis=1)
+    if bad.any():
+        i = int(np.argmax(bad))
+        raise ValueError(
+            f"{vec_col} for {id_col}={pdf[id_col].iloc[i]!r} contains "
+            f"NaN or NULL elements"
+        )
+    return V
+
+
+def _seq_row_sq_norms(V):
+    """Per-row squared norms with the FOLD's summation order: one
+    vectorized add per element index (j ascending), so each row's value
+    is bit-identical to the sequential SQL fold — CLAUDE.md's
+    never-np.sum rule (pairwise rounding differs)."""
+    import numpy as np
+
+    acc = np.zeros(len(V), dtype=np.float64)
+    for j in range(V.shape[1]):
+        acc += V[:, j] * V[:, j]
+    return acc
+
+
 def train_pq_codebooks(
     df: DataFrame,
     m: int = 8,
@@ -1112,8 +1179,7 @@ def pq_encode(
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0][1])
-    if strategy == "auto":
-        strategy = "literal" if ksub <= _LITERAL_CENTS_MAX else "pandas"
+    strategy = _resolve_strategy(strategy, ksub <= _LITERAL_CENTS_MAX)
     if strategy == "literal":
         bound, subcols = _pq_bind_subvecs(
             df.select(F.col(id_col), F.col(vec_col)), m, dsub, vec_col
@@ -1126,11 +1192,6 @@ def pq_encode(
             id_col, "codes",
             F.expr(_pq_rnorm_expr(codebooks)).alias("rnorm"),
         )
-    if strategy != "pandas":
-        raise ValueError(
-            f"strategy must be 'auto', 'literal', or 'pandas', "
-            f"got {strategy!r}"
-        )
     import numpy as np
     from pyspark.sql.types import (
         ArrayType,
@@ -1139,13 +1200,6 @@ def pq_encode(
         StructField,
         StructType,
     )
-
-    def _seq_sq_norm(v: list[float]) -> float:
-        # the SQL fold: 0D seed, sequential index-order adds
-        acc = 0.0
-        for x in v:
-            acc += float(x) * float(x)
-        return acc
 
     books = [sorted(b, key=lambda c: int(c[0])) for b in codebooks]
     C = [
@@ -1174,18 +1228,7 @@ def pq_encode(
                     codes=[], rnorm=np.array([], dtype=np.float64)
                 )
                 continue
-            vals = pdf[vec_col].to_list()
-            for i, v in enumerate(vals):
-                if v is None or len(v) != dim:
-                    raise ValueError(
-                        f"{vec_col} for {id_col}="
-                        f"{pdf[id_col].iloc[i]!r} is "
-                        f"{'NULL' if v is None else f'dim {len(v)}'}; "
-                        f"expected dim {dim} (m={m} × dsub={dsub})"
-                    )
-            V = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in vals]
-            )
+            V = _coerce_vec_batch(pdf, vec_col, id_col, dim)
             n = len(V)
             codes = np.empty((n, m), dtype=np.int32)
             acc = np.zeros(n, dtype=np.float64)
@@ -1269,34 +1312,116 @@ def ivf_pq_encode(
     codebooks: list[list[tuple[int, list[float]]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    strategy: str = "auto",
 ) -> DataFrame:
     """One-pass IVF-PQ index build: ``(id, cell, codes, rnorm)``.
 
     Cell assignment (cosine argmax over the coarse centroids) and PQ
     encoding (argmin-L2 per subspace) happen in the SAME shuffle-free
-    projection — the write-once artifact a deployment stores (bucketed
-    by ``cell``) instead of the vectors: ~(4 + m + 8) bytes per vector.
-    """
+    pass — the write-once artifact a deployment stores (bucketed by
+    ``cell``) instead of the vectors: ~(4 + m + 8) bytes per vector.
+
+    ``strategy`` follows :func:`pq_encode`/:func:`prototype_scores`
+    (the HOF-interpreted ceiling hits BOTH halves here: coarse argmax ∝
+    n_centroids·dim, codes ∝ ksub·dim): ``'auto'`` stays on the
+    bit-exact literal projection iff ``max(len(cents), ksub)`` ≤
+    :data:`_LITERAL_CENTS_MAX`; the pandas path does cells + codes +
+    rnorm in ONE Arrow worker (sequential-fold norms, BLAS dots — same
+    parity contract as its two parents, and the same loud refusal of
+    malformed rows)."""
     m = len(codebooks)
+    ksub = len(codebooks[0])
     dsub = len(codebooks[0][0][1])
-    tmp = "_rnorm"
-    while tmp in df.columns:
-        tmp += "_"
-    bound, subcols = _pq_bind_subvecs(
-        df.select(F.col(id_col), F.col(vec_col)), m, dsub, vec_col
+    strategy = _resolve_strategy(
+        strategy, max(len(cents), ksub) <= _LITERAL_CENTS_MAX
     )
-    bound = bound.withColumn(tmp, F.expr(_norm(vec_col)))
-    coded = bound.select(
-        F.col(id_col),
-        F.expr(
-            nearest_cell_expr(vec_col, cents, norm_expr=f"`{tmp}`")
-        ).alias("cell"),
-        F.expr(_pq_codes_expr(codebooks, subcols)).alias("codes"),
+    if strategy == "literal":
+        tmp = "_rnorm"
+        while tmp in df.columns:
+            tmp += "_"
+        bound, subcols = _pq_bind_subvecs(
+            df.select(F.col(id_col), F.col(vec_col)), m, dsub, vec_col
+        )
+        bound = bound.withColumn(tmp, F.expr(_norm(vec_col)))
+        coded = bound.select(
+            F.col(id_col),
+            F.expr(
+                nearest_cell_expr(vec_col, cents, norm_expr=f"`{tmp}`")
+            ).alias("cell"),
+            F.expr(_pq_codes_expr(codebooks, subcols)).alias("codes"),
+        )
+        return coded.select(
+            id_col, "cell", "codes",
+            F.expr(_pq_rnorm_expr(codebooks)).alias("rnorm"),
+        )
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
-    return coded.select(
-        id_col, "cell", "codes",
-        F.expr(_pq_rnorm_expr(codebooks)).alias("rnorm"),
+
+    ordered = sorted(cents, key=lambda c: int(c[0]))
+    CC = np.array([[float(x) for x in v] for _, v in ordered],
+                  dtype=np.float64)
+    ccids = np.array([int(cid) for cid, _ in ordered], dtype=np.int64)
+    ccn = np.sqrt(
+        np.array([_seq_sq_norm(v) for _, v in ordered], dtype=np.float64)
     )
+    books = [sorted(b, key=lambda c: int(c[0])) for b in codebooks]
+    PB = [
+        np.array([[float(x) for x in v] for _, v in b], dtype=np.float64)
+        for b in books
+    ]
+    pb_cids = [
+        np.array([int(cid) for cid, _ in b], dtype=np.int32) for b in books
+    ]
+    nsq = [
+        np.array([_seq_sq_norm(v) for _, v in b], dtype=np.float64)
+        for b in books
+    ]
+    dim = m * dsub
+    in_fields = {f.name: f for f in df.schema.fields}
+    schema = StructType([
+        in_fields[id_col],
+        StructField("cell", LongType(), False),
+        StructField("codes", ArrayType(IntegerType(), False), False),
+        StructField("rnorm", DoubleType(), False),
+    ])
+
+    def _encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[[id_col]].assign(
+                    cell=np.array([], dtype=np.int64),
+                    codes=[],
+                    rnorm=np.array([], dtype=np.float64),
+                )
+                continue
+            V = _coerce_vec_batch(pdf, vec_col, id_col, dim)
+            n = len(V)
+            rn_v = np.sqrt(_seq_row_sq_norms(V))
+            S = V @ CC.T
+            denom = np.outer(rn_v, ccn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom > 0, S / denom, 0.0)
+            cell = ccids[S.argmax(axis=1)]
+            codes = np.empty((n, m), dtype=np.int32)
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(m):
+                Vj = V[:, j * dsub:(j + 1) * dsub]
+                Sj = Vj @ PB[j].T - 0.5 * nsq[j]
+                cj = Sj.argmax(axis=1)
+                codes[:, j] = pb_cids[j][cj]
+                acc += nsq[j][cj]
+            yield pdf[[id_col]].assign(
+                cell=cell, codes=list(codes), rnorm=np.sqrt(acc)
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_encode, schema)
 
 
 def ivf_pq_topk(
@@ -1631,16 +1756,21 @@ def prototype_scores(
       EXACT argmax tie could in principle assign a different cell
       (pytest pins zero divergence on the test corpora).  Use
       ``'literal'`` when bit-exact oracle reproducibility matters more
-      than speed.
+      than speed.  MALFORMED rows diverge by design: a SQL expression
+      cannot raise, so the literal path silently lands a NULL/short/NaN
+      vector in the lowest cid with a NULL/NaN score, while the pandas
+      path REFUSES it with the offending id
+      (:func:`_coerce_vec_batch` — never-silent); clean your corpus
+      before relying on ``'auto'``, which switches by ``len(cents)``,
+      not by data.
 
     The ``cell`` column carries the same build-parameter metadata under
     both strategies, so the frame can be shared with every ``cells=``
     consumer (:func:`semdedup_hot_cells`, :func:`semdedup_pairs`) and a
     mismatched geometry is refused rather than silently mis-bucketed."""
-    if strategy == "auto":
-        strategy = (
-            "literal" if len(cents) <= _LITERAL_CENTS_MAX else "pandas"
-        )
+    strategy = _resolve_strategy(
+        strategy, len(cents) <= _LITERAL_CENTS_MAX
+    )
     if strategy == "literal":
         rn = "_rnorm"
         while rn in df.columns:
@@ -1667,11 +1797,6 @@ def prototype_scores(
             ),
             F.col(f"{best}.ccos").alias("proto_cos"),
         )
-    if strategy != "pandas":
-        raise ValueError(
-            f"strategy must be 'auto', 'literal', or 'pandas', "
-            f"got {strategy!r}"
-        )
     import numpy as np
     from pyspark.sql.types import (
         DoubleType,
@@ -1684,7 +1809,13 @@ def prototype_scores(
     C = np.array([[float(x) for x in v] for _, v in ordered],
                  dtype=np.float64)
     cids = np.array([int(cid) for cid, _ in ordered], dtype=np.int64)
-    cn = np.sqrt((C * C).sum(axis=1))
+    # centroid norms via the SEQUENTIAL fold (CLAUDE.md: never np.sum —
+    # pairwise rounding differs): the denominator is then bit-identical
+    # to the literal path's, leaving only the BLAS numerator's
+    # summation-order ulp
+    cn = np.sqrt(
+        np.array([_seq_sq_norm(v) for _, v in ordered], dtype=np.float64)
+    )
     dim = C.shape[1]
     in_fields = {f.name: f for f in df.schema.fields}
     schema = StructType([
@@ -1703,19 +1834,8 @@ def prototype_scores(
                 yield pdf.assign(cell=np.array([], dtype=np.int64),
                                  proto_cos=np.array([], dtype=np.float64))
                 continue
-            vals = pdf[vec_col].to_list()
-            for i, v in enumerate(vals):
-                if v is None or len(v) != dim:
-                    raise ValueError(
-                        f"{vec_col} for {id_col}="
-                        f"{pdf[id_col].iloc[i]!r} is "
-                        f"{'NULL' if v is None else f'dim {len(v)}'}; "
-                        f"expected dim {dim}"
-                    )
-            V = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in vals]
-            )
-            rn_v = np.sqrt((V * V).sum(axis=1))
+            V = _coerce_vec_batch(pdf, vec_col, id_col, dim)
+            rn_v = np.sqrt(_seq_row_sq_norms(V))
             S = V @ C.T
             denom = np.outer(rn_v, cn)
             # zero-norm rows/centroids score 0 (the literal CASE guard)

@@ -3531,6 +3531,77 @@ class TestProductQuantization:
         with pytest.raises(ValueError, match="strategy"):
             pq_encode(embs, books, strategy="numpy")
 
+    def test_ivf_pq_encode_pandas_strategy_parity(self, embs):
+        """The one-pass index build's pandas path emits the same
+        (cell, codes, rnorm) artifact as the literal projection, so the
+        probed ADC top-k is identical."""
+        from ocr_spark.operators.similarity import (
+            ivf_pq_encode,
+            ivf_pq_topk,
+            train_centroids,
+            train_pq_codebooks,
+        )
+
+        cents = train_centroids(embs, n_centroids=4, iters=0)
+        books = train_pq_codebooks(embs, m=8, ksub=8)
+        lit = {
+            r.vec_id: (r.cell, list(r.codes), r.rnorm)
+            for r in ivf_pq_encode(
+                embs, cents, books, strategy="literal"
+            ).collect()
+        }
+        pdx = {
+            r.vec_id: (r.cell, list(r.codes), r.rnorm)
+            for r in ivf_pq_encode(
+                embs, cents, books, strategy="pandas"
+            ).collect()
+        }
+        assert lit == pdx  # cell equal, codes equal, rnorm bit-equal
+        q = embs.filter("vec_id < 3")
+        a = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_pq_topk(
+                ivf_pq_encode(embs, cents, books, strategy="pandas"),
+                q, cents, books, n_probe=2,
+            ).collect()
+        )
+        b = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_pq_topk(
+                ivf_pq_encode(embs, cents, books, strategy="literal"),
+                q, cents, books, n_probe=2,
+            ).collect()
+        )
+        assert a == b
+
+    def test_pandas_paths_refuse_nan_elements(self, spark):
+        """Arrow coerces a NULL element to NaN; the pandas workers must
+        refuse it loudly (the literal expression silently lands such
+        rows in the lowest cid — review finding, pinned), and
+        random_project (whose own contract is never-raise) must emit
+        NULL components, not NaN."""
+        from ocr_spark.operators.embed import random_project
+        from ocr_spark.operators.similarity import (
+            prototype_scores,
+            train_centroids,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [1.0, None])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = train_centroids(df.filter("vec_id = 0"), n_centroids=1,
+                                iters=0)
+        with pytest.raises(Exception, match="NaN|PythonException"):
+            prototype_scores(df, cents, strategy="pandas").collect()
+        rp = {
+            r.vec_id: r.rp
+            for r in random_project(df, 2, 4,
+                                    strategy="pandas").collect()
+        }
+        assert all(x is None for x in rp[1])
+        assert all(x is not None for x in rp[0])
+
     def test_encode_matches_python_argmin(self, embs):
         import numpy as np
 
