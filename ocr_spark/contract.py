@@ -4236,6 +4236,132 @@ def _q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowing fingerprints (operators/dedup.py winnow_fingerprints — the
+# MOSS local-fingerprinting scheme): k=3 word-gram hashes in position
+# order, rightmost minimal hash per w=4 window, distinct (pos, hash)
+# selections.  The Spark side is a per-row HOF fold (replace on `<=`, so
+# equal minima keep the LATER position); the oracle re-derives the same
+# selection RELATIONALLY — min(h) per window, then max(pos) among the
+# minima — an independent plan, integer-exact throughout (48-bit
+# portable hash, no floats anywhere).
+_WINNOW_K, _WINNOW_W = 3, 4
+
+_WINNOW_GRAM_H = portable_hash_sql_duckdb(
+    f"array_to_string(list_slice(ws, i, i + {_WINNOW_K - 1}), ' ')"
+)
+
+_WINNOW_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+           FROM documents),
+base AS (SELECT doc_id, ws, len(ws) AS nw FROM t),
+gi AS (SELECT doc_id, ws,
+              unnest(range(1, nw - {_WINNOW_K} + 2)) AS i
+       FROM base WHERE nw >= {_WINNOW_K}),
+grams AS (SELECT doc_id, i, {_WINNOW_GRAM_H} AS h FROM gi),
+n AS (SELECT doc_id, count(*) AS nh FROM grams GROUP BY doc_id),
+wins AS (SELECT doc_id,
+                unnest(range(1, greatest(1, nh - {_WINNOW_W} + 1) + 1))
+                  AS wi
+         FROM n),
+memb AS (SELECT wn.doc_id, wn.wi, g.i AS p, g.h
+         FROM wins wn JOIN grams g ON g.doc_id = wn.doc_id
+          AND g.i BETWEEN wn.wi AND wn.wi + {_WINNOW_W} - 1),
+mn AS (SELECT doc_id, wi, min(h) AS mh FROM memb GROUP BY doc_id, wi),
+pick AS (SELECT m.doc_id, m.wi, mn.mh, max(m.p) AS p
+         FROM memb m JOIN mn ON m.doc_id = mn.doc_id AND m.wi = mn.wi
+          AND m.h = mn.mh
+         GROUP BY m.doc_id, m.wi, mn.mh)
+SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS pos, mh AS fp FROM pick
+"""
+
+
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        hash_mode="portable",
+    )
+
+
+# BM25 ranked retrieval (operators/text_analysis.py bm25_topk): four
+# fixed queries over the documents table, Lucene non-negative idf,
+# k1=1.2 / b=0.75.  idf's ln is not cross-engine bit-identical
+# (CLAUDE.md transcendental rule) so both engines round the token-sorted
+# sequential fold to 9 dp AND rank on the rounded score (rank stays
+# reproducible where raw scores differ at the ulp); float literals are
+# e-notation (the DECIMAL-literal trap); list_reduce's missing 0-init
+# matches Spark's `0.0 + x` because every BM25 term is > 0.
+_BM25_QUERIES = [
+    (0, "key agg row"),
+    (1, "scan slow table"),
+    (2, "spark window join vector"),
+    (3, "nosuchtoken row"),
+]
+
+_BM25_SQL = f"""
+WITH q(query_id, query) AS (VALUES {", ".join(
+    f"({i}, '{s}')" for i, s in _BM25_QUERIES)}),
+tok AS (SELECT doc_id, w FROM
+          (SELECT doc_id,
+                  unnest(string_split(lower(coalesce(text, '')), ' ')) AS w
+           FROM documents)
+        WHERE w <> ''),
+tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, w),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+       GROUP BY doc_id),
+dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY w),
+tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nd,
+               (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) FROM tf)
+                 AS tt),
+qt AS (SELECT DISTINCT query_id, w FROM
+         (SELECT query_id,
+                 unnest(string_split(lower(coalesce(query, '')), ' ')) AS w
+          FROM q)
+       WHERE w <> ''),
+cand AS (SELECT qt.query_id, tf.doc_id, tf.w,
+           ln(1e0 + (tot.nd - dfreq.dfc + 5e-1) / (dfreq.dfc + 5e-1))
+             * tf.tf * 2.2e0
+             / (tf.tf + 1.2e0 * (2.5e-1
+                + 7.5e-1 * dl.dl / (tot.tt / tot.nd))) AS ts
+         FROM tf JOIN qt ON tf.w = qt.w
+                 JOIN dfreq ON tf.w = dfreq.w
+                 JOIN dl ON tf.doc_id = dl.doc_id
+                 CROSS JOIN tot),
+agg AS (SELECT query_id, doc_id,
+               CAST(count(*) AS INTEGER) AS n_hit,
+               list(ts ORDER BY w) AS l
+        FROM cand GROUP BY query_id, doc_id),
+sc AS (SELECT query_id, doc_id, n_hit,
+              round(list_reduce(l, (a, x) -> a + x), 9) AS score_r
+       FROM agg),
+rk AS (SELECT *, row_number() OVER (
+         PARTITION BY query_id ORDER BY score_r DESC, doc_id ASC) AS rnk
+       FROM sc)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_hit, score_r,
+       CAST(rnk AS INTEGER) AS rank
+FROM rk WHERE rnk <= 10
+"""
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qf = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query string"
+    )
+    return text_analysis.bm25_topk(
+        _t(spark, sf_dir, "documents"), qf, k=10
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id",
+        "n_hit",
+        "score_r",
+        "rank",
+    )
+
+
 # registry
 
 #
@@ -4255,7 +4381,13 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # be misleading), then the new recall ledger and every entry whose
     # implementation changed (id-only lsh/ivf rerank joins, NULL-digest
     # dedup convention, pack coalesce, quality split binding, pii
-    # coalesce)
+    # coalesce).  The late-r5 winnow/bm25 additions lead (never checked);
+    # they displace sim_lsh_topk / sim_ivf_topk from the ~50 prefix —
+    # the least-evidence-value rows here: green in r4, and their r5
+    # change (id-only distinct) is value-preserving, plan-tested, and
+    # locally swept.
+    "dedup_winnow": (_q_winnow, _WINNOW_SQL),
+    "text_bm25_topk": (_q_bm25, _BM25_SQL),
     "sim_prototype_prune": (_q_prototype_prune, _PROTO_PRUNE_SQL),
     "dedup_cluster_best": (_q_cluster_best, _CLUSTER_BEST_SQL),
     "sim_random_project": (_q_random_project, _RP_SQL),

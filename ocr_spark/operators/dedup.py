@@ -1345,3 +1345,190 @@ def incremental_near_dedup(
         .distinct()
     )
     return new_df.join(matched, id_col, "left_anti")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS local-fingerprinting scheme): hash every word ``k``-gram in
+    POSITION order, slide a window of ``w`` consecutive gram hashes, and
+    in each window select the RIGHTMOST minimal hash; the distinct
+    ``(position, hash)`` selections are the document's fingerprint set.
+
+    Guarantees the scheme is used for: any shared run of at least
+    ``w + k - 1`` words between two documents contributes at least one
+    IDENTICAL selected fingerprint to both, while only ~``2/(w+1)`` of
+    gram hashes are kept — a tunable-density substring-match index
+    (contrast :func:`fingerprint`, which keeps one global min/max pair
+    per doc and can only say "probably same corpus", not "share a
+    passage").
+
+    Output: one row per selected fingerprint, ``(id_col, pos, fp)`` with
+    ``pos`` the 1-based gram index.  Documents shorter than ``k`` words
+    have no grams and emit no rows; documents with 1..w-1 grams emit the
+    rightmost-min over all their grams (one whole-doc window) so short
+    docs still fingerprint.
+
+    Plan shape: three chained per-row projections (split → gram hashes →
+    window fold) and one explode — ZERO exchanges; the output is the
+    posting-list input of :func:`winnow_pairs`.  The word and hash
+    arrays are bound to real columns first (CLAUDE.md: never inline an
+    array build into a lambda body — CollapseProject keeps a bind
+    referenced more than once).  The window fold is a HOF expression —
+    interpreted, not codegen (CLAUDE.md) — with O(grams × w) work per
+    row, so cost scales linearly with ``w``: the default ``w=4`` adds
+    ~4 comparisons per gram; keep ``w`` ≲ 32 on 100 TB corpora.
+
+    ``hash_mode='portable'`` swaps xxhash64 for the 48-bit md5-prefix
+    hash the DuckDB driver oracle reproduces bit-identically (the
+    rightmost-min tie-break is hash-value-independent, so both modes
+    select the same POSITIONS whenever their hashes order the same
+    way)."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k={k} and w={w} must be >= 1")
+    from .hashing import portable_hash_sql_spark
+
+    ws = "_ws"
+    while ws in df.columns:
+        ws += "_"
+    hs = "_hs"
+    while hs in df.columns or hs == ws:
+        hs += "_"
+    gram = f"array_join(slice(`{ws}`, i + 1, {k}), ' ')"
+    h_of = (
+        portable_hash_sql_spark(gram)
+        if hash_mode == "portable"
+        else f"xxhash64({gram})"
+    )
+    bound = df.withColumn(
+        ws, F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    ).withColumn(
+        hs,
+        F.expr(
+            f"CASE WHEN size(`{ws}`) >= {k} THEN "
+            f"transform(sequence(0, size(`{ws}`) - {k}), i -> {h_of}) "
+            f"ELSE CAST(array() AS array<bigint>) END"
+        ),
+    )
+    # rightmost minimal hash per window: fold j ascending, replace on
+    # `<=` — equal minima keep the LATER position (the winnowing paper's
+    # robust tie rule, mirrored relationally by the oracle's max(pos)
+    # over h = min).  Struct branches cast identically so the fold's
+    # accumulator type is stable.
+    sel = (
+        f"CASE WHEN size(`{hs}`) >= 1 THEN array_distinct("
+        f"transform(sequence(1, greatest(1, size(`{hs}`) - {w} + 1)), "
+        f"i -> aggregate(sequence(i, least(i + {w} - 1, size(`{hs}`))), "
+        f"named_struct('p', CAST(NULL AS INT), 'h', CAST(NULL AS BIGINT)), "
+        f"(acc, j) -> IF(acc.p IS NULL OR element_at(`{hs}`, j) <= acc.h, "
+        f"named_struct('p', CAST(j AS INT), 'h', element_at(`{hs}`, j)), "
+        f"acc)))) "
+        f"ELSE CAST(array() AS array<struct<p:int,h:bigint>>) END"
+    )
+    picked = bound.select(
+        id_col, F.explode(F.expr(sel)).alias("_fpsel")
+    )
+    return picked.select(
+        id_col,
+        F.col("_fpsel.p").alias("pos"),
+        F.col("_fpsel.h").alias("fp"),
+    )
+
+
+def winnow_pairs(
+    df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_posting: int | None = None,
+    hash_mode: str = "xxhash64",
+    fps: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate passage-sharing pairs from winnowed fingerprints: docs
+    sharing at least ``min_shared`` selected fingerprint HASHES, with the
+    shared count — the MOSS-style plagiarism/substring-overlap candidate
+    set (each shared fingerprint witnesses a shared word run of length
+    ≥ ``k``; a shared run of ≥ ``w + k - 1`` words is never missed).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs`: posting
+    list per fp hash, self-join, groupBy the id pair — never a cross
+    join.  ``max_posting`` (opt-in, never silent: log
+    :func:`winnow_hot_fps` alongside — the standing cap policy) drops
+    boilerplate fingerprints shared by more documents than that before
+    the join.  Pass a precomputed/persisted :func:`winnow_fingerprints`
+    frame via ``fps`` to share it with the audit view; the pair join
+    carries ids only (fingerprint payloads never enter the shuffle —
+    they ARE the join key).
+
+    Output: ``(doc_a, doc_b, shared)`` with ``doc_a < doc_b``."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if fps is None:
+        if df is None:
+            raise ValueError("pass df or a precomputed fps frame")
+        fps = winnow_fingerprints(df, text_col, id_col, k, w, hash_mode)
+    # distinct hashes per doc: two windows selecting the same gram yield
+    # one posting; two POSITIONS with an identical hash (a repeated
+    # passage within one doc) also collapse — shared counts tally
+    # distinct shared CONTENT, not occurrences
+    posts = fps.select(id_col, "fp").distinct()
+    if max_posting is not None:
+        hot = (
+            posts.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_posting)
+            .select("fp")
+        )
+        posts = posts.join(hot, "fp", "left_anti")
+    a, b = posts.alias("a"), posts.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.fp") == F.col("b.fp"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def winnow_hot_fps(
+    df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    max_posting: int = 10_000,
+    hash_mode: str = "xxhash64",
+    fps: DataFrame | None = None,
+) -> DataFrame:
+    """Audit view of the boilerplate fingerprints a ``max_posting`` cap
+    would drop from :func:`winnow_pairs`: ``(fp, n_docs)`` with
+    ``n_docs > max_posting``.  Run/log alongside any capped pair job
+    (cap-audit contract of :func:`jaccard_hot_shingles`); share the
+    capped run's persisted fingerprint frame via ``fps``."""
+    if fps is None:
+        if df is None:
+            raise ValueError("pass df or a precomputed fps frame")
+        fps = winnow_fingerprints(df, text_col, id_col, k, w, hash_mode)
+    return (
+        fps.select(id_col, "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_posting)
+    )

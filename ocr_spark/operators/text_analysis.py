@@ -777,6 +777,157 @@ def tfidf_keywords(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    lowercase: bool = True,
+    salts: int = 8,
+    broadcast_counts: bool = False,
+) -> DataFrame:
+    """BM25 ranked retrieval: the top-``k`` documents per query under
+    Okapi BM25 with the Lucene non-negative idf —
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``, per-term score
+    ``idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`` — the lexical
+    retrieval leg a curation stack needs next to the ANN family (e.g.
+    ranking corpus documents against benchmark queries before
+    decontamination review, or building hard negatives for training).
+
+    ``queries`` is a ``(query_id_col, query_col)`` frame; its terms are
+    whitespace tokens under the same ``lowercase`` normalization as the
+    corpus.  Duplicate terms within one query count once (standard bag
+    pruning; query-side tf weighting adds noise at short query length).
+    Documents with no matching term never appear; ``N`` counts ALL input
+    documents and ``avgdl`` averages token counts over all ``N`` (empty
+    documents count as length 0, the collection-statistics convention).
+
+    Output: ``(query_id, doc_id, n_hit, score_r, rank)`` — ``n_hit`` the
+    matched-term count, ``score_r = round(score, 9)`` (idf's ``ln`` is
+    not cross-engine bit-identical — CLAUDE.md transcendental rule; the
+    per-document sum is a token-sorted sequential fold, so WITHIN Spark
+    the raw score is bit-stable under any partitioning), ``rank``
+    1-based.  Ranking orders by ``(score_r DESC, doc_id ASC)`` — on the
+    ROUNDED score, so rank is reproducible cross-engine even where raw
+    scores differ at the ulp.
+
+    Scale posture: the ``(doc, token)`` tf aggregate is the one
+    corpus-sized shuffle (map-side combine); document frequency and
+    per-doc length re-aggregate the tf table; query terms are broadcast
+    (a query set is small by construction), so candidate generation is a
+    broadcast semi-join ON the tf table — only matching ``(doc, term)``
+    rows ever enter the scoring shuffle, carrying ids + counts, never
+    text.  ``broadcast_counts=True`` ships the df table map-side (the
+    Zipf-head lever of :func:`tfidf_keywords`).  The final rank is the
+    salted two-stage top-k of ``cosine_topk_bruteforce`` — a hot query
+    matching the whole corpus never funnels into one task."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got {k1}, {b}")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    qtext = F.coalesce(F.col(query_col), F.lit(""))
+    if lowercase:
+        text, qtext = F.lower(text), F.lower(qtext)
+    tok = df.select(
+        id_col, F.explode(F.split(text, " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("_dl"))
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_dfc")
+    )
+    if broadcast_counts:
+        dfreq = F.broadcast(dfreq)
+    # N over ALL docs, total tokens over the tf table: avgdl = _tt/_nd
+    # (exact-integer operands; the division is IEEE correctly rounded,
+    # so avgdl is cross-engine bit-identical).  The division only
+    # evaluates on candidate rows, whose existence implies _nd > 0.
+    totals = F.broadcast(
+        df.agg(F.count(F.lit(1)).cast("bigint").alias("_nd")).join(
+            tf.agg(
+                F.coalesce(F.sum("tf"), F.lit(0))
+                .cast("bigint")
+                .alias("_tt")
+            )
+        )
+    )
+    qterms = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.split(qtext, " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_nd") - F.col("_dfc") + F.lit(0.5))
+        / (F.col("_dfc") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("_dl") / (F.col("_tt") / F.col("_nd"))
+    )
+    cand = (
+        tf.join(qterms, "token")
+        .join(dfreq, "token")
+        .join(dl, id_col)
+        .join(totals)
+        .select(
+            "query_id",
+            id_col,
+            "token",
+            (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("_ts"),
+        )
+    )
+    agg = cand.groupBy("query_id", id_col).agg(
+        F.sort_array(F.collect_list(F.struct("token", "_ts"))).alias(
+            "_terms"
+        ),
+        F.count(F.lit(1)).cast("int").alias("n_hit"),
+    )
+    scored = agg.select(
+        "query_id",
+        id_col,
+        "n_hit",
+        F.round(
+            F.expr(
+                "aggregate(_terms, CAST(0 AS DOUBLE), (a, s) -> a + s._ts)"
+            ),
+            9,
+        ).alias("score_r"),
+    )
+    # salted two-stage exact top-k (cosine_topk_bruteforce's shape) on
+    # the rounded score: stage 1 per (query, salt) shard, stage 2 over
+    # the <= k*salts survivors; both order (score_r DESC, id ASC)
+    order = [F.desc("score_r"), F.col(id_col).asc()]
+    if salts > 1:
+        w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+        scored = (
+            scored.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts))
+            )
+            .withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= k)
+            .drop("_r1", "_salt")
+        )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+        .select("query_id", id_col, "n_hit", "score_r", "rank")
+    )
+
+
 def quantile_report(
     df: DataFrame,
     cols: list[str],

@@ -4760,3 +4760,204 @@ class TestAudioFingerprint:
             audio_near_dup_pairs(
                 au, n_bits=64, fingerprint=audio_fingerprint(au, n_bits=16)
             )
+
+
+class TestWinnowFingerprints:
+    """Winnowing (MOSS) local fingerprints: rightmost-min-per-window
+    selection differentially vs a pure-Python reference, the shared-run
+    detection guarantee, and the posting-join pair op."""
+
+    @staticmethod
+    def _pyref(text, k=3, w=4):
+        import hashlib
+
+        wsv = (text or "").split(" ")
+        if len(wsv) < k:
+            return set()
+        grams = [" ".join(wsv[i : i + k]) for i in range(len(wsv) - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:12], 16)
+            for g in grams
+        ]
+        n = len(hs)
+        out = set()
+        for i in range(1, max(1, n - w + 1) + 1):
+            best = None
+            for j in range(i, min(i + w - 1, n) + 1):
+                if best is None or hs[j - 1] <= hs[best - 1]:
+                    best = j
+            out.add((best, hs[best - 1]))
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from ocr_spark.operators.dedup import winnow_fingerprints
+
+        rows = [
+            (1, "a b c d e f g h"),
+            (2, "x y a b c d e f"),
+            (3, "q r"),  # < k words: no grams, no rows
+            (4, "p q r s"),  # 2 grams < w: one whole-doc window
+            (5, None),
+            (6, "t t t t t t t t t t"),  # identical grams: tie-break path
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in winnow_fingerprints(df, hash_mode="portable").collect():
+            got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+        for d, t in rows:
+            exp = self._pyref(t)
+            assert got.get(d, set()) == exp, f"doc {d}"
+
+    def test_density_and_guarantee(self, spark):
+        """~2/(w+1) of grams selected; any shared (w+k-1)-word run yields
+        a shared fingerprint."""
+        from ocr_spark.operators.dedup import (
+            winnow_fingerprints,
+            winnow_pairs,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        words = [f"t{rng.randrange(5000)}" for _ in range(4000)]
+        shared = ["s1", "s2", "s3", "s4", "s5", "s6"]  # w + k - 1 = 6
+        d1 = " ".join(words[:2000] + shared)
+        d2 = " ".join(shared + words[2000:])
+        df = spark.createDataFrame(
+            [(1, d1), (2, d2)], "doc_id long, text string"
+        )
+        fps = winnow_fingerprints(df).collect()
+        n1 = sum(1 for r in fps if r.doc_id == 1)
+        grams1 = 2006 - 3 + 1
+        assert 0.25 * grams1 < n1 < 0.55 * grams1  # 2/(w+1) = 0.4 ± noise
+        pairs = winnow_pairs(df, min_shared=1).collect()
+        assert any(p.doc_a == 1 and p.doc_b == 2 for p in pairs)
+
+    def test_pairs_cap_with_audit(self, spark):
+        from ocr_spark.operators.dedup import (
+            winnow_fingerprints,
+            winnow_hot_fps,
+            winnow_pairs,
+        )
+
+        # 30 clones + 2 unrelated docs: every clone fp is hot at cap 10
+        clones = [(i, "c1 c2 c3 c4 c5 c6 c7 c8") for i in range(30)]
+        df = spark.createDataFrame(
+            clones + [(100, "u1 u2 u3 u4 u5"), (101, "u1 u2 u3 u4 u5")],
+            "doc_id long, text string",
+        )
+        fps = winnow_fingerprints(df)
+        capped = winnow_pairs(df, min_shared=1, max_posting=10, fps=fps)
+        pairs = capped.collect()
+        assert sorted((p.doc_a, p.doc_b) for p in pairs) == [(100, 101)]
+        hot = winnow_hot_fps(df, max_posting=10, fps=fps).collect()
+        assert all(r.n_docs == 30 for r in hot) and len(hot) >= 1
+
+    def test_rejects_bad_params(self, spark):
+        from ocr_spark.operators.dedup import winnow_fingerprints
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="must be >= 1"):
+            winnow_fingerprints(df, k=0)
+        with pytest.raises(ValueError, match="must be >= 1"):
+            winnow_fingerprints(df, w=0)
+
+
+class TestBm25Topk:
+    def test_matches_python_reference(self, spark):
+        from collections import Counter
+
+        from ocr_spark.operators.text_analysis import bm25_topk
+
+        docs = [
+            (1, "the cat sat on the mat"),
+            (2, "the dog ate the cat food"),
+            (3, "quantum flux capacitor the"),
+            (4, None),  # length 0, still counted in N / avgdl
+            (5, "cat cat cat dog"),
+        ]
+        qs = [(0, "cat dog"), (1, "quantum"), (2, "zzz missing"), (3, None)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        qf = spark.createDataFrame(qs, "query_id long, query string")
+        k1, b = 1.2, 0.75
+        toks = {
+            d: [w for w in (t or "").lower().split(" ") if w]
+            for d, t in docs
+        }
+        N = len(docs)
+        dl = {d: len(v) for d, v in toks.items()}
+        avgdl = sum(dl.values()) / N
+        tfd = {d: Counter(v) for d, v in toks.items()}
+        dfc = Counter()
+        for c in tfd.values():
+            for w in c:
+                dfc[w] += 1
+
+        def score(q, d):
+            s, hit = 0.0, 0
+            for w in sorted({w for w in (q or "").lower().split(" ") if w}):
+                tf = tfd[d].get(w, 0)
+                if not tf:
+                    continue
+                hit += 1
+                idf = math.log(1 + (N - dfc[w] + 0.5) / (dfc[w] + 0.5))
+                s += (
+                    idf
+                    * tf
+                    * (k1 + 1)
+                    / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+                )
+            return round(s, 9), hit
+
+        exp = {}
+        for qid, q in qs:
+            scored = [
+                (d,) + score(q, d) for d, _ in docs if score(q, d)[1] > 0
+            ]
+            scored.sort(key=lambda x: (-x[1], x[0]))
+            for r, (d, s, h) in enumerate(scored, 1):
+                exp[(qid, d)] = (h, s, r)
+        got = {
+            (r.query_id, r.doc_id): (r.n_hit, r.score_r, r.rank)
+            for r in bm25_topk(df, qf, k=10).collect()
+        }
+        assert set(got) == set(exp)
+        for key, (h, s, r) in exp.items():
+            gh, gs, gr = got[key]
+            assert (gh, gr) == (h, r), key
+            assert gs == pytest.approx(s, abs=1e-12), key
+
+    def test_k_truncates_and_salted_rank_is_exact(self, spark):
+        from ocr_spark.operators.text_analysis import bm25_topk
+
+        df = spark.createDataFrame(
+            [(i, "common " + " ".join(f"u{i}w{j}" for j in range(i % 7)))
+             for i in range(200)],
+            "doc_id long, text string",
+        )
+        qf = spark.createDataFrame([(0, "common")], "query_id long, query string")
+        a = bm25_topk(df, qf, k=5, salts=8).collect()
+        bq = bm25_topk(df, qf, k=5, salts=1).collect()
+        assert len(a) == 5
+        assert sorted(tuple(r) for r in a) == sorted(tuple(r) for r in bq)
+
+    def test_broadcast_counts_identical_and_guards(self, spark):
+        from ocr_spark.operators.text_analysis import bm25_topk
+
+        df = spark.createDataFrame(
+            [(i, f"w{i % 3} shared w{i % 5}") for i in range(40)],
+            "doc_id long, text string",
+        )
+        qf = spark.createDataFrame(
+            [(0, "shared w1")], "query_id long, query string"
+        )
+        a = sorted(tuple(r) for r in bm25_topk(df, qf, k=3).collect())
+        c = sorted(
+            tuple(r)
+            for r in bm25_topk(df, qf, k=3, broadcast_counts=True).collect()
+        )
+        assert a == c
+        with pytest.raises(ValueError, match="k must be"):
+            bm25_topk(df, qf, k=0)
+        with pytest.raises(ValueError, match="k1 >= 0"):
+            bm25_topk(df, qf, b=1.5)
