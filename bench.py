@@ -186,6 +186,19 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
     timed("dedup_line_corpus", dedup.corpus_line_dedup(docs))
     timed("dedup_boilerplate", dedup.corpus_boilerplate_filter(docs))
     timed("dedup_span_corpus", dedup.corpus_span_dedup(docs, width=50))
+    timed("dedup_winnow_fps", dedup.winnow_fingerprints(docs))
+    timed(
+        "text_bm25",
+        text_analysis.bm25_topk(
+            docs,
+            spark.createDataFrame(
+                [(0, "key agg row"), (1, "scan slow table"),
+                 (2, "spark window join vector")],
+                "query_id long, query string",
+            ),
+            k=10,
+        ),
+    )
     # JL dim-reduce lever: exact cosine top-k at the PROJECTED dim (16)
     # vs the full-dim sim_cosine_topk row above — same rank plan, 4x
     # less fused arithmetic and candidate bytes.

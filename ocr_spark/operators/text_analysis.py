@@ -789,7 +789,7 @@ def bm25_topk(
     query_col: str = "query",
     lowercase: bool = True,
     salts: int = 8,
-    broadcast_counts: bool = False,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """BM25 ranked retrieval: the top-``k`` documents per query under
     Okapi BM25 with the Lucene non-negative idf —
@@ -816,16 +816,28 @@ def bm25_topk(
     ROUNDED score, so rank is reproducible cross-engine even where raw
     scores differ at the ulp.
 
-    Scale posture: the ``(doc, token)`` tf aggregate is the one
-    corpus-sized shuffle (map-side combine); document frequency and
-    per-doc length re-aggregate the tf table; query terms are broadcast
-    (a query set is small by construction), so candidate generation is a
-    broadcast semi-join ON the tf table — only matching ``(doc, term)``
-    rows ever enter the scoring shuffle, carrying ids + counts, never
-    text.  ``broadcast_counts=True`` ships the df table map-side (the
-    Zipf-head lever of :func:`tfidf_keywords`).  The final rank is the
-    salted two-stage top-k of ``cosine_topk_bruteforce`` — a hot query
-    matching the whole corpus never funnels into one task."""
+    Scale posture — query-bounded from the first exchange.  A naive
+    build-the-inverted-index plan ((doc, token) tf aggregate, then df /
+    dl / total re-aggregations of it) instantiates the tf subtree four
+    times — Spark does not reuse-merge identical non-broadcast build
+    subtrees (CLAUDE.md) — i.e. ~5 corpus scans and two corpus-wide
+    full-VOCABULARY shuffles per query batch.  Instead, the token
+    stream is broadcast-joined against the query terms BEFORE any
+    aggregation, so every exchange in the plan carries only rows whose
+    token appears in some query: per-(doc, term) tf, document frequency
+    (both derived from the matched stream), and the per-(query, doc)
+    scoring fold.  Per-doc length never aggregates at all — it is a
+    per-row ``size(filter(words, ...))`` projection riding alongside —
+    and the collection stats (N, total tokens) are one map-side-combined
+    global agg.  The df table is ≤ |query terms| rows by construction
+    and broadcast by default (``broadcast_counts=False`` shuffle-joins
+    it instead, for A/B).  Three corpus scans total (stats, tf, df —
+    plan-tested), zero corpus-wide shuffles; a stopword query term
+    degrades the
+    matched volume toward corpus scale, which is the inherent cost of
+    scoring that term, not plan overhead.  The final rank is the salted
+    two-stage top-k of ``cosine_topk_bruteforce`` — a hot query matching
+    the whole corpus never funnels into one task."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if k1 < 0 or not 0 <= b <= 1:
@@ -834,32 +846,29 @@ def bm25_topk(
     qtext = F.coalesce(F.col(query_col), F.lit(""))
     if lowercase:
         text, qtext = F.lower(text), F.lower(qtext)
-    tok = df.select(
-        id_col, F.explode(F.split(text, " ")).alias("token")
-    ).filter(F.col("token") != "")
-    tf = tok.groupBy(id_col, "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
+    ws = "_bm25_ws"
+    while ws in df.columns:
+        ws += "_"
+    # words bound to a real column (CLAUDE.md: never inline split into a
+    # lambda body); _dl = non-empty token count, a per-row projection
+    base = df.select(id_col, F.split(text, " ").alias(ws)).select(
+        id_col,
+        F.expr(f"CAST(size(filter(`{ws}`, x -> x != '')) AS BIGINT)").alias(
+            "_dl"
+        ),
+        F.col(ws),
     )
-    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("_dl"))
-    dfreq = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_dfc")
-    )
-    if broadcast_counts:
-        dfreq = F.broadcast(dfreq)
-    # N over ALL docs, total tokens over the tf table: avgdl = _tt/_nd
-    # (exact-integer operands; the division is IEEE correctly rounded,
-    # so avgdl is cross-engine bit-identical).  The division only
-    # evaluates on candidate rows, whose existence implies _nd > 0.
+    # N over ALL docs, total tokens = sum of per-doc lengths: avgdl =
+    # _tt/_nd (exact-integer operands; the division is IEEE correctly
+    # rounded, so avgdl is cross-engine bit-identical).  The division
+    # only evaluates on candidate rows, whose existence implies _nd > 0.
     totals = F.broadcast(
-        df.agg(F.count(F.lit(1)).cast("bigint").alias("_nd")).join(
-            tf.agg(
-                F.coalesce(F.sum("tf"), F.lit(0))
-                .cast("bigint")
-                .alias("_tt")
-            )
+        base.agg(
+            F.count(F.lit(1)).cast("bigint").alias("_nd"),
+            F.coalesce(F.sum("_dl"), F.lit(0)).cast("bigint").alias("_tt"),
         )
     )
-    qterms = F.broadcast(
+    qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.explode(F.split(qtext, " ")).alias("token"),
@@ -867,6 +876,26 @@ def bm25_topk(
         .filter(F.col("token") != "")
         .distinct()
     )
+    qtokens = F.broadcast(qterms.select("token").distinct())
+    # matched token stream: broadcast join FIRST, so the tf aggregate's
+    # exchange carries only query-term occurrences
+    occ = (
+        base.select(
+            id_col, "_dl", F.explode(F.col(ws)).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .join(qtokens, "token")
+    )
+    tf = occ.groupBy(id_col, "token", "_dl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    # document frequency per query term, from the matched stream (same
+    # values the full-vocabulary df table would give for these tokens)
+    dfreq = occ.select(id_col, "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_dfc")
+    )
+    if broadcast_counts:
+        dfreq = F.broadcast(dfreq)
     idf = F.log(
         F.lit(1.0)
         + (F.col("_nd") - F.col("_dfc") + F.lit(0.5))
@@ -877,9 +906,8 @@ def bm25_topk(
         + F.lit(b) * F.col("_dl") / (F.col("_tt") / F.col("_nd"))
     )
     cand = (
-        tf.join(qterms, "token")
+        tf.join(F.broadcast(qterms), "token")
         .join(dfreq, "token")
-        .join(dl, id_col)
         .join(totals)
         .select(
             "query_id",

@@ -433,3 +433,56 @@ class TestTokenBudgetPlans:
             .toString()
         )
         assert "Exchange SinglePartition" not in plan, plan
+
+
+class TestWinnowBm25Plans:
+    def test_winnow_fingerprints_is_shuffle_free(self, spark):
+        """Winnowing is three chained per-row projections + one explode:
+        no Exchange, no Window, no Join — a 10^12-doc corpus gets its
+        fingerprint postings in the scan stage; only winnow_pairs'
+        posting join shuffles (on the 8-byte fp key)."""
+        from ocr_spark.operators.dedup import winnow_fingerprints
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            winnow_fingerprints(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for op in ("Exchange", "Window", "Join"):
+            assert op not in plan, (op, plan)
+
+    def test_bm25_is_query_bounded_with_three_scans(self, spark):
+        """BM25's plan must broadcast-join the token stream against the
+        query terms BEFORE any aggregation: three corpus scans (stats /
+        tf / df — Spark re-instantiates shared build subtrees, CLAUDE.md)
+        and every hash exchange keyed on match-derived columns.  The
+        naive inverted-index shape this guards against instantiated the
+        full-vocabulary (doc, token) tf aggregate four times — ~5 scans
+        plus two corpus-wide shuffles."""
+        import re
+
+        from ocr_spark.operators.text_analysis import bm25_topk
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        qf = spark.createDataFrame(
+            [(0, "key agg row")], "query_id long, query string"
+        )
+        plan = (
+            bm25_topk(docs, qf, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan parquet") == 3, plan
+        allowed = ("query_id", "doc_id", "token", "_salt", "_dl")
+        for keys in re.findall(
+            r"Exchange hashpartitioning\(([^)]*)\)", plan
+        ):
+            names = re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#", keys)
+            assert all(n in allowed for n in names), keys
