@@ -4961,3 +4961,55 @@ class TestBm25Topk:
             bm25_topk(df, qf, k=0)
         with pytest.raises(ValueError, match="k1 >= 0"):
             bm25_topk(df, qf, b=1.5)
+
+    def test_randomized_differential_sweep(self, spark):
+        """200 seeded random docs across the degenerate regimes — tiny
+        alphabets (forcing equal-hash ties inside windows), lengths
+        straddling every edge (empty, < k, < w+k-1), and three (k, w)
+        configs including k=1 (unigram grams) and w=1 (every gram
+        selected) — each config one Spark job, every doc compared to the
+        pure-Python reference."""
+        import random
+
+        from ocr_spark.operators.dedup import winnow_fingerprints
+
+        rng = random.Random(20260821)
+        rows = []
+        for d in range(200):
+            alpha = rng.choice([1, 2, 3, 8])
+            nw = rng.randrange(0, 13)
+            words = [f"a{rng.randrange(alpha)}" for _ in range(nw)]
+            rows.append((d, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        import hashlib
+
+        def pyref(text, k, w):
+            wsv = (text or "").split(" ")
+            if len(wsv) < k:
+                return set()
+            grams = [
+                " ".join(wsv[i : i + k]) for i in range(len(wsv) - k + 1)
+            ]
+            hs = [
+                int(hashlib.md5(g.encode()).hexdigest()[:12], 16)
+                for g in grams
+            ]
+            n = len(hs)
+            out = set()
+            for i in range(1, max(1, n - w + 1) + 1):
+                best = None
+                for j in range(i, min(i + w - 1, n) + 1):
+                    if best is None or hs[j - 1] <= hs[best - 1]:
+                        best = j
+                out.add((best, hs[best - 1]))
+            return out
+
+        for k, w in ((3, 4), (1, 1), (2, 6)):
+            got = {}
+            res = winnow_fingerprints(
+                df, k=k, w=w, hash_mode="portable"
+            ).collect()
+            for r in res:
+                got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+            for d, t in rows:
+                assert got.get(d, set()) == pyref(t, k, w), (k, w, d, t)
