@@ -1382,8 +1382,12 @@ def winnow_fingerprints(
     array build into a lambda body — CollapseProject keeps a bind
     referenced more than once).  The window fold is a HOF expression —
     interpreted, not codegen (CLAUDE.md) — with O(grams × w) work per
-    row, so cost scales linearly with ``w``: the default ``w=4`` adds
-    ~4 comparisons per gram; keep ``w`` ≲ 32 on 100 TB corpora.
+    row; measured, though, the fold is NOT the cost driver: per-gram
+    hashing and the selected-row output dominate, so LARGER ``w`` runs
+    faster (density ~2/(w+1) shrinks the explode), 29k docs/s at w=4 →
+    37k at w=16 on 200k 80-word docs × 32 threads (BENCH.md "Winnowing
+    fingerprint cost shape").  Pick ``w`` for the detection guarantee
+    and index density, not fold cost.
 
     ``hash_mode='portable'`` swaps xxhash64 for the 48-bit md5-prefix
     hash the DuckDB driver oracle reproduces bit-identically (the
@@ -1434,11 +1438,44 @@ def winnow_fingerprints(
     picked = bound.select(
         id_col, F.explode(F.expr(sel)).alias("_fpsel")
     )
+    # (k, w, hash_mode) ride as column metadata so a consumer handed a
+    # precomputed fps= frame refuses a parameter mismatch instead of
+    # silently ignoring it (shared-frame guard convention; metadata is
+    # set in this SECOND projection — on the generator alias itself it
+    # would be dropped, CLAUDE.md)
     return picked.select(
         id_col,
         F.col("_fpsel.p").alias("pos"),
-        F.col("_fpsel.h").alias("fp"),
+        F.col("_fpsel.h").alias(
+            "fp",
+            metadata={
+                "winnow_k": k,
+                "winnow_w": w,
+                "hash_mode": hash_mode,
+            },
+        ),
     )
+
+
+def _check_fps(fps: DataFrame, id_col: str, k: int, w: int,
+               hash_mode: str) -> None:
+    missing = {id_col, "fp"} - set(fps.columns)
+    if missing:
+        raise ValueError(
+            f"fps frame lacks columns {sorted(missing)} — build it with "
+            f"winnow_fingerprints(df, ..., {id_col!r})"
+        )
+    meta = fps.schema["fp"].metadata or {}
+    for key, want in (
+        ("winnow_k", k), ("winnow_w", w), ("hash_mode", hash_mode)
+    ):
+        got = meta.get(key)
+        if got is not None and got != want:
+            raise ValueError(
+                f"fps frame was built with {key}={got!r}; this call "
+                f"passed {want!r} — the fingerprint space would be "
+                f"silently mismatched"
+            )
 
 
 def winnow_pairs(
@@ -1475,6 +1512,8 @@ def winnow_pairs(
         if df is None:
             raise ValueError("pass df or a precomputed fps frame")
         fps = winnow_fingerprints(df, text_col, id_col, k, w, hash_mode)
+    else:
+        _check_fps(fps, id_col, k, w, hash_mode)
     # distinct hashes per doc: two windows selecting the same gram yield
     # one posting; two POSITIONS with an identical hash (a repeated
     # passage within one doc) also collapse — shared counts tally
@@ -1525,6 +1564,8 @@ def winnow_hot_fps(
         if df is None:
             raise ValueError("pass df or a precomputed fps frame")
         fps = winnow_fingerprints(df, text_col, id_col, k, w, hash_mode)
+    else:
+        _check_fps(fps, id_col, k, w, hash_mode)
     return (
         fps.select(id_col, "fp")
         .distinct()

@@ -4962,6 +4962,7 @@ class TestBm25Topk:
         with pytest.raises(ValueError, match="k1 >= 0"):
             bm25_topk(df, qf, b=1.5)
 
+class TestWinnowDifferential:
     def test_randomized_differential_sweep(self, spark):
         """200 seeded random docs across the degenerate regimes — tiny
         alphabets (forcing equal-hash ties inside windows), lengths
@@ -5013,3 +5014,25 @@ class TestBm25Topk:
                 got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
             for d, t in rows:
                 assert got.get(d, set()) == pyref(t, k, w), (k, w, d, t)
+
+    def test_shared_fps_frame_refuses_param_mismatch(self, spark):
+        from ocr_spark.operators.dedup import (
+            winnow_fingerprints,
+            winnow_hot_fps,
+            winnow_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h")], "doc_id long, text string"
+        )
+        fps = winnow_fingerprints(df, k=3, w=4)
+        with pytest.raises(ValueError, match="winnow_w=4"):
+            winnow_pairs(df, w=8, fps=fps)
+        with pytest.raises(ValueError, match="winnow_k=3"):
+            winnow_hot_fps(df, k=2, fps=fps)
+        with pytest.raises(ValueError, match="hash_mode"):
+            winnow_pairs(df, hash_mode="portable", fps=fps)
+        with pytest.raises(ValueError, match="lacks columns"):
+            winnow_pairs(df, fps=df.select("doc_id"))
+        # matched params pass through
+        assert winnow_pairs(df, min_shared=1, fps=fps).count() == 0
