@@ -4250,7 +4250,7 @@ _WINNOW_GRAM_H = portable_hash_sql_duckdb(
     f"array_to_string(list_slice(ws, i, i + {_WINNOW_K - 1}), ' ')"
 )
 
-_WINNOW_SQL = f"""
+_WINNOW_CTES = f"""
 WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
            FROM documents),
 base AS (SELECT doc_id, ws, len(ws) AS nw FROM t),
@@ -4270,9 +4270,42 @@ mn AS (SELECT doc_id, wi, min(h) AS mh FROM memb GROUP BY doc_id, wi),
 pick AS (SELECT m.doc_id, m.wi, mn.mh, max(m.p) AS p
          FROM memb m JOIN mn ON m.doc_id = mn.doc_id AND m.wi = mn.wi
           AND m.h = mn.mh
-         GROUP BY m.doc_id, m.wi, mn.mh)
+         GROUP BY m.doc_id, m.wi, mn.mh)"""
+
+_WINNOW_SQL = f"""{_WINNOW_CTES}
 SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS pos, mh AS fp FROM pick
 """
+
+# Cross-snapshot passage overlap (dedup.winnow_cross_pairs): winnowing
+# is per-row, so the oracle runs ONE selection chain over the whole
+# table and splits new/old by the same doc_id % 3 convention as
+# dedup_incremental; the inverted-index join then counts shared
+# fingerprint hashes per (new, old) pair.  min_shared = 2 (the
+# operator default) keeps the row set selective on this corpus.
+_WINNOW_CROSS_SQL = f"""{_WINNOW_CTES},
+fsel AS (SELECT DISTINCT doc_id, mh AS fp FROM pick),
+np AS (SELECT doc_id, fp FROM fsel WHERE doc_id % 3 <> 0),
+op AS (SELECT doc_id, fp FROM fsel WHERE doc_id % 3 = 0)
+SELECT np.doc_id AS new_id, op.doc_id AS old_id,
+       CAST(count(*) AS BIGINT) AS shared
+FROM np JOIN op ON np.fp = op.fp
+GROUP BY np.doc_id, op.doc_id
+HAVING count(*) >= 2
+"""
+
+
+def _q_winnow_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnow_cross_pairs(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=2,
+        hash_mode="portable",
+    )
 
 
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4442,6 +4475,10 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     "sim_lsh_topk": (_q_lsh_topk, _LSH_TOPK_SQL),
     "sim_ivf_topk": (_q_ivf_topk, _IVF_SQL),
     "sim_ivf_trained": (_q_ivf_trained, _IVF_TRAINED_SQL),
+    # deliberately BELOW the driver's ~50-entry budget (the prefix is
+    # exactly full of never-checked + changed rows): this late-close
+    # addition relies on the local type-sensitive sweep as its evidence
+    "dedup_winnow_cross": (_q_winnow_cross, _WINNOW_CROSS_SQL),
     "corpus_shard": (_q_shard_corpus, _SHARD_SQL),
     "dedup_incremental": (_q_incremental_dedup, _INCREMENTAL_SQL),
     "dedup_incremental_near": (_q_incremental_near, _INCREMENTAL_NEAR_SQL),

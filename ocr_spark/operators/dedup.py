@@ -1573,3 +1573,78 @@ def winnow_hot_fps(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > max_posting)
     )
+
+
+def winnow_cross_pairs(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_posting: int | None = None,
+    hash_mode: str = "xxhash64",
+    new_fps: DataFrame | None = None,
+    old_fps: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-snapshot passage overlap: (new doc, old doc) pairs sharing
+    at least ``min_shared`` winnowed fingerprint hashes — the
+    SUBSTRING-granularity layer of monthly-recrawl dedup.
+    :func:`~ocr_spark.operators.bloom.incremental_dedup` catches exact
+    re-captures and :func:`incremental_near_dedup` whole-document
+    rewrites (MinHash); this catches the page that QUOTES a prior
+    capture — a shared run of ≥ ``w + k - 1`` words is never missed —
+    so a curation job can audit or down-weight recycled passages
+    instead of only whole-document duplicates.
+
+    Same inverted-index shape as :func:`winnow_pairs`, but the posting
+    join is new×old (never new×new), so the candidate volume is bounded
+    by cross-snapshot sharing.  In a recurring job, PERSIST the old
+    side's fingerprints as the monthly artifact (12 bytes per selected
+    gram) and pass them via ``old_fps`` — the incremental-signature
+    convention of :func:`incremental_near_dedup`.  ``max_posting``
+    (opt-in, audited: log :func:`winnow_hot_fps` over the OLD side —
+    boilerplate lives there) caps postings on BOTH sides before the
+    join.
+
+    Output: ``(new_id, old_id, shared)``."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if new_fps is None:
+        new_fps = winnow_fingerprints(
+            new_df, text_col, id_col, k, w, hash_mode
+        )
+    else:
+        _check_fps(new_fps, id_col, k, w, hash_mode)
+    if old_fps is None:
+        old_fps = winnow_fingerprints(
+            old_df, text_col, id_col, k, w, hash_mode
+        )
+    else:
+        _check_fps(old_fps, id_col, k, w, hash_mode)
+    nps = new_fps.select(id_col, "fp").distinct()
+    ops = old_fps.select(id_col, "fp").distinct()
+    if max_posting is not None:
+        for side in ("n", "o"):
+            posts = nps if side == "n" else ops
+            hot = (
+                posts.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > max_posting)
+                .select("fp")
+            )
+            if side == "n":
+                nps = nps.join(hot, "fp", "left_anti")
+            else:
+                ops = ops.join(hot, "fp", "left_anti")
+    a, b = nps.alias("a"), ops.alias("b")
+    return (
+        a.join(b, on=[F.col("a.fp") == F.col("b.fp")])
+        .groupBy(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("old_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -5036,3 +5036,68 @@ class TestWinnowDifferential:
             winnow_pairs(df, fps=df.select("doc_id"))
         # matched params pass through
         assert winnow_pairs(df, min_shared=1, fps=fps).count() == 0
+
+    def test_cross_pairs_detect_quoted_passage(self, spark):
+        """A new doc quoting a 6-word run (= w+k-1) from an old capture
+        must pair with it; unrelated docs must not; and the result
+        matches a brute-force Python cross-join on the reference
+        fingerprint sets."""
+        import hashlib
+
+        from ocr_spark.operators.dedup import (
+            winnow_cross_pairs,
+            winnow_fingerprints,
+        )
+
+        old_rows = [
+            (100, "p1 p2 p3 p4 p5 p6 p7 p8 p9"),
+            (101, "z1 z2 z3 z4 z5"),
+        ]
+        new_rows = [
+            (1, "n1 n2 p3 p4 p5 p6 p7 p8 n3"),  # quotes 6 words of 100
+            (2, "m1 m2 m3 m4 m5 m6"),           # unrelated
+        ]
+        old = spark.createDataFrame(old_rows, "doc_id long, text string")
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+        def fps(text, k=3, w=4):
+            wsv = text.split(" ")
+            grams = [" ".join(wsv[i:i + k]) for i in range(len(wsv) - k + 1)]
+            hs = [int(hashlib.md5(g.encode()).hexdigest()[:12], 16)
+                  for g in grams]
+            n = len(hs)
+            out = set()
+            for i in range(1, max(1, n - w + 1) + 1):
+                best = None
+                for j in range(i, min(i + w - 1, n) + 1):
+                    if best is None or hs[j - 1] <= hs[best - 1]:
+                        best = j
+                out.add(hs[best - 1])
+            return out
+
+        exp = {}
+        for nid, nt in new_rows:
+            for oid, ot in old_rows:
+                shared = len(fps(nt) & fps(ot))
+                if shared >= 1:
+                    exp[(nid, oid)] = shared
+        got = {
+            (r.new_id, r.old_id): r.shared
+            for r in winnow_cross_pairs(
+                new, old, min_shared=1, hash_mode="portable"
+            ).collect()
+        }
+        assert got == exp
+        assert (1, 100) in got  # the quoted passage is caught
+        # precomputed old-side artifact path gives identical pairs
+        ofps = winnow_fingerprints(old, hash_mode="portable")
+        got2 = {
+            (r.new_id, r.old_id): r.shared
+            for r in winnow_cross_pairs(
+                new, old, min_shared=1, hash_mode="portable", old_fps=ofps
+            ).collect()
+        }
+        assert got2 == got
+        # param-mismatch guard applies to the shared frames too
+        with pytest.raises(ValueError, match="winnow_w"):
+            winnow_cross_pairs(new, old, w=8, old_fps=ofps)
