@@ -188,6 +188,13 @@ def operator_benches(spark, sf_dir: str) -> dict[str, float]:
     timed("dedup_span_corpus", dedup.corpus_span_dedup(docs, width=50))
     timed("dedup_winnow_fps", dedup.winnow_fingerprints(docs))
     timed(
+        "dedup_winnow_cross",
+        dedup.winnow_cross_pairs(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            docs.filter(F.col("doc_id") % 3 == 0),
+        ),
+    )
+    timed(
         "text_bm25",
         text_analysis.bm25_topk(
             docs,
