@@ -4308,6 +4308,30 @@ def _q_winnow_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quantile-bucket assignment (text_analysis.bucket_by_quantiles — the
+# CCNet head/middle/tail shape): quartiles of n_chars, thresholds =
+# quantile_cont ≙ percentile rounded to 9 dp before the compare (the
+# operator's determinism contract), integer column so row values are
+# engine-exact.
+_BUCKET_SQL = """
+WITH q AS (SELECT quantile_cont(n_chars, [2.5e-1, 5e-1, 7.5e-1]) AS t
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN n_chars IS NULL THEN NULL
+            WHEN n_chars <= round(t[1], 9) THEN 'q0'
+            WHEN n_chars <= round(t[2], 9) THEN 'q1'
+            WHEN n_chars <= round(t[3], 9) THEN 'q2'
+            ELSE 'q3' END AS bucket
+FROM documents CROSS JOIN q
+"""
+
+
+def _q_bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.bucket_by_quantiles(
+        _t(spark, sf_dir, "documents"), "n_chars"
+    ).select("doc_id", "bucket")
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
@@ -4479,6 +4503,7 @@ _CASES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] =
     # exactly full of never-checked + changed rows): this late-close
     # addition relies on the local type-sensitive sweep as its evidence
     "dedup_winnow_cross": (_q_winnow_cross, _WINNOW_CROSS_SQL),
+    "corpus_quantile_buckets": (_q_bucket_quantiles, _BUCKET_SQL),
     "corpus_shard": (_q_shard_corpus, _SHARD_SQL),
     "dedup_incremental": (_q_incremental_dedup, _INCREMENTAL_SQL),
     "dedup_incremental_near": (_q_incremental_near, _INCREMENTAL_NEAR_SQL),

@@ -1010,6 +1010,74 @@ def quantile_report(
     return row.select(F.explode(structs).alias("_s")).select("_s.*")
 
 
+def bucket_by_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    labels: tuple[str, ...] | None = None,
+    relative_error: float = 0.0,
+    out: str = "bucket",
+) -> DataFrame:
+    """Assign every row a quantile bucket of ``col`` — the
+    self-calibrating form of a quality gate (CCNet's head/middle/tail
+    split of the perplexity ranking is exactly this with
+    ``probs=(1/3, 2/3)``): thresholds come from the corpus itself, so
+    the gate keeps a FRACTION rather than an absolute cutoff that
+    drifts with every crawl.
+
+    Bucket ``i`` holds rows with ``threshold[i-1] < col <=
+    threshold[i]`` (the last label catches the rest); NULL values get a
+    NULL bucket.  ``labels`` defaults to ``q0..qN``.  Thresholds are
+    the exact linear-interpolated quantiles of :func:`quantile_report`
+    (rank ``p·(n−1)``), rounded to 9 dp before comparison — the
+    determinism contract that makes assignment reproducible across
+    engines even where interpolation differs in the last float bits;
+    on a ln-derived column, round the COLUMN to 9 dp first too (the
+    transcendental rule).
+
+    Eagerness: the threshold aggregate is collected driver-side —
+    ``len(probs)`` doubles, the bounded write-once-artifact pattern of
+    ``train_centroids`` — so the returned frame embeds literal
+    thresholds and stays a pure projection (zero exchanges; at corpus
+    scale pass ``relative_error > 0`` for the mergeable-sketch
+    aggregate, same lever as :func:`quantile_report`).  An empty or
+    all-NULL corpus has no quantiles: every bucket is NULL."""
+    n_b = len(probs) + 1
+    if labels is None:
+        labels = tuple(f"q{i}" for i in range(n_b))
+    if len(labels) != n_b:
+        raise ValueError(
+            f"need len(probs)+1 = {n_b} labels, got {len(labels)}"
+        )
+    if list(probs) != sorted(set(probs)) or not all(
+        0 < p < 1 for p in probs
+    ):
+        raise ValueError(
+            f"probs must be strictly increasing within (0, 1), got {probs}"
+        )
+    if relative_error < 0:
+        raise ValueError(
+            f"relative_error must be >= 0, got {relative_error}"
+        )
+    while out in df.columns:
+        out += "_"
+    p_arr = "array(" + ", ".join(f"{float(p)!r}D" for p in probs) + ")"
+    if relative_error == 0:
+        agg = F.expr(f"percentile(`{col}`, {p_arr})")
+    else:
+        acc = max(1, int(round(1.0 / relative_error)))
+        agg = F.expr(f"approx_percentile(`{col}`, {p_arr}, {acc})")
+    row = df.agg(agg.alias("_t")).first()
+    ts = row["_t"] if row is not None else None
+    if ts is None or any(t is None for t in ts):
+        return df.withColumn(out, F.lit(None).cast("string"))
+    thresholds = [round(float(t), 9) for t in ts]
+    expr = F.when(F.col(col).isNull(), F.lit(None).cast("string"))
+    for t, label in zip(thresholds, labels[:-1]):
+        expr = expr.when(F.col(col) <= F.lit(t), F.lit(label))
+    return df.withColumn(out, expr.otherwise(F.lit(labels[-1])))
+
+
 def ngram_report(
     df: DataFrame,
     n: int = 3,

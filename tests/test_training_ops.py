@@ -5101,3 +5101,63 @@ class TestWinnowDifferential:
         # param-mismatch guard applies to the shared frames too
         with pytest.raises(ValueError, match="winnow_w"):
             winnow_cross_pairs(new, old, w=8, old_fps=ofps)
+
+
+class TestBucketByQuantiles:
+    def test_quartiles_hand_computed(self, spark):
+        from ocr_spark.operators.text_analysis import bucket_by_quantiles
+
+        # values 1..8: quartile thresholds (rank p*(n-1)) = 2.75, 4.5,
+        # 6.25 -> buckets {1,2}, {3,4}, {5,6}, {7,8}; NULL -> NULL
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 9)] + [(99, None)],
+            "doc_id long, score double",
+        )
+        got = {
+            r.doc_id: r.bucket
+            for r in bucket_by_quantiles(df, "score").collect()
+        }
+        assert got == {
+            1: "q0", 2: "q0", 3: "q1", 4: "q1",
+            5: "q2", 6: "q2", 7: "q3", 8: "q3", 99: None,
+        }
+
+    def test_ccnet_head_middle_tail_fractions(self, spark):
+        from ocr_spark.operators.text_analysis import bucket_by_quantiles
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(300)], "doc_id long, ppl double"
+        )
+        out = bucket_by_quantiles(
+            df, "ppl", probs=(1 / 3, 2 / 3),
+            labels=("head", "middle", "tail"),
+        )
+        counts = {r["bucket"]: r["count"]
+                  for r in out.groupBy("bucket").count().collect()}
+        assert abs(counts["head"] - 100) <= 1
+        assert abs(counts["middle"] - 100) <= 1
+        assert abs(counts["tail"] - 100) <= 1
+
+    def test_empty_and_guards(self, spark):
+        from ocr_spark.operators.text_analysis import bucket_by_quantiles
+
+        df = spark.createDataFrame([], "doc_id long, score double")
+        assert bucket_by_quantiles(df, "score").count() == 0
+        only_null = spark.createDataFrame(
+            [(1, None)], "doc_id long, score double"
+        )
+        rows = bucket_by_quantiles(only_null, "score").collect()
+        assert rows[0].bucket is None
+        with pytest.raises(ValueError, match="labels"):
+            bucket_by_quantiles(df, "score", labels=("a", "b"))
+        with pytest.raises(ValueError, match="strictly increasing"):
+            bucket_by_quantiles(df, "score", probs=(0.5, 0.25))
+        # approx path assigns every row some bucket
+        big = spark.createDataFrame(
+            [(i, float(i % 97)) for i in range(500)],
+            "doc_id long, score double",
+        )
+        assert (
+            bucket_by_quantiles(big, "score", relative_error=0.01)
+            .filter("bucket IS NULL").count() == 0
+        )
